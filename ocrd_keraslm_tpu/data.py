@@ -1,0 +1,339 @@
+"""Data pipeline: file splitting, windowing, augmentation, vectorization.
+
+Capability-equivalent to the reference's generator pipeline
+(/root/reference/ocrd_keraslm/lib/rating.py:317-385, 977-1158):
+file-wise split in stateful mode / random-window split in stateless
+mode, window generation with configurable step, and the three training
+augmentations (char degradation 1%, context degradation 10%,
+first-window subsampling 10%).
+
+TPU-first redesign: batches are (int32 indices, int32 targets, float32
+mask) with *static shapes* (remainders are padded and masked, never
+shape-changing), so one jitted train/eval step serves the whole epoch
+with no recompilation.  In stateful mode, in addition to the
+reference-parity single-stream layout (batch_size=1, windows in file
+order), there is a TPU-native **parallel-streams** layout: each file is
+cut into ``batch`size`` contiguous streams which advance in lockstep,
+one (h, c) carry per stream — the standard truncated-BPTT batching that
+keeps the MXU fed (batch 128 instead of 1) while preserving recurrence
+within each stream.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from math import ceil
+from random import shuffle
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .utils.vocab import Vocab, read_normalized
+
+LOG = logging.getLogger(__name__)
+
+
+def context_from_filename(name: str) -> List[int]:
+    """Derive context variables from an ``author_title_year`` filename
+    (reference rating.py:993-999): year bucketed as ceil(year/10)."""
+    base = name.rsplit('/', 1)[-1].split('.')[0].split('_')
+    if len(base) == 3 and base[2].isdigit():
+        return [ceil(int(base[2]) / 10)]
+    return [0]
+
+
+@dataclass
+class Batch:
+    """One step's worth of data (static shapes)."""
+    x: np.ndarray          # (B, T) int32 inputs
+    zs: List[np.ndarray]   # context indices, each (B,) int32
+    y: np.ndarray          # (B, T) or (B,) int32 targets
+    mask: np.ndarray       # same shape as y, float32
+    reset_carry: bool = False   # stateful: zero the carry before this batch
+    file_name: str = ''
+
+
+@dataclass
+class SplitPlan:
+    training_files: List[str]
+    validation_files: List[str]
+    window_split: Optional[np.ndarray]  # stateless shared-file split
+    training_steps: int
+    validation_steps: int
+    total_chars: int
+    step: int
+    charset: List[str] = field(default_factory=list)
+
+
+def split_data(files: Sequence[str], *, stateful: bool, length: int,
+               batch_size: int, validation_split: float = 0.2,
+               val_files: Optional[Sequence[str]] = None,
+               known_chars: Optional[set] = None,
+               first_window: float = 0.0) -> SplitPlan:
+    """Read all files once: count batches, build the charset, and decide
+    the training/validation split (file-wise if stateful, random-window
+    if stateless) — reference ``_split_data`` (rating.py:317-385)."""
+    files = list(files)
+    shuffle(files)
+    chars = set(known_chars or ())
+    total = 0
+    if stateful:
+        step = length
+        if val_files:
+            training, validation = files, list(val_files)
+        else:
+            cut = ceil(len(files) * validation_split)
+            if len(files) < 2:
+                raise ValueError(
+                    'stateful mode needs >= 2 files to split '
+                    '(or explicit validation files)')
+            training, validation = files[:-cut], files[-cut:]
+        tsteps = vsteps = 0
+        for name in training:
+            text = read_normalized(name)
+            total += len(text)
+            tsteps += ceil((len(text) - length) / step / batch_size)
+            chars.update(text)
+        for name in validation:
+            text = read_normalized(name)
+            total += len(text)
+            vsteps += ceil((len(text) - length) / step / batch_size)
+            chars.update(text)
+        split = None
+    else:
+        step = 3
+        max_size = 0
+        for name in files:
+            text = read_normalized(name)
+            total += len(text) - length
+            max_size = max(max_size, len(text))
+            chars.update(text)
+        if val_files:
+            tsteps = ceil(total / step / batch_size)
+            vtotal = 0
+            for name in val_files:
+                text = read_normalized(name)
+                vtotal += len(text) - length
+                chars.update(text)
+            vsteps = ceil(vtotal / step / batch_size)
+            training, validation = files, list(val_files)
+            split = None
+        else:
+            epoch = total / step / batch_size
+            tsteps = ceil(epoch * (1 - validation_split))
+            vsteps = ceil(epoch * validation_split)
+            training = validation = files
+            split = np.random.uniform(0, 1, (ceil(max_size / step),))
+        if first_window:
+            tsteps = int(tsteps * (1.0 + first_window))
+    return SplitPlan(training_files=list(training),
+                     validation_files=list(validation),
+                     window_split=split,
+                     training_steps=max(tsteps, 1),
+                     validation_steps=max(vsteps, 1),
+                     total_chars=total,
+                     step=step,
+                     charset=sorted(chars))
+
+
+# ----------------------------------------------------------------------
+# stateless windowed batches
+# ----------------------------------------------------------------------
+
+def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
+                  batch_size: int, step: int = 3, train: bool = False,
+                  window_split: Optional[np.ndarray] = None,
+                  validation_split: float = 0.2,
+                  char_degradation: float = 0.01,
+                  context_degradation: float = 0.1,
+                  first_window: float = 0.1,
+                  repeat: bool = False,
+                  n_contexts: int = 1,
+                  rng: Optional[np.random.Generator] = None
+                  ) -> Iterator[Batch]:
+    """Yield fixed-shape windowed batches: x (B, L), y (B,) next char.
+
+    Mirrors the reference stateless path of ``_gen_data``
+    (rating.py:1005-1102) including the three augmentations, but pads
+    the remainder batch instead of shrinking it.
+    """
+    rng = rng or np.random.default_rng()
+    while True:
+        for name in files:
+            text = read_normalized(name)
+            context = context_from_filename(name)
+            ids = vocab.encode(text)
+            size = len(ids)
+            xs, ys = [], []
+
+            def flush(xs=None, ys=None, force=False):
+                pass  # placeholder; real flush below via closure lists
+
+            buf_x: List[np.ndarray] = []
+            buf_y: List[int] = []
+            for i in range(length, size, step):
+                if window_split is not None:
+                    r = window_split[i // step]
+                    if (r < validation_split) == train:
+                        continue
+                    rand = (r - validation_split) / (1 - validation_split)
+                else:
+                    rand = rng.uniform()
+                buf_x.append(ids[i - length:i])
+                buf_y.append(int(ids[i]))
+                if len(buf_x) == batch_size:
+                    x = np.stack(buf_x).astype(np.int32)
+                    y = np.asarray(buf_y, np.int32)
+                    zs = [np.full((batch_size,), c, np.int32)
+                          for c in context[:n_contexts]]
+                    while len(zs) < n_contexts:
+                        zs.append(np.zeros((batch_size,), np.int32))
+                    mask = np.ones((batch_size,), np.float32)
+                    yield Batch(x, zs, y, mask, file_name=name)
+                    buf_x, buf_y = [], []
+                    if train:
+                        yield from _augment(x, zs, y, mask, rand,
+                                            char_degradation,
+                                            context_degradation,
+                                            first_window, length, rng,
+                                            name)
+            if buf_x:  # padded remainder
+                n = len(buf_x)
+                x = np.zeros((batch_size, length), np.int32)
+                x[:n] = np.stack(buf_x)
+                y = np.zeros((batch_size,), np.int32)
+                y[:n] = buf_y
+                zs = [np.full((batch_size,), c, np.int32)
+                      for c in context[:n_contexts]]
+                while len(zs) < n_contexts:
+                    zs.append(np.zeros((batch_size,), np.int32))
+                mask = np.zeros((batch_size,), np.float32)
+                mask[:n] = 1.0
+                yield Batch(x, zs, y, mask, file_name=name)
+        if not repeat:
+            break
+
+
+def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
+             length, rng, name) -> Iterator[Batch]:
+    """The reference's 3 train-time degradations (rating.py:1060-1092),
+    each occasionally yielding one extra modified batch."""
+    if 0 < rand < char_deg:
+        j = int((length - 1) * rand / char_deg)
+        xa = x.copy()
+        xa[:, j] = 0
+        yield Batch(xa, [z.copy() for z in zs], y, mask, file_name=name)
+    rand = (rand - char_deg) / (1 - char_deg)
+    if 0 < rand < ctx_deg and zs:
+        j = int((len(zs) - 1) * rand / ctx_deg) if len(zs) > 1 else 0
+        za = [z.copy() for z in zs]
+        za[j][:] = 0
+        yield Batch(x.copy(), za, y, mask, file_name=name)
+    rand = (rand - ctx_deg) / (1 - ctx_deg)
+    if 0 < rand < first_window:
+        j = int((length - 1) * rand / first_window) + 1
+        xa = x.copy()
+        xa[:, 0:j] = 0  # simulate zero-padded run-in
+        yield Batch(xa, [z.copy() for z in zs], y, mask, file_name=name)
+
+
+# ----------------------------------------------------------------------
+# stateful batches
+# ----------------------------------------------------------------------
+
+def gen_stateful_parity(files: Sequence[str], vocab: Vocab, *,
+                        length: int, repeat: bool = False,
+                        n_contexts: int = 1) -> Iterator[Batch]:
+    """Reference-parity stateful layout: batch_size=1, ``length``-char
+    windows stepping by ``length``, x=text[i-L:i], y=text[i-L+1:i+1],
+    carry reset at file boundaries (rating.py:91, 325-326, 1030+)."""
+    while True:
+        for name in files:
+            text = read_normalized(name)
+            context = context_from_filename(name)
+            ids = vocab.encode(text)
+            size = len(ids)
+            first = True
+            for i in range(length, size, length):
+                x = ids[i - length:i][None, :].astype(np.int32)
+                y = ids[i - length + 1:i + 1][None, :].astype(np.int32)
+                zs = [np.full((1,), c, np.int32)
+                      for c in context[:n_contexts]]
+                while len(zs) < n_contexts:
+                    zs.append(np.zeros((1,), np.int32))
+                mask = np.ones_like(y, np.float32)
+                yield Batch(x, zs, y, mask, reset_carry=first,
+                            file_name=name)
+                first = False
+            # remainder window (padded & masked, unlike the reference's
+            # shape-changing final batch):
+            i = (max((size - 1) // length, 1)) * length
+            if i < size - 1:
+                rem = size - 1 - i
+                x = np.zeros((1, length), np.int32)
+                y = np.zeros((1, length), np.int32)
+                x[0, :rem] = ids[i:size - 1]
+                y[0, :rem] = ids[i + 1:size]
+                zs = [np.full((1,), c, np.int32)
+                      for c in context[:n_contexts]]
+                while len(zs) < n_contexts:
+                    zs.append(np.zeros((1,), np.int32))
+                mask = np.zeros((1, length), np.float32)
+                mask[0, :rem] = 1.0
+                yield Batch(x, zs, y, mask, reset_carry=first,
+                            file_name=name)
+        if not repeat:
+            break
+
+
+def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
+                         length: int, batch_size: int,
+                         repeat: bool = False, n_contexts: int = 1,
+                         train: bool = False,
+                         char_degradation: float = 0.01,
+                         context_degradation: float = 0.1,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> Iterator[Batch]:
+    """TPU-native stateful layout: cut each file into ``batch_size``
+    contiguous streams advancing in lockstep; batch t holds window t of
+    every stream, carry reset at file boundaries.  Dense MXU batches
+    with per-stream recurrence (truncated BPTT)."""
+    rng = rng or np.random.default_rng()
+    while True:
+        for name in files:
+            text = read_normalized(name)
+            context = context_from_filename(name)
+            ids = vocab.encode(text)
+            size = len(ids)
+            # choose stream count so each stream has >= 1 full window
+            B = max(1, min(batch_size, (size - 1) // (length + 1)))
+            stream_len = (size - 1) // B
+            n_windows = max(stream_len // length, 1)
+            first = True
+            for w in range(n_windows):
+                x = np.zeros((batch_size, length), np.int32)
+                y = np.zeros((batch_size, length), np.int32)
+                mask = np.zeros((batch_size, length), np.float32)
+                for b in range(B):
+                    lo = b * stream_len + w * length
+                    hi = min(lo + length, b * stream_len + stream_len,
+                             size - 1)
+                    n = hi - lo
+                    if n <= 0:
+                        continue
+                    x[b, :n] = ids[lo:hi]
+                    y[b, :n] = ids[lo + 1:hi + 1]
+                    mask[b, :n] = 1.0
+                zs = [np.full((batch_size,), c, np.int32)
+                      for c in context[:n_contexts]]
+                while len(zs) < n_contexts:
+                    zs.append(np.zeros((batch_size,), np.int32))
+                if train and rng.uniform() < char_degradation:
+                    x[:, rng.integers(length)] = 0
+                if train and zs and rng.uniform() < context_degradation:
+                    zs[rng.integers(len(zs))][:] = 0
+                yield Batch(x, zs, y, mask, reset_carry=first,
+                            file_name=name)
+                first = False
+        if not repeat:
+            break

@@ -1,0 +1,653 @@
+"""The LM engine: configure/train/test/rate/generate/decode.
+
+API-equivalent to the reference ``Rater``
+(/root/reference/ocrd_keraslm/lib/rating.py:12-1238) with the same
+public surface (``train``/``test`` take files, ``rate``/``rate2`` take
+strings, ``rate_best`` takes a lattice graph, ``generate`` takes a
+prefix, ``predict`` takes parallel hypotheses + explicit states) and the
+same checkpoint format, but a TPU-native execution model:
+
+* There is ONE pure model function; the reference's three compile modes
+  (stateful / stateless-windowed / incremental) are just different ways
+  of threading the explicit (h, c) carry (see models/lstm_lm.py).
+* ``rate``/``test`` score whole texts with chunked ``lax.scan`` calls —
+  one device dispatch per 4096-char chunk instead of one per batch of
+  windows, with the carry threaded across chunks (functional
+  statefulness).
+* ``predict`` batches all live beam hypotheses into one jitted device
+  step with power-of-two batch bucketing (compile-once, reuse).
+* Perplexity conventions reproduced exactly: ``test`` returns
+  exp(mean natural-log loss) (rating.py:491); ``rate2`` and the decoder
+  use base-2 entropy (rating.py:569,576).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from bisect import insort_left
+from functools import partial
+from math import ceil, exp, log
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .beam import Node
+from .models.lstm_lm import (
+    DEFAULT_CONTEXTS, LMConfig, Params, forward_seq, forward_step,
+    init_params, zero_carry,
+)
+from .utils import h5io
+from .utils.vocab import Vocab, nfc, read_normalized
+
+LOG = logging.getLogger(__name__)
+
+# chunk length for whole-text scoring scans (one device call per chunk);
+# tails are padded up to the next bucket to bound recompilation:
+SCORE_CHUNK = 4096
+SCORE_BUCKETS = (256, 512, 1024, 2048, 4096)
+# batch-size buckets for the incremental beam step:
+STEP_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ----------------------------------------------------------------------
+# jitted device functions (cfg is a hashable frozen dataclass -> static)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('cfg', 'use_pallas'))
+def _score_chunk(params, cfg: LMConfig, x, zs, y, mask, carry,
+                 use_pallas: bool = False):
+    """Teacher-forced scoring of one chunk.
+
+    x, y, mask: (B, T); zs: tuple of (B,) context indices.
+    Returns (probs of true next char (B, T), sum NLL (nats), carry')."""
+    logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                use_pallas=use_pallas)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt_logp = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+    probs = jnp.exp(tgt_logp) * mask
+    nll = -jnp.sum(tgt_logp * mask)
+    return probs, nll, carry
+
+
+@partial(jax.jit, static_argnames='cfg')
+def _predict_step(params, cfg: LMConfig, x, zs, h, c):
+    probs, (h2, c2) = forward_step(params, cfg, x, list(zs), (h, c))
+    return probs, h2, c2
+
+
+@partial(jax.jit, static_argnames='cfg')
+def _window_probs(params, cfg: LMConfig, x, zs):
+    """Stateless windowed next-char distribution: x (B, L) -> (B, V)."""
+    logits, _ = forward_seq(params, cfg, x, list(zs), None)
+    return jax.nn.softmax(logits[:, -1, :], axis=-1)
+
+
+class Rater:
+    """A character-level LSTM language model for rating text (TPU)."""
+
+    def __init__(self, logger=None):
+        # configuration variables (reference parity, rating.py:35-59)
+        self.width = 0
+        self.depth = 0
+        self.length = 0
+        self.variable_length = True
+        self.first_window = 0.1
+        self.char_degradation = 0.01
+        self.context_degradation = 0.1
+        self.stateful = True
+        self.contexts: Tuple[Tuple[int, int], ...] = DEFAULT_CONTEXTS
+        self.vocab = Vocab()
+        # configuration constants
+        self.batch_size = 128
+        self.validation_split = 0.2
+        self.smoothing = 0.2
+        # TPU-specific knobs
+        self.use_pallas = jax.default_backend() == 'tpu'
+        self.train_streams = True  # parallel-streams stateful training
+        # runtime variables
+        self.logger = logger or logging.getLogger(__name__)
+        self.incremental = False
+        self.params: Optional[Params] = None
+        self.cfg: Optional[LMConfig] = None
+        self.history: Dict[str, Any] = {}
+        self.status = 0
+        self.voc_size = 0
+
+    # -- reference-compat mapping view --------------------------------
+
+    @property
+    def mapping(self):
+        return (self.vocab.c2i, self.vocab.i2c)
+
+    @mapping.setter
+    def mapping(self, value):
+        self.vocab.c2i, self.vocab.i2c = dict(value[0]), dict(value[1])
+
+    # -- configuration -------------------------------------------------
+
+    def configure(self):
+        """Build the model configuration (and init params if needed).
+
+        Unlike the reference (which compiles one of three separate Keras
+        graphs here, rating.py:61-179), this only pins shapes: the same
+        pure function serves stateful, windowed and incremental use.
+        """
+        if self.stateful:
+            self.variable_length = False
+            self.first_window = 0
+        self.logger.info(
+            'configuring %s %s TPU model of depth %d width %d length %s '
+            'size %d (backend %s)',
+            'stateful' if self.stateful else 'stateless',
+            'incremental' if self.incremental else 'contiguous',
+            self.depth, self.width,
+            'variable' if self.variable_length else str(self.length),
+            self.voc_size, jax.default_backend())
+        self.cfg = LMConfig(
+            width=self.width, depth=self.depth, length=self.length,
+            voc_size=max(self.voc_size, 1), contexts=self.contexts,
+            stateful=self.stateful,
+            variable_length=self.variable_length)
+        if self.params is None and self.voc_size > 0:
+            self.params = init_params(self.cfg, jax.random.PRNGKey(42))
+        if self.status < 1:
+            self.status = 1
+
+    def underspecify_contexts(self) -> List[int]:
+        """Default (zero = underspecified) context variable input."""
+        self.logger.info('using underspecification (zero) for %d context '
+                         'variables', len(self.contexts))
+        return [0] * len(self.contexts)
+
+    def reconfigure_for_mapping(self):
+        """Rebuild params after vocab change, transferring old embedding
+        rows (reference rating.py:387-414)."""
+        assert self.status >= 1
+        old_params = self.params
+        old_voc = (old_params['char_embedding'].shape[0]
+                   if old_params is not None else 0)
+        if old_voc < self.voc_size:
+            if self.status >= 2 and old_params is not None and old_voc > 0:
+                self.logger.warning(
+                    'transferring weights from previous model with only '
+                    '%d character types', old_voc)
+                self.params = None
+                self.configure()
+                new_emb = np.asarray(self.params['char_embedding'])
+                new_emb[:old_voc] = np.asarray(
+                    old_params['char_embedding'])
+                self.params['char_embedding'] = jnp.asarray(new_emb)
+                self.params['context_embeddings'] = \
+                    old_params['context_embeddings']
+                self.params['lstm'] = old_params['lstm']
+            else:
+                self.params = None
+                self.configure()
+
+    def remove_from_mapping(self, char=None, idx=None) -> bool:
+        """Remove one char from the mapping, deleting its embedding row
+        (reference rating.py:416-460)."""
+        assert self.status > 1
+        assert self.voc_size > 0
+        removed = None
+        if char is not None and char in self.vocab.c2i:
+            removed = self.vocab.c2i[char]
+        elif idx is not None and idx in self.vocab.i2c:
+            removed = idx
+        emb = np.asarray(self.params['char_embedding'])
+        if removed is None:
+            if self.vocab.remove(char, idx) is None:
+                return False
+            return False
+        norm = float(np.linalg.norm(emb[removed]))
+        self.logger.warning('pruning character "%s" [%d] with norm %f',
+                            char or self.vocab.i2c.get(removed), removed,
+                            norm)
+        self.vocab.remove(char, idx)
+        self.voc_size -= 1
+        self.params['char_embedding'] = jnp.asarray(
+            np.delete(emb, removed, axis=0))
+        self.cfg = self.cfg.replace(voc_size=self.voc_size)
+        return True
+
+    # -- persistence ---------------------------------------------------
+
+    def save(self, filename):
+        """Save weights + config (h5, reference schema)."""
+        assert self.status > 1
+        h5io.save_model(filename, self.params, self.cfg, self.vocab,
+                        self.history)
+
+    def load_config(self, filename):
+        assert self.status == 0
+        cfg, vocab, history = h5io.load_config(filename)
+        self.width = cfg.width
+        self.depth = cfg.depth
+        self.length = cfg.length
+        self.stateful = cfg.stateful
+        self.variable_length = cfg.variable_length
+        self.contexts = cfg.contexts
+        self.vocab = vocab
+        self.voc_size = vocab.size
+        self.history = history
+
+    def load_weights(self, filename):
+        assert self.status > 0
+        self.params = h5io.load_weights(filename, self.cfg)
+        self.voc_size = self.params['char_embedding'].shape[0]
+        self.cfg = self.cfg.replace(voc_size=self.voc_size)
+        self.status = 2
+
+    def print_history(self):
+        for k, v in self.history.items():
+            print(f"{k}: {v}")
+
+    def print_charset(self):
+        self.vocab.print_charset()
+
+    # -- whole-text scoring -------------------------------------------
+
+    def _context_arrays(self, context: Optional[Sequence[int]], batch: int
+                        ) -> Tuple[np.ndarray, ...]:
+        if not context:
+            context = self.underspecify_contexts()
+        zs = []
+        for i in range(len(self.contexts)):
+            val = context[i] if i < len(context) else 0
+            zs.append(np.full((batch,), val, np.int32))
+        return tuple(zs)
+
+    def _score_text(self, ids: np.ndarray, context, *,
+                    carry=None) -> Tuple[np.ndarray, float, Any]:
+        """Score encoded text: per-position probability of the true next
+        char and total NLL (nats), chunked scan with carry.
+
+        ids: (N,) int32.  Returns (probs (N-1,), nll_sum, final carry).
+        """
+        N = len(ids)
+        if N < 2:
+            return np.zeros((0,), np.float32), 0.0, carry
+        x_all = ids[:-1]
+        y_all = ids[1:]
+        if carry is None:
+            carry = zero_carry(self.cfg, 1)
+        zs = self._context_arrays(context, 1)
+        probs_out = np.zeros((N - 1,), np.float32)
+        nll_total = 0.0
+        pos = 0
+        while pos < N - 1:
+            n = min(SCORE_CHUNK, N - 1 - pos)
+            T = _bucket(n, SCORE_BUCKETS)
+            x = np.zeros((1, T), np.int32)
+            y = np.zeros((1, T), np.int32)
+            mask = np.zeros((1, T), np.float32)
+            x[0, :n] = x_all[pos:pos + n]
+            y[0, :n] = y_all[pos:pos + n]
+            mask[0, :n] = 1.0
+            probs, nll, carry = _score_chunk(
+                self.params, self.cfg, x, zs, y, mask, carry,
+                self.use_pallas)
+            probs_out[pos:pos + n] = np.asarray(probs[0, :n])
+            nll_total += float(nll)
+            pos += n
+        return probs_out, nll_total, carry
+
+    def test(self, test_data) -> float:
+        """Evaluate perplexity = exp(mean NLL) over text files
+        (reference rating.py:462-491; unlike the reference, the carry IS
+        reset between files — the fix for its acknowledged wart at
+        rating.py:476-481)."""
+        assert self.status > 1
+        nll = 0.0
+        count = 0
+        for file in test_data:
+            text = read_normalized(file)
+            from .data import context_from_filename
+            name = getattr(file, 'name', file if isinstance(file, str)
+                           else '')
+            context = context_from_filename(name or '')
+            ids = self.vocab.encode(text)
+            _, file_nll, _ = self._score_text(ids, context)
+            nll += file_nll
+            count += len(ids) - 1
+        return exp(nll / max(count, 1))
+
+    def rate(self, text: str, context=None) -> List[float]:
+        """Probability of each character given its predecessors, one
+        scan pass (reference rating.py:493-529: the fast path)."""
+        assert self.status > 1
+        text = nfc(text)
+        if not text:
+            return []
+        ids = self.vocab.encode(text, log_unmapped=True)
+        probs, _, _ = self._score_text(ids, context)
+        return [1.0] + [float(p) for p in probs]
+
+    def rate2(self, text: str, context=None
+              ) -> Tuple[List[Tuple[str, float]], float]:
+        """Per-character probabilities + base-2 perplexity (reference
+        rating.py:531-576: the slow/debug path, here vectorized)."""
+        assert self.status > 1
+        text = nfc(text)
+        if not text:
+            return [], 1.0
+        ids = self.vocab.encode(text, log_unmapped=True)
+        if self.stateful or self.variable_length:
+            probs, _, _ = self._score_text(ids, context)
+        else:
+            probs = self._rolling_window_probs(ids, context)
+        result = [(text[0], 1.0)]
+        entropy = 0.0
+        for i in range(1, len(text)):
+            p = float(probs[i - 1])
+            entropy -= log(max(p, 1e-99), 2)
+            result.append((text[i], p))
+        return result, pow(2.0, entropy / len(text))
+
+    def _rolling_window_probs(self, ids: np.ndarray, context
+                              ) -> np.ndarray:
+        """Zero-left-padded rolling-window next-char probs for the
+        stateless fixed-length model (parity with rate2's windowing)."""
+        N = len(ids)
+        L = self.length
+        windows = np.zeros((N - 1, L), np.int32)
+        for i in range(1, N):
+            lo = max(0, i - L)
+            windows[i - 1, L - (i - lo):] = ids[lo:i]
+        out = np.zeros((N - 1,), np.float32)
+        B = self.batch_size
+        for s in range(0, N - 1, B):
+            n = min(B, N - 1 - s)
+            nb = _bucket(n, STEP_BUCKETS)
+            x = np.zeros((nb, L), np.int32)
+            x[:n] = windows[s:s + n]
+            zs = self._context_arrays(context, nb)
+            probs = np.asarray(_window_probs(self.params, self.cfg, x, zs))
+            out[s:s + n] = probs[np.arange(n), ids[1 + s:1 + s + n]]
+        return out
+
+    # -- incremental engine -------------------------------------------
+
+    def predict(self, candidates, initial_states, context=None
+                ) -> Tuple[List[np.ndarray], List[List[np.ndarray]]]:
+        """One-character step for N parallel hypotheses with explicit
+        per-layer (h1,c1,h2,c2,...) state in/out (reference
+        rating.py:578-639).  All hypotheses run as ONE device step,
+        batch padded to a power-of-two bucket."""
+        assert self.status > 1
+        assert len(candidates) == len(initial_states), \
+            'number of inputs (%d) and number of states (%d) inconsistent' \
+            % (len(candidates), len(initial_states))
+        if not context:
+            context = self.underspecify_contexts()
+        n = len(candidates)
+        nb = _bucket(n, STEP_BUCKETS)
+        D, W = self.depth, self.width
+        x = np.zeros((nb,), np.int32)
+        for i, char in enumerate(candidates):
+            x[i] = self.vocab.get(char)
+        h = np.zeros((D, nb, W), np.float32)
+        c = np.zeros((D, nb, W), np.float32)
+        for i, state in enumerate(initial_states):
+            if not state:
+                continue
+            for layer in range(D):
+                h[layer, i] = np.asarray(state[2 * layer]).reshape(W)
+                c[layer, i] = np.asarray(state[2 * layer + 1]).reshape(W)
+        zs = self._context_arrays(context, nb)
+        probs, h2, c2 = _predict_step(self.params, self.cfg, x, zs, h, c)
+        probs = np.asarray(probs)
+        h2 = np.asarray(h2)
+        c2 = np.asarray(c2)
+        preds = [probs[i] for i in range(n)]
+        final_states = [
+            [h2[layer, i:i + 1] if kind == 0 else c2[layer, i:i + 1]
+             for layer in range(D) for kind in (0, 1)]
+            for i in range(n)]
+        return preds, final_states
+
+    # -- generation ----------------------------------------------------
+
+    def generate(self, prefix: str, length: int, context=None,
+                 variants: int = 1) -> List[str]:
+        """Beam-search sampling after a prefix (reference
+        rating.py:642-709): per-step top-10 candidates, absolute
+        probability threshold 0.004, fringe capped at 256."""
+        assert self.status > 1
+        if not context:
+            context = self.underspecify_contexts()
+        prefix_states: List[Any] = [None]
+        for char in prefix[:-1]:
+            _, prefix_states = self.predict([char], prefix_states,
+                                            context=context)
+        next_fringe = [Node(state=prefix_states[0], value=prefix[-1],
+                            cost=0.0)]
+        for _ in range(length):
+            fringe = next_fringe
+            preds, states = self.predict([n.value for n in fringe],
+                                         [n.state for n in fringe],
+                                         context=context)
+            next_fringe = []
+            for j, n in enumerate(fringe):
+                pred = preds[j]
+                pred_best = np.argsort(pred)[-10:]
+                pred_best = pred_best[
+                    np.searchsorted(pred[pred_best], 0.004):]
+                costs = -np.log(np.maximum(pred[pred_best], 1e-99))
+                state = states[j]
+                for best, cost in zip(pred_best, costs):
+                    if int(best) not in self.vocab.i2c:
+                        continue  # zero/unmapped
+                    n_new = Node(parent=n, state=state,
+                                 value=self.vocab.i2c[int(best)],
+                                 cost=float(cost))
+                    insort_left(next_fringe, n_new)
+            next_fringe = next_fringe[:256]
+        best = next_fringe[0:variants]
+        return [''.join(n.value for n in res.to_sequence())
+                for res in best]
+
+    # -- lattice decoding ---------------------------------------------
+
+    def rate_best(self, graph, start_node, end_node,
+                  start_traceback=None, context=None, lm_weight=0.5,
+                  beam_width=10, beam_clustering_dist=0):
+        """Best-path beam decode over a lattice of string alternatives
+        (reference rating.py:712-858).  Hypothesis batches run as single
+        jitted device steps via ``predict``; beam bookkeeping stays on
+        host (PAGE graph traversal is inherently host-side).
+
+        Returns ([(element, textequiv, score), ...], entropy, traceback).
+        """
+        import networkx as nx
+
+        if not start_traceback:
+            alternative = Node(state=None, value='\n', cost=0.0)
+            start_traceback = ([alternative], alternative)
+
+        def bfs_edges(G, start):
+            order = nx.topological_sort(G)
+            nodes = [start]
+            for out in order:
+                for in_, _ in G.in_edges([out]):
+                    if in_ in nodes:
+                        yield in_, out
+                        nodes.append(out)
+
+        graph.nodes[start_node]['traceback'] = start_traceback[0]
+        out = start_node
+        out_node = graph.nodes[start_node]
+        for in_, out in bfs_edges(graph, start_node):
+            edge = graph.edges[in_, out]
+            element = edge['element']
+            textequivs = edge['alternatives']
+            in_node = graph.nodes[in_]
+            out_node = graph.nodes[out]
+            assert 'traceback' in in_node, \
+                'breadth-first search should have visited %s first' % in_
+            beam = in_node['traceback']
+            final_beam = out_node.get('traceback', [])
+            next_beam = [Node(parent=alternative,
+                              state=alternative.state,
+                              value='', cost=0.0,
+                              extras=(element, textequiv))
+                         for alternative in beam
+                         for textequiv in textequivs]
+            unmapped_seen: Dict[Any, List[str]] = {}
+            max_batches = max(len(te.Unicode) for te in textequivs) * 3
+            for _ in range(max_batches):
+                beam = []
+                while next_beam:
+                    candidate = next_beam.pop()
+                    if candidate.value == candidate.extras[1].Unicode:
+                        if (beam_clustering_dist and
+                                self._history_clustering(
+                                    candidate, final_beam,
+                                    beam_clustering_dist)):
+                            continue
+                        insort_left(final_beam, candidate)
+                    else:
+                        insort_left(beam, candidate)
+                    if len(beam) >= self.batch_size:
+                        break
+                if not beam:
+                    break
+                if final_beam and \
+                        beam[0].cum_cost >= final_beam[0].cum_cost + 15:
+                    break  # cardinality pruning
+                preds, states = self.predict(
+                    [cand.value[-1] if cand.value
+                     else cand.parent.value[-1] for cand in beam],
+                    [cand.state for cand in beam], context)
+                for i, candidate in enumerate(beam):
+                    conf = candidate.extras[1].conf
+                    char = candidate.extras[1].Unicode[
+                        len(candidate.value)]
+                    if char not in self.vocab:
+                        key = getattr(candidate.extras[1], 'index', None)
+                        if char not in unmapped_seen.setdefault(key, []):
+                            self.logger.error(
+                                'unmapped character "%s" at input '
+                                'alternative %d of element %s',
+                                char, key or i,
+                                element.id if element else 'space')
+                            unmapped_seen[key].append(char)
+                        idx = 0
+                    else:
+                        idx = self.vocab.c2i[char]
+                    cost = (-log(max(float(preds[i][idx]), 1e-99), 2)
+                            * lm_weight +
+                            -log(max(conf, 1e-99), 2) * (1. - lm_weight))
+                    candidate.cum_cost += cost
+                    candidate.value += char
+                    candidate.state = states[i]
+                    if next_beam and candidate.cum_cost >= \
+                            next_beam[0].cum_cost + 2.5:
+                        continue  # beam threshold
+                    insort_left(next_beam, candidate)
+                next_beam = next_beam[:max_batches * self.batch_size]
+            out_node['traceback'] = final_beam[:beam_width]
+        assert out == end_node, \
+            'breadth-first search failed to reach true end node ' \
+            '(%s instead of %s)' % (out, end_node)
+        assert 'traceback' in out_node, \
+            'breadth-first search failed to reach end node with any result'
+        return self.next_path(out_node['traceback'], start_traceback)
+
+    def next_path(self, beam, traceback):
+        """Lock into the previous graph's best path and advance the
+        traceback (reference rating.py:860-885)."""
+        prev_beam, prev_start_node = traceback
+        best_node = beam[0]
+        best_path = best_node.to_sequence(stop_at=prev_beam)
+        start_node = best_path[-1]
+        result = []
+        for node in best_path:
+            if node.extras:
+                element, textequiv = node.extras
+                parent_cost = (node.parent.cum_cost if node.parent
+                               else prev_start_node.cum_cost)
+                score = pow(2.0, -(node.cum_cost - parent_cost)
+                            / len(textequiv.Unicode))
+                result.append((element, textequiv, score))
+        next_beam = []
+        for alternative in beam:
+            other_path = alternative.to_sequence(stop_at=[start_node])
+            if not other_path:
+                continue
+            alternative.cut_at(start_node)
+            insort_left(next_beam, alternative)
+        return (result, start_node.cum_cost - prev_start_node.cum_cost,
+                (next_beam, start_node))
+
+    def _history_clustering(self, candidate, beam, distance=5):
+        """Prune hypotheses with redundant history: same value and all
+        per-layer state vectors within ``distance`` (reference
+        rating.py:887-916)."""
+        for alternative in beam:
+            if (candidate.value == alternative.value and
+                    candidate.state is not None and
+                    alternative.state is not None and
+                    all(np.linalg.norm(np.asarray(candidate.state[layer])
+                                       - np.asarray(alternative.state[layer]))
+                        < distance
+                        for layer in range(self.depth))):
+                if alternative.cum_cost < candidate.cum_cost:
+                    return True
+                beam.remove(alternative)
+                break
+        return False
+
+    # -- training (delegates to trainer module) -----------------------
+
+    def train(self, data, val_data=None):
+        from .training import train_rater
+        train_rater(self, data, val_data=val_data)
+
+    # -- embedding analysis/plots -------------------------------------
+
+    def plot_char_embeddings_similarity(self, filename):
+        """Autocorrelation heatmap of char embeddings (reference
+        rating.py:1186-1204)."""
+        logging.getLogger('matplotlib').setLevel(logging.WARNING)
+        from matplotlib import cm
+        from matplotlib import pyplot as plt
+        assert self.status == 2
+        wgt = np.asarray(self.params['char_embedding'])
+        cor = np.dot(wgt, wgt.T)
+        plt.imsave(filename, np.abs(cor), cmap=cm.gray)
+
+    def plot_context_embeddings_similarity(self, filename, n=1):
+        logging.getLogger('matplotlib').setLevel(logging.WARNING)
+        from matplotlib import cm
+        from matplotlib import pyplot as plt
+        assert self.status == 2
+        wgt = np.asarray(self.params['context_embeddings'][n - 1])
+        cor = np.dot(wgt, wgt.T)
+        plt.imsave(filename, np.abs(cor), cmap=cm.gray)
+
+    def plot_context_embeddings_projection(self, filename, n=1):
+        logging.getLogger('matplotlib').setLevel(logging.WARNING)
+        from matplotlib import pyplot as plt
+        from sklearn.decomposition import PCA
+        assert self.status == 2
+        wgt = np.asarray(self.params['context_embeddings'][n - 1])
+        prj = PCA(n_components=2).fit_transform(wgt)
+        plt.figure(figsize=(11.7, 8.3))
+        plt.plot(prj[:, 0], prj[:, 1], 'bo', markersize=2)
+        for year, xy in enumerate(prj):
+            plt.text(xy[0], xy[1], str(year) + 'x', c='b', size='xx-small')
+        plt.tick_params(left=False, right=False, bottom=False,
+                        labelleft=False, labelbottom=False)
+        plt.savefig(filename)

@@ -1,0 +1,278 @@
+"""Training loop: jitted update step + host-side control.
+
+Capability-equivalent to the reference's ``Rater.train`` +
+``lib/callbacks.py`` (/root/reference/ocrd_keraslm/lib/rating.py:248-310,
+callbacks.py:6-69): up to 100 epochs with early stopping (patience 3,
+restore best weights), best-only weight checkpointing
+(``ckpt.{epoch:02d}-{val_loss:.2f}.h5``), NaN termination with best-
+weight recovery, graceful SIGINT stop (second SIGINT exits), huge-loss
+warnings, and stateful carry resets at file boundaries and before
+validation.
+
+TPU-first: one jitted, donated train step serves the entire run (static
+batch shapes via masking, see data.py); the optimizer is
+optax ``clip(1.0) + adam`` matching Keras ``Adam(clipvalue=1.0)``
+(rating.py:178); the train-phase-only embedding regularizers are added
+inside the loss so evaluation loss stays pure cross-entropy
+(perplexity-interpretable, rating.py:218-220,244-246).
+"""
+from __future__ import annotations
+
+import logging
+import signal
+import sys
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .data import (Batch, gen_stateful_parity, gen_stateful_streams,
+                   gen_stateless, split_data)
+from .models.lstm_lm import (LMConfig, forward_seq, regularization_loss,
+                             sequence_xent, zero_carry)
+
+LOG = logging.getLogger(__name__)
+
+EPOCHS = 100
+PATIENCE = 3
+
+
+def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """Adam with elementwise gradient clipping at 1.0 (Keras
+    ``Adam(clipvalue=1.0)`` parity; Keras 2.3 epsilon default 1e-7)."""
+    return optax.chain(
+        optax.clip(1.0),
+        optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7),
+    )
+
+
+def _loss_fn(params, cfg: LMConfig, x, zs, y, mask, carry, rng,
+             train: bool):
+    logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                train=train, rng=rng)
+    if y.ndim == 1:  # stateless windowed: predict only the next char
+        logits = logits[:, -1, :]
+    nll, acc = sequence_xent(logits, y, mask)
+    loss = nll
+    if train:
+        loss = loss + regularization_loss(params)
+    return loss, (nll, acc, carry)
+
+
+_OPT = make_optimizer()
+
+
+@partial(jax.jit, static_argnames='cfg', donate_argnums=(0, 1, 7))
+def train_step(params, opt_state, cfg: LMConfig, x, zs, y, mask, carry,
+               rng):
+    # the optimizer transform _OPT is closed over (optax transforms are
+    # not hashable for static jit args)
+    (loss, (nll, acc, carry)), grads = jax.value_and_grad(
+        _loss_fn, has_aux=True)(params, cfg, x, zs, y, mask, carry, rng,
+                                True)
+    updates, opt_state = _OPT.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, carry, loss, nll, acc
+
+
+@partial(jax.jit, static_argnames='cfg')
+def eval_step(params, cfg: LMConfig, x, zs, y, mask, carry):
+    _, (nll, acc, carry) = _loss_fn(params, cfg, x, zs, y, mask, carry,
+                                    None, False)
+    return nll, acc, carry
+
+
+class StopSignal:
+    """Graceful SIGINT stop: first signal finishes the batch and stops
+    training; a second one exits immediately (reference
+    callbacks.py:6-34)."""
+
+    def __init__(self, sig=signal.SIGINT, logger=None):
+        self.received = False
+        self.sig = sig
+        self.logger = logger or LOG
+        try:
+            self.prev = signal.signal(sig, self._handler)
+        except ValueError:  # not in main thread
+            self.prev = None
+
+    def _handler(self, sig, _frame):
+        if self.received:
+            self.logger.critical('interrupting')
+            sys.exit(0)
+        self.logger.critical('stopping training')
+        self.received = True
+
+    def restore(self):
+        if self.prev is not None:
+            signal.signal(self.sig, self.prev)
+
+
+def train_rater(rater, data, val_data=None) -> None:
+    """Train ``rater`` on text files (handles or paths)."""
+    assert rater.status > 0
+    assert rater.incremental is False
+
+    files = [getattr(f, 'name', f) for f in data]
+    val_files = ([getattr(f, 'name', f) for f in val_data]
+                 if val_data else None)
+
+    plan = split_data(
+        files, stateful=rater.stateful, length=rater.length,
+        batch_size=1 if (rater.stateful and not rater.train_streams)
+        else rater.batch_size,
+        validation_split=rater.validation_split, val_files=val_files,
+        known_chars=set(rater.vocab.c2i.keys()),
+        first_window=rater.first_window)
+    rater.logger.info(
+        'training on %d files / %d character tokens for %d character types',
+        len(plan.training_files), plan.total_chars, len(plan.charset) + 1)
+
+    # grow vocabulary (index 0 reserved):
+    old_chars = [rater.vocab.i2c[i]
+                 for i in sorted(rater.vocab.i2c.keys())]
+    if old_chars:
+        rater.vocab.grow(plan.charset)
+    else:
+        rater.vocab.assign(plan.charset)
+    rater.voc_size = rater.vocab.size
+    rater.reconfigure_for_mapping()
+    cfg = rater.cfg
+    params = rater.params
+
+    opt_state = _OPT.init(params)
+    rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+    stopper = StopSignal(logger=rater.logger)
+
+    def make_gen(file_list, train):
+        n_ctx = len(rater.contexts)
+        if rater.stateful and rater.train_streams:
+            return gen_stateful_streams(
+                file_list, rater.vocab, length=rater.length,
+                batch_size=rater.batch_size, n_contexts=n_ctx,
+                train=train,
+                char_degradation=rater.char_degradation,
+                context_degradation=rater.context_degradation)
+        if rater.stateful:
+            return gen_stateful_parity(
+                file_list, rater.vocab, length=rater.length,
+                n_contexts=n_ctx)
+        return gen_stateless(
+            file_list, rater.vocab, length=rater.length,
+            batch_size=rater.batch_size, step=plan.step, train=train,
+            window_split=plan.window_split,
+            validation_split=rater.validation_split,
+            char_degradation=rater.char_degradation,
+            context_degradation=rater.context_degradation,
+            first_window=rater.first_window, n_contexts=n_ctx)
+
+    history: Dict[str, List[float]] = {
+        'loss': [], 'accuracy': [], 'val_loss': [], 'val_accuracy': []}
+    best_val = np.inf
+    best_params = params
+    best_epoch = -1
+    bad_epochs = 0
+    nan_seen = False
+
+    batch_dim = (1 if (rater.stateful and not rater.train_streams)
+                 else rater.batch_size)
+
+    try:
+        for epoch in range(EPOCHS):
+            # ---- training pass ----
+            carry = zero_carry(cfg, batch_dim)
+            tr_loss = tr_acc = tr_n = 0.0
+            for batch in make_gen(plan.training_files, True):
+                if batch.reset_carry and rater.stateful:
+                    carry = zero_carry(cfg, batch_dim)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, carry, loss, nll, acc = train_step(
+                    params, opt_state, cfg, batch.x, tuple(batch.zs),
+                    batch.y, batch.mask, carry, sub)
+                loss_f = float(loss)
+                if loss_f > 25:
+                    rater.logger.warning('huge loss in "%s"',
+                                         batch.file_name)
+                if np.isnan(loss_f):
+                    rater.logger.critical('NaN loss in "%s"',
+                                          batch.file_name)
+                    nan_seen = True
+                    break
+                w = float(np.sum(batch.mask))
+                tr_loss += float(nll) * w
+                tr_acc += float(acc) * w
+                tr_n += w
+                if stopper.received:
+                    break
+            if tr_n == 0:
+                rater.logger.critical('training failed (no data)')
+                rater.status = 1
+                return
+            # ---- validation pass (carry reset before, reference
+            # callbacks.py:67-69) ----
+            carry = zero_carry(cfg, batch_dim)
+            va_loss = va_acc = va_n = 0.0
+            for batch in make_gen(plan.validation_files, False):
+                if batch.reset_carry and rater.stateful:
+                    carry = zero_carry(cfg, batch_dim)
+                nll, acc, carry = eval_step(
+                    params, cfg, batch.x, tuple(batch.zs), batch.y,
+                    batch.mask, carry)
+                w = float(np.sum(batch.mask))
+                va_loss += float(nll) * w
+                va_acc += float(acc) * w
+                va_n += w
+            va_n = max(va_n, 1.0)
+            ep_loss = tr_loss / tr_n
+            ep_acc = tr_acc / tr_n
+            ep_vloss = va_loss / va_n
+            ep_vacc = va_acc / va_n
+            history['loss'].append(ep_loss)
+            history['accuracy'].append(ep_acc)
+            history['val_loss'].append(ep_vloss)
+            history['val_accuracy'].append(ep_vacc)
+            rater.logger.info(
+                'epoch %d: loss %.4f acc %.4f val_loss %.4f val_acc %.4f',
+                epoch + 1, ep_loss, ep_acc, ep_vloss, ep_vacc)
+
+            if nan_seen or np.isnan(ep_vloss):
+                break
+            if ep_vloss < best_val:
+                best_val = ep_vloss
+                best_params = jax.tree_util.tree_map(jnp.copy, params)
+                best_epoch = epoch
+                bad_epochs = 0
+                # best-only weight checkpoint (reference
+                # rating.py:284-285)
+                from .utils import h5io
+                ckpt = 'ckpt.%02d-%.2f.h5' % (epoch + 1, ep_vloss)
+                try:
+                    h5io.save_weights(ckpt, params, cfg)
+                    rater.logger.info('saved checkpoint %s', ckpt)
+                except OSError as err:
+                    rater.logger.warning('cannot save checkpoint: %s',
+                                         err)
+            else:
+                bad_epochs += 1
+                if bad_epochs > PATIENCE:
+                    rater.logger.info('early stopping (best epoch %d)',
+                                      best_epoch + 1)
+                    break
+            if stopper.received:
+                break
+    finally:
+        stopper.restore()
+
+    rater.params = best_params if best_epoch >= 0 else params
+    rater.history = history
+    if history['val_loss']:
+        rater.logger.info('training finished with val_loss %f',
+                          min(history['val_loss']))
+        rater.status = 2
+    else:
+        rater.logger.critical('training failed')
+        rater.status = 1

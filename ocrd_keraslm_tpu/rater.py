@@ -45,10 +45,13 @@ from .utils.vocab import Vocab, nfc, read_normalized
 
 LOG = logging.getLogger(__name__)
 
-# chunk length for whole-text scoring scans (one device call per chunk);
-# tails are padded up to the next bucket to bound recompilation:
+# chunk length for whole-text scoring scans; a text is reshaped into
+# (n_chunks, CHUNK) and scored in ONE device call (lax.scan over chunks
+# with carry) — device round-trips, not compute, dominate small calls:
 SCORE_CHUNK = 4096
-SCORE_BUCKETS = (256, 512, 1024, 2048, 4096)
+# chunk-count buckets (powers of two -> few compilations, texts up to
+# CHUNK * max bucket chars in a single call):
+CHUNK_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 # batch-size buckets for the incremental beam step:
 STEP_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
@@ -78,6 +81,26 @@ def _score_chunk(params, cfg: LMConfig, x, zs, y, mask, carry,
     probs = jnp.exp(tgt_logp) * mask
     nll = -jnp.sum(tgt_logp * mask)
     return probs, nll, carry
+
+
+@partial(jax.jit, static_argnames=('cfg', 'use_pallas'))
+def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
+                    use_pallas: bool = False):
+    """Whole-text scoring in ONE device dispatch.
+
+    xc, yc, maskc: (C, B, T) — C sequential chunks of B parallel text
+    streams; carry threads across chunks via lax.scan (functional
+    statefulness).  Returns (probs (C, B, T), per-stream NLL sums (B,),
+    final carry)."""
+    def body(carry, inp):
+        x, y, m = inp
+        logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                    use_pallas=use_pallas)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        return carry, (jnp.exp(tgt) * m, -jnp.sum(tgt * m, axis=-1))
+    carry, (probs, nlls) = jax.lax.scan(body, carry, (xc, yc, maskc))
+    return probs, jnp.sum(nlls, axis=0), carry
 
 
 @partial(jax.jit, static_argnames='cfg')
@@ -268,60 +291,120 @@ class Rater:
             zs.append(np.full((batch,), val, np.int32))
         return tuple(zs)
 
+    def _score_batch(self, ids_list: List[np.ndarray],
+                     contexts: List[Any], *, carry=None
+                     ) -> Tuple[List[np.ndarray], List[float], Any]:
+        """Score a batch of encoded texts in ONE device dispatch.
+
+        Each text is reshaped into sequential chunks; all texts run as
+        parallel batch streams; the (h, c) carry threads across chunks
+        inside a single jitted lax.scan (device round-trips dominate
+        small calls in tunneled/remote setups, so one dispatch per
+        batch is the design point).
+
+        Returns (per-text probs (N_i-1,), per-text NLL sums, carry).
+        """
+        B = len(ids_list)
+        Bp = _bucket(B, STEP_BUCKETS)
+        lens = [max(len(ids) - 1, 0) for ids in ids_list]
+        Nmax = max(lens + [1])
+        C = _bucket((Nmax + SCORE_CHUNK - 1) // SCORE_CHUNK,
+                    CHUNK_COUNT_BUCKETS)
+        if B > 1 and C * Bp * SCORE_CHUNK > (1 << 26):
+            # bound activation/fetch memory: halve the batch
+            mid = B // 2
+            p1, n1, _ = self._score_batch(ids_list[:mid], contexts[:mid])
+            p2, n2, _ = self._score_batch(ids_list[mid:], contexts[mid:])
+            return p1 + p2, n1 + n2, None
+        T = SCORE_CHUNK
+        x = np.zeros((B, C * T), np.int32)
+        y = np.zeros((B, C * T), np.int32)
+        mask = np.zeros((B, C * T), np.float32)
+        for i, ids in enumerate(ids_list):
+            n = lens[i]
+            if n <= 0:
+                continue
+            x[i, :n] = ids[:-1]
+            y[i, :n] = ids[1:]
+            mask[i, :n] = 1.0
+        # (B, C*T) -> (C, Bp, T)
+        def to_chunks(a, dtype):
+            out = np.zeros((C, Bp, T), dtype)
+            out[:, :B, :] = a.reshape(B, C, T).transpose(1, 0, 2)
+            return out
+        xc = to_chunks(x, np.int32)
+        yc = to_chunks(y, np.int32)
+        mc = to_chunks(mask, np.float32)
+        zs = []
+        for k in range(len(self.contexts)):
+            zrow = np.zeros((Bp,), np.int32)
+            for i, ctx in enumerate(contexts):
+                ctx = ctx or self.underspecify_contexts()
+                zrow[i] = ctx[k] if k < len(ctx) else 0
+            zs.append(zrow)
+        if carry is None:
+            carry = zero_carry(self.cfg, Bp)
+        probs, nlls, carry = _score_text_jit(
+            self.params, self.cfg, xc, tuple(zs), yc, mc, carry,
+            self.use_pallas)
+        probs = np.asarray(probs)  # (C, Bp, T)
+        nlls = np.asarray(nlls)
+        out_probs = []
+        for i in range(B):
+            flat = probs[:, i, :].reshape(-1)
+            out_probs.append(flat[:lens[i]])
+        return out_probs, [float(nlls[i]) for i in range(B)], carry
+
     def _score_text(self, ids: np.ndarray, context, *,
                     carry=None) -> Tuple[np.ndarray, float, Any]:
-        """Score encoded text: per-position probability of the true next
-        char and total NLL (nats), chunked scan with carry.
-
-        ids: (N,) int32.  Returns (probs (N-1,), nll_sum, final carry).
-        """
-        N = len(ids)
-        if N < 2:
+        """Score one encoded text: per-position probability of the true
+        next char and total NLL (nats).  One device dispatch."""
+        if len(ids) < 2:
             return np.zeros((0,), np.float32), 0.0, carry
-        x_all = ids[:-1]
-        y_all = ids[1:]
-        if carry is None:
-            carry = zero_carry(self.cfg, 1)
-        zs = self._context_arrays(context, 1)
-        probs_out = np.zeros((N - 1,), np.float32)
-        nll_total = 0.0
-        pos = 0
-        while pos < N - 1:
-            n = min(SCORE_CHUNK, N - 1 - pos)
-            T = _bucket(n, SCORE_BUCKETS)
-            x = np.zeros((1, T), np.int32)
-            y = np.zeros((1, T), np.int32)
-            mask = np.zeros((1, T), np.float32)
-            x[0, :n] = x_all[pos:pos + n]
-            y[0, :n] = y_all[pos:pos + n]
-            mask[0, :n] = 1.0
-            probs, nll, carry = _score_chunk(
-                self.params, self.cfg, x, zs, y, mask, carry,
-                self.use_pallas)
-            probs_out[pos:pos + n] = np.asarray(probs[0, :n])
-            nll_total += float(nll)
-            pos += n
-        return probs_out, nll_total, carry
+        probs, nlls, carry = self._score_batch([ids], [context],
+                                               carry=carry)
+        return probs[0], nlls[0], carry
 
     def test(self, test_data) -> float:
         """Evaluate perplexity = exp(mean NLL) over text files
-        (reference rating.py:462-491; unlike the reference, the carry IS
-        reset between files — the fix for its acknowledged wart at
-        rating.py:476-481)."""
+        (reference rating.py:462-491).  All files are scored as parallel
+        batch streams in one device dispatch; unlike the reference, the
+        carry IS reset between files — the fix for its acknowledged
+        wart at rating.py:476-481."""
         assert self.status > 1
-        nll = 0.0
-        count = 0
+        from .data import context_from_filename
+        ids_list, contexts = [], []
         for file in test_data:
             text = read_normalized(file)
-            from .data import context_from_filename
             name = getattr(file, 'name', file if isinstance(file, str)
                            else '')
-            context = context_from_filename(name or '')
-            ids = self.vocab.encode(text)
-            _, file_nll, _ = self._score_text(ids, context)
-            nll += file_nll
-            count += len(ids) - 1
+            ids_list.append(self.vocab.encode(text))
+            contexts.append(context_from_filename(name or ''))
+        if not ids_list:
+            return 1.0
+        # score in batches to bound padded batch size
+        nll = 0.0
+        count = 0
+        for s in range(0, len(ids_list), self.batch_size):
+            chunk = ids_list[s:s + self.batch_size]
+            _, nlls, _ = self._score_batch(chunk,
+                                           contexts[s:s + self.batch_size])
+            nll += sum(nlls)
+            count += sum(max(len(i) - 1, 0) for i in chunk)
         return exp(nll / max(count, 1))
+
+    def rate_batch(self, texts: List[str], contexts=None
+                   ) -> List[List[float]]:
+        """Batched ``rate``: per-character probabilities for several
+        texts in one device dispatch (new TPU-native API — e.g. one
+        call per document instead of one per page)."""
+        assert self.status > 1
+        if contexts is None:
+            contexts = [None] * len(texts)
+        ids_list = [self.vocab.encode(nfc(t), log_unmapped=True)
+                    for t in texts]
+        probs, _, _ = self._score_batch(ids_list, list(contexts))
+        return [[1.0] + [float(p) for p in pr] for pr in probs]
 
     def rate(self, text: str, context=None) -> List[float]:
         """Probability of each character given its predecessors, one

@@ -1,0 +1,259 @@
+# -*- coding: utf-8 -*-
+"""Stand-alone CLI (``keraslm-rate`` equivalent).
+
+Command set and options mirror the reference click group
+(/root/reference/ocrd_keraslm/scripts/run.py:14-225): train (with
+continuation from model/checkpoint), test, apply, generate,
+print-history, print-charset, prune-charset, and the three embedding
+plot commands; context argument parsed as ceil(year/10).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+from functools import partial
+from math import ceil
+
+import click
+
+from .. import lib
+
+
+class SortedGroup(click.Group):
+    """Keep commands in a task-logical order (train first)."""
+
+    def list_commands(self, ctx):
+        commands = set(super().list_commands(ctx))
+        ordered = ['train', 'test', 'apply', 'generate',
+                   'print-history', 'print-charset', 'prune-charset',
+                   'plot-char-embeddings-similarity',
+                   'plot-context-embeddings-similarity',
+                   'plot-context-embeddings-projection']
+        ordered.extend(sorted(commands.difference(ordered)))
+        return ordered
+
+
+@click.group(cls=SortedGroup)
+def cli():
+    pass
+
+
+def _expand_paths(items):
+    out = []
+    for item in items:
+        if os.path.isdir(item):
+            out.extend(sorted(
+                os.path.join(item, f) for f in os.listdir(item)
+                if os.path.isfile(os.path.join(item, f))))
+        else:
+            out.append(item)
+    return out
+
+
+def _parse_context(context):
+    if not context:
+        return None
+    return [ceil(int(x) / 10) for x in context.split(' ')]
+
+
+def _load_rater(model, incremental=False):
+    rater = lib.Rater()
+    rater.load_config(model)
+    if incremental:
+        rater.stateful = False
+        rater.incremental = True
+    rater.configure()
+    rater.load_weights(model)
+    return rater
+
+
+@cli.command(short_help='train a language model')
+@click.option('-m', '--model', default='model.h5', show_default=True,
+              help='model file', type=click.Path(dir_okay=False,
+                                                 writable=True))
+@click.option('-C', '--ckpt', default='ckpt.h5', show_default=True,
+              help='checkpoint file', type=click.Path(dir_okay=False))
+@click.option('-w', '--width', default=128, show_default=True,
+              help='number of nodes per hidden layer',
+              type=click.IntRange(min=1, max=9128))
+@click.option('-d', '--depth', default=2, show_default=True,
+              help='number of hidden layers',
+              type=click.IntRange(min=1, max=10))
+@click.option('-l', '--length', default=256, show_default=True,
+              help='number of previous characters seen (window size)',
+              type=click.IntRange(min=1, max=1024))
+@click.option('-v', '--val-data', default=None, show_default=True,
+              help='validation data file or directory '
+                   '(instead of automatic split)',
+              type=click.Path(exists=True, dir_okay=True, file_okay=True))
+@click.option('-e', '--epochs', default=100, show_default=True,
+              help='maximum number of epochs (early-stopped)',
+              type=click.IntRange(min=1, max=10000))
+@click.argument('data', nargs=-1,
+                type=click.Path(exists=True, dir_okay=True,
+                                file_okay=True))
+def train(model, ckpt, width, depth, length, val_data, epochs, data):
+    """Train a language model from DATA files with parameters WIDTH,
+    DEPTH, and LENGTH.
+
+    The files will be randomly split into training and validation data,
+    except if VAL_DATA is given.
+    """
+    from .. import training
+    training.EPOCHS = epochs
+
+    rater = lib.Rater()
+    continuation = None
+    if os.path.isfile(model):
+        rater.load_config(model)
+        if rater.width == width and rater.depth == depth:
+            continuation = partial(rater.load_weights, model)
+            print('loading weights from existing model for '
+                  'continued training')
+        else:
+            rater.status = 0
+            print('warning: ignoring existing model due to different '
+                  'topology (width=%d, depth=%d)'
+                  % (rater.width, rater.depth), file=sys.stderr)
+    elif os.path.isfile(ckpt):
+        continuation = partial(rater.load_weights, ckpt)
+        print('loading weights from checkpoint for continued training')
+    rater.width = width
+    rater.depth = depth
+    rater.length = length
+
+    rater.configure()
+    if continuation:
+        continuation()
+    val_files = _expand_paths([val_data]) if val_data else None
+    trn_files = _expand_paths(data)
+    rater.train(trn_files, val_data=val_files)
+    assert rater.status == 2
+    rater.save(model)
+
+
+@cli.command(short_help='get individual probabilities from language model')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.option('-c', '--context', default=None,
+              help='constant meta-data input')
+@click.argument('text', type=click.STRING)
+def apply(model, text, context):
+    """Apply a language model to TEXT string and compute its individual
+    probabilities.
+
+    If TEXT is the symbol '-', the string will be read from standard
+    input.
+    """
+    rater = _load_rater(model)
+    if text and text[0] == u'-':
+        text = sys.stdin.read()
+    ratings, perplexity = rater.rate2(text, _parse_context(context))
+    click.echo(perplexity)
+    click.echo(json.dumps(ratings, ensure_ascii=False))
+
+
+@cli.command(short_help='get overall perplexity from language model')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.argument('data', nargs=-1,
+                type=click.Path(exists=True, dir_okay=True,
+                                file_okay=True))
+def test(model, data):
+    """Apply a language model to DATA files and compute its overall
+    perplexity."""
+    rater = _load_rater(model)
+    perplexity = rater.test(_expand_paths(data))
+    click.echo(perplexity)
+
+
+@cli.command(short_help='sample characters from language model')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.option('-n', '--number', default=1,
+              help='number of characters to sample',
+              type=click.IntRange(min=1, max=10000))
+@click.option('-v', '--variants', default=1,
+              help='number of character sequences to sample',
+              type=click.IntRange(min=1, max=10000))
+@click.option('-c', '--context', default=None,
+              help='constant meta-data input')
+@click.argument('prefix', type=click.STRING)
+def generate(model, number, variants, context, prefix):
+    """Apply a language model, generating the most probable characters
+    (starting with PREFIX string)."""
+    rater = _load_rater(model, incremental=True)
+    context = _parse_context(context) or rater.underspecify_contexts()
+    result = rater.generate(prefix, number, context, variants)
+    for res in result:
+        click.echo(prefix[:-1] + res)
+
+
+@cli.command(short_help='Print the training history')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+def print_history(model):
+    rater = lib.Rater()
+    rater.load_config(model)
+    rater.print_history()
+
+
+@cli.command(short_help='Print the mapped characters')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+def print_charset(model):
+    rater = lib.Rater()
+    rater.load_config(model)
+    rater.print_charset()
+
+
+@cli.command(short_help='Delete one character from mapping')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True,
+                              writable=True))
+@click.argument('char')
+def prune_charset(model, char):
+    rater = _load_rater(model)
+    if rater.remove_from_mapping(char=char):
+        rater.save(model)
+
+
+@cli.command(short_help='Paint a heat map of character embeddings')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.argument('filename', type=click.Path(dir_okay=False,
+                                            writable=True))
+def plot_char_embeddings_similarity(model, filename):
+    rater = _load_rater(model)
+    rater.plot_char_embeddings_similarity(filename)
+
+
+@cli.command(short_help='Paint a heat map of context embeddings')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.option('-n', '--number', default=1,
+              help='which context variable',
+              type=click.IntRange(min=1, max=100))
+@click.argument('filename', type=click.Path(dir_okay=False,
+                                            writable=True))
+def plot_context_embeddings_similarity(model, filename, number):
+    rater = _load_rater(model)
+    rater.plot_context_embeddings_similarity(filename, n=number)
+
+
+@cli.command(short_help='Paint a 2-d PCA projection of context embeddings')
+@click.option('-m', '--model', required=True, help='model file',
+              type=click.Path(dir_okay=False, exists=True))
+@click.option('-n', '--number', default=1,
+              help='which context variable',
+              type=click.IntRange(min=1, max=100))
+@click.argument('filename', type=click.Path(dir_okay=False,
+                                            writable=True))
+def plot_context_embeddings_projection(model, filename, number):
+    rater = _load_rater(model)
+    rater.plot_context_embeddings_projection(filename, n=number)
+
+
+if __name__ == '__main__':
+    cli()

@@ -75,6 +75,26 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
     if stateless) — reference ``_split_data`` (rating.py:317-385)."""
     files = list(files)
     shuffle(files)
+    # drop non-text files (e.g. stray model/checkpoint binaries in a
+    # data directory) instead of aborting mid-epoch
+    readable = []
+    for name in files:
+        try:
+            read_normalized(name)
+            readable.append(name)
+        except (UnicodeDecodeError, IsADirectoryError) as err:
+            LOG.warning('skipping unreadable input %s (%s)', name, err)
+    files = readable
+    if val_files:
+        ok = []
+        for name in val_files:
+            try:
+                read_normalized(name)
+                ok.append(name)
+            except (UnicodeDecodeError, IsADirectoryError) as err:
+                LOG.warning('skipping unreadable validation input %s '
+                            '(%s)', name, err)
+        val_files = ok
     chars = set(known_chars or ())
     total = 0
     if stateful:

@@ -36,7 +36,12 @@ class SortedGroup(click.Group):
 
 @click.group(cls=SortedGroup)
 def cli():
-    pass
+    # optional backend override (e.g. KERASLM_PLATFORM=cpu for fast
+    # compiles / environments where the TPU plugin hijacks the default)
+    platform = os.environ.get('KERASLM_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
 
 
 def _expand_paths(items):

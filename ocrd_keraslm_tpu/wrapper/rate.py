@@ -1,0 +1,817 @@
+"""OCR-D-style processor: rate/decode text in PAGE-XML workspaces.
+
+Capability-equivalent to the reference ``KerasRate``
+(/root/reference/ocrd_keraslm/wrapper/rate.py): PAGE-XML parsing down
+to the configured ``textequiv_level``, linear lattice-graph
+construction with artificial whitespace/newline edges and
+tokenisation-repair, either (a) plain scoring of the page text with
+confidence blending, or (b) best-path beam decoding over all TextEquiv
+alternatives with cross-page traceback (page N-1 is written once page N
+is decoded), result write-back, and recomputation of all higher
+hierarchy levels honoring ReadingOrder, ``textLineOrder``
+(bottom-to-top), ``readingDirection`` (right-to-left) and
+``Relation type=join``.
+
+This implementation is standalone (lxml-based page/mets modules in this
+package) since no ocrd distribution is present; the processor surface
+(parameters, error policy env vars, metadata agents) mirrors the OCR-D
+contract (wrapper/ocrd-tool.json).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+from dataclasses import dataclass
+from math import ceil, log
+from typing import Any, Dict, List, Optional, Tuple
+
+import networkx as nx
+
+from .. import lib
+from .mets import MIMETYPE_PAGE, Mets, Workspace
+from .page import (BOTTOM_TO_TOP, RIGHT_TO_LEFT, OrderedGroupIndexedType,
+                   OrderedGroupType, PcGts, RegionRefIndexedType,
+                   RegionRefType, TextEquivType, MetadataItem, parse_page,
+                   to_xml)
+
+LOG = logging.getLogger(__name__)
+
+CHOICE_THRESHOLD_NUM = 4     # maximum number of choices per element
+CHOICE_THRESHOLD_CONF = 0.1  # maximum conf drop from best choice
+BEAM_CLUSTERING_ENABLE = True
+BEAM_CLUSTERING_DIST = 5
+
+# child level per hierarchy tag (for tokenisation-problem filtering)
+_HIERARCHY = {
+    'Page': 'region',
+    'TextRegion': 'line',
+    'TextLine': 'word',
+    'Word': 'glyph',
+    'Glyph': '',
+}
+
+OCRD_TOOL = {
+    'executable': 'ocrd-keraslm-rate',
+    'categories': ['Text recognition and optimization'],
+    'steps': ['recognition/text-recognition'],
+    'description': 'Rate elements of the text with a character-level '
+                   'LSTM language model (TPU-native)',
+    'parameters': {
+        'model_file': {'type': 'string', 'required': True},
+        'textequiv_level': {
+            'type': 'string',
+            'enum': ['region', 'line', 'word', 'glyph'],
+            'default': 'glyph'},
+        'alternative_decoding': {'type': 'boolean', 'default': True},
+        'beam_width': {'type': 'number', 'default': 10},
+        'lm_weight': {'type': 'number', 'default': 0.5},
+    },
+}
+
+
+def _config_env(name, default):
+    return os.environ.get(name, default)
+
+
+@dataclass
+class RateState:
+    """Cross-page decoder state: the traceback is one page ahead of the
+    written output (decisions for page N lock in at page N+1)."""
+    traceback: Tuple[List[lib.rating.Node], lib.rating.Node]
+    pcgts: PcGts
+    file_id: str
+    page_id: str
+
+
+class KerasRate:
+    """The ``ocrd-keraslm-rate`` processor."""
+
+    max_workers = 1  # decoding shares LM state across pages (sequential)
+
+    def __init__(self, workspace: Optional[Workspace] = None,
+                 input_file_grp: str = 'OCR-D-OCR',
+                 output_file_grp: str = 'OCR-D-LM',
+                 parameter: Optional[Dict[str, Any]] = None,
+                 logger: Optional[logging.Logger] = None,
+                 download: bool = False):
+        self.workspace = workspace
+        self.input_file_grp = input_file_grp
+        self.output_file_grp = output_file_grp
+        self.logger = logger or LOG
+        self._base_logger = self.logger
+        self.download = download
+        self.parameter = dict(parameter or {})
+        for name, schema in OCRD_TOOL['parameters'].items():
+            if name not in self.parameter:
+                if schema.get('required'):
+                    raise ValueError('parameter %s is required' % name)
+                self.parameter[name] = schema.get('default')
+            if 'enum' in schema and \
+                    self.parameter[name] not in schema['enum']:
+                raise ValueError('invalid value %r for parameter %s'
+                                 % (self.parameter[name], name))
+        self.rater: Optional[lib.Rater] = None
+
+    @property
+    def executable(self):
+        return OCRD_TOOL['executable']
+
+    @property
+    def input_files(self):
+        return sorted(self.workspace.mets.find_files(
+            fileGrp=self.input_file_grp),
+            key=lambda f: self.workspace.mets.page_ids.index(f.pageId)
+            if f.pageId in self.workspace.mets.page_ids else 1 << 30)
+
+    # -- setup ---------------------------------------------------------
+
+    def resolve_resource(self, name):
+        if os.path.isfile(name):
+            return name
+        for base in (os.getcwd(),
+                     os.path.expanduser('~/.local/share/ocrd-resources/'
+                                        'ocrd-keraslm-rate')):
+            cand = os.path.join(base, name)
+            if os.path.isfile(cand):
+                return cand
+        raise FileNotFoundError('cannot resolve model resource %r' % name)
+
+    def setup(self):
+        model = self.resolve_resource(self.parameter['model_file'])
+        self.rater = lib.Rater(logger=self.logger)
+        self.rater.load_config(model)
+        if self.parameter['alternative_decoding']:
+            self.rater.stateful = False   # no implicit state transfer
+            self.rater.incremental = True  # explicit state transfer
+        elif self.rater.stateful:
+            self.rater.batch_size = 1
+        self.rater.configure()
+        self.rater.load_weights(model)
+        self.logger.debug("Loaded model_file '%s'", model)
+
+    def add_metadata(self, pcgts: PcGts):
+        pcgts.add_metadata_item(MetadataItem(
+            type='processingStep',
+            name=OCRD_TOOL['steps'][0],
+            value=OCRD_TOOL['executable'],
+            labels={'parameters': {
+                k: str(v) for k, v in self.parameter.items()}}))
+
+    def verify(self):
+        assert self.workspace is not None, 'no workspace set'
+        return True
+
+    # -- dispatch ------------------------------------------------------
+
+    def process_workspace(self, workspace: Workspace) -> None:
+        """Score (``alternative_decoding=false``) or beam-decode
+        (``=true``) all pages of the workspace."""
+        if self.rater is None:
+            self.workspace = workspace
+            self.setup()
+        if not self.parameter['alternative_decoding']:
+            return self.process_workspace_stateless(workspace)
+        return self.process_workspace_stateful(workspace)
+
+    def process_workspace_stateless(self, workspace: Workspace) -> None:
+        """Plain scoring: pages are independent (the OCR-D default
+        page-parallel contract)."""
+        self.workspace = workspace
+        self.verify()
+        for input_file in self.input_files:
+            page_id = input_file.pageId
+            pcgts = self._load_page(input_file, page_id)
+            if pcgts is None:
+                continue
+            file_id = self._make_file_id(input_file)
+            if self._output_exists(file_id):
+                continue
+            try:
+                self.process_page_pcgts(pcgts)
+                self._write_page(pcgts, file_id, page_id)
+            except KeyboardInterrupt:
+                raise
+            except Exception as err:
+                self._handle_page_error(err, page_id)
+
+    def process_workspace_stateful(self, workspace: Workspace) -> None:
+        """Sequential page loop with cross-page LM traceback and OCR-D
+        error policy (OCRD_MISSING_OUTPUT / OCRD_EXISTING_OUTPUT /
+        OCRD_MAX_MISSING_OUTPUTS)."""
+        level = self.parameter['textequiv_level']
+        self.workspace = workspace
+        self.verify()
+        nr_succeeded = 0
+        nr_failed = 0
+        nr_errors: Dict[str, int] = defaultdict(int)
+        missing_policy = _config_env('OCRD_MISSING_OUTPUT', 'SKIP')
+        reason = {'SKIP': 'skipped', 'COPY': 'fallback-copied'}.get(
+            missing_policy, 'failed')
+        prev: Optional[RateState] = None
+        n_pages = max(len(list(self.input_files)), 1)
+        for input_file in self.input_files:
+            page_id = input_file.pageId
+            self._base_logger.info('preparing page %s', page_id)
+            pcgts = self._load_page(input_file, page_id)
+            if pcgts is None:
+                continue
+            file_id = self._make_file_id(input_file)
+            if self._output_exists(file_id):
+                continue
+            try:
+                prev = self.process_page_pcgts_stateful(
+                    pcgts, prev, file_id, page_id)
+                nr_succeeded += 1
+            except FileExistsError as err:
+                existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
+                                              'SKIP')
+                if existing_policy == 'ABORT':
+                    raise
+                if existing_policy == 'OVERWRITE':
+                    raise RuntimeError(
+                        'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
+                        % err)
+            except KeyboardInterrupt:
+                raise
+            except Exception as err:
+                if missing_policy == 'ABORT':
+                    self._base_logger.error(
+                        'Failure on page %s: %s', page_id,
+                        str(err) or err.__class__.__name__)
+                    raise
+                self._base_logger.exception(
+                    'Failure on page %s: %s', page_id,
+                    str(err) or err.__class__.__name__)
+                if missing_policy == 'COPY':
+                    self._copy_page_file(input_file)
+                nr_errors[err.__class__.__name__] += 1
+                nr_failed += 1
+                max_missing = float(
+                    _config_env('OCRD_MAX_MISSING_OUTPUTS', '-1'))
+                if 0 < max_missing < nr_failed / n_pages:
+                    raise RuntimeError(
+                        'too many failures with %s output (%d of %d, %s)'
+                        % (reason, nr_failed, nr_failed + nr_succeeded,
+                           dict(nr_errors)))
+        if prev:
+            # final flush: lock the last page into its own best path
+            path, entropy, _ = self.rater.next_path(
+                prev.traceback[0], ([], prev.traceback[1]))
+            _page_update_from_path(level, path, entropy,
+                                   logger=self.logger)
+            page_update_higher_textequiv_levels(level, prev.pcgts)
+            self._write_page(prev.pcgts, prev.file_id, prev.page_id)
+        if nr_failed > 0:
+            self._base_logger.warning('%s %d of %d pages due to %s',
+                                      reason, nr_failed,
+                                      nr_failed + nr_succeeded,
+                                      dict(nr_errors))
+
+    # -- per-page processing ------------------------------------------
+
+    def process_page_pcgts_stateful(self, pcgts: PcGts,
+                                    prev: Optional[RateState],
+                                    file_id: str, page_id: str
+                                    ) -> RateState:
+        level = self.parameter['textequiv_level']
+        beam_width = self.parameter['beam_width']
+        lm_weight = self.parameter['lm_weight']
+        self.rater.logger.info("Scoring text in page '%s' at the %s level",
+                               pcgts.get_pcGtsId(), level)
+        context = mets_get_context(self.workspace.mets)
+        graph, start_node, end_node = page_get_linear_graph_at(
+            level, pcgts, logger=self.logger)
+        self.rater.logger.info('Rating %d elements including its '
+                               'alternatives', end_node - start_node)
+        path, entropy, traceback = self.rater.rate_best(
+            graph, start_node, end_node,
+            start_traceback=prev and prev.traceback,
+            context=context,
+            lm_weight=lm_weight,
+            beam_width=beam_width,
+            beam_clustering_dist=(BEAM_CLUSTERING_DIST
+                                  if BEAM_CLUSTERING_ENABLE else 0))
+        if prev:
+            _page_update_from_path(level, path, entropy,
+                                   logger=self.logger)
+            page_update_higher_textequiv_levels(level, prev.pcgts)
+            self._write_page(prev.pcgts, prev.file_id, prev.page_id)
+        return RateState(traceback=traceback, pcgts=pcgts,
+                         file_id=file_id, page_id=page_id)
+
+    def process_page_pcgts(self, pcgts: PcGts) -> PcGts:
+        """Plain scoring without alternatives: whole-page text in one
+        batched device call, confidence blending by lm_weight."""
+        level = self.parameter['textequiv_level']
+        lm_weight = self.parameter['lm_weight']
+        self.rater.logger.info("Scoring text in page '%s' at the %s level",
+                               pcgts.get_pcGtsId(), level)
+        context = mets_get_context(self.workspace.mets)
+        graph, start_node, _ = page_get_linear_graph_at(
+            level, pcgts, logger=self.logger)
+        text = [(edge['element'], edge['alternatives'])
+                for edge in _get_edges(graph, 0)]
+        textstring = ''.join(tes[0].Unicode for _, tes in text)
+        self.logger.info('Rating %d elements with a total of %d '
+                         'characters', len(text), len(textstring))
+        confidences = self.rater.rate(textstring, context)
+        i = 0
+        for element, textequivs in text:
+            textequiv = textequivs[0]
+            if element:
+                element.set_TextEquiv([textequiv])
+            n = len(textequiv.Unicode)
+            conf = sum(confidences[i:i + n]) / max(n, 1)
+            conf2 = textequiv.conf if textequiv.conf is not None else 1.0
+            textequiv.set_conf(conf * lm_weight + conf2 * (1. - lm_weight))
+            i += n
+        if i != len(confidences):
+            self.logger.critical('Input text length and output scores '
+                                 'length are off by %d characters',
+                                 i - len(confidences))
+        avg = sum(confidences) / len(confidences)
+        ent = sum(-log(max(p, 1e-99), 2)
+                  for p in confidences) / len(confidences)
+        ppl = pow(2.0, ent)
+        ppll = pow(2.0, ent * len(confidences) / len(text))
+        self.logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
+                         avg, ppl, level, ppll)
+        self.add_metadata(pcgts)
+        return pcgts
+
+    # -- helpers -------------------------------------------------------
+
+    def _load_page(self, input_file, page_id) -> Optional[PcGts]:
+        if self.download:
+            input_file = self.workspace.download_file(input_file)
+        if input_file.local_filename is None:
+            self._base_logger.debug('ignoring missing file for page %s',
+                                    page_id)
+            return None
+        path = os.path.join(self.workspace.directory,
+                            input_file.local_filename)
+        self._base_logger.info('processing page %s', page_id)
+        try:
+            return parse_page(path)
+        except Exception as err:
+            self._base_logger.error('non-PAGE input for page %s: %s',
+                                    page_id, err)
+            return None
+
+    def _make_file_id(self, input_file) -> str:
+        if input_file.fileGrp == self.output_file_grp:
+            return input_file.ID
+        return input_file.ID.replace(input_file.fileGrp,
+                                     self.output_file_grp) \
+            if input_file.fileGrp in input_file.ID \
+            else '%s_%s' % (self.output_file_grp, input_file.ID)
+
+    def _output_exists(self, file_id) -> bool:
+        existing = next(self.workspace.mets.find_files(ID=file_id), None)
+        if existing and _config_env('OCRD_EXISTING_OUTPUT',
+                                    'SKIP') != 'OVERWRITE':
+            self._base_logger.error(
+                'A file with ID==%s already exists %s and neither force '
+                'nor ignore are set', file_id, existing)
+            return True
+        return False
+
+    def _write_page(self, pcgts: PcGts, file_id: str, page_id: str):
+        pcgts.set_pcGtsId(file_id)
+        self.add_metadata(pcgts)
+        self.workspace.add_file(
+            file_grp=self.output_file_grp,
+            ID=file_id,
+            pageId=page_id,
+            local_filename=os.path.join(self.output_file_grp,
+                                        file_id + '.xml'),
+            mimetype=MIMETYPE_PAGE,
+            content=to_xml(pcgts),
+            force=_config_env('OCRD_EXISTING_OUTPUT',
+                              'SKIP') == 'OVERWRITE')
+        self.workspace.save_mets()
+
+    def _copy_page_file(self, input_file):
+        path = os.path.join(self.workspace.directory,
+                            input_file.local_filename)
+        with open(path, encoding='utf-8') as fh:
+            content = fh.read()
+        file_id = self._make_file_id(input_file)
+        self.workspace.add_file(
+            file_grp=self.output_file_grp, ID=file_id,
+            pageId=input_file.pageId,
+            local_filename=os.path.join(self.output_file_grp,
+                                        file_id + '.xml'),
+            mimetype=MIMETYPE_PAGE, content=content, force=True)
+        self.workspace.save_mets()
+
+    def _handle_page_error(self, err, page_id):
+        policy = _config_env('OCRD_MISSING_OUTPUT', 'SKIP')
+        if policy == 'ABORT':
+            self._base_logger.error('Failure on page %s: %s', page_id,
+                                    err)
+            raise err
+        self._base_logger.exception('Failure on page %s', page_id)
+
+
+# ---------------------------------------------------------------------
+# context extraction
+# ---------------------------------------------------------------------
+
+def mets_get_context(mets: Mets) -> List[int]:
+    """Year context from the METS unique identifier suffix, bucketed as
+    ceil(year/10) (reference wrapper/rate.py:328-341)."""
+    ident = mets.unique_identifier
+    context = [0]
+    if ident:
+        name = ident.split('/')[-1]
+        year = name.split('_')[-1]
+        if year.isnumeric():
+            context = [ceil(int(year) / 10)]
+    return context
+
+
+# ---------------------------------------------------------------------
+# lattice construction
+# ---------------------------------------------------------------------
+
+def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
+                             ) -> Tuple[nx.DiGraph, int, int]:
+    """Walk the Page hierarchy down to ``level`` and build a linear
+    DiGraph with one edge per element (carrying ``element`` +
+    ``alternatives``), inserting artificial whitespace/newline edges
+    between siblings except where tokenisation-repair applies
+    (reference wrapper/rate.py:343-424)."""
+    if logger is None:
+        logger = LOG
+    problems = _page_get_tokenisation_problems(level, pcgts,
+                                               logger=logger)
+    graph = nx.DiGraph(level=level)
+    graph.add_node(0)
+    start_node = 0
+    page_start_node = start_node
+    regions = pcgts.get_Page().get_TextRegion()
+    if not regions:
+        logger.warning('Page contains no text regions')
+    first_region = True
+    for region in regions:
+        if level == 'region':
+            textequivs = region.get_TextEquiv()
+            if not first_region:
+                start_node = _add_space(
+                    graph, start_node, '\n', page_start_node,
+                    problems.get(pcgts.get_pcGtsId()), textequivs,
+                    logger=logger)
+            if textequivs:
+                start_node = _add_element(graph, start_node, region,
+                                          textequivs)
+            else:
+                logger.warning("Region '%s' contains no text results",
+                               region.id)
+            first_region = False
+            continue
+        lines = region.get_TextLine()
+        if not lines:
+            logger.warning("Region '%s' contains no text lines",
+                           region.id)
+        region_start_node = start_node
+        first_line = True
+        for line in lines:
+            if level == 'line':
+                textequivs = line.get_TextEquiv()
+                if not first_line or not first_region:
+                    start_node = _add_space(
+                        graph, start_node, '\n', region_start_node,
+                        not first_line and problems.get(region.id),
+                        textequivs, logger=logger)
+                if textequivs:
+                    start_node = _add_element(graph, start_node, line,
+                                              textequivs)
+                else:
+                    logger.warning("Line '%s' contains no text results",
+                                   line.id)
+                first_line = False
+                continue
+            words = line.get_Word()
+            if not words:
+                logger.warning("Line '%s' contains no words", line.id)
+            line_start_node = start_node
+            first_word = True
+            for word in words:
+                textequivs = word.get_TextEquiv()
+                if not first_word or not first_line or not first_region:
+                    start_node = _add_space(
+                        graph, start_node,
+                        '\n' if first_word else ' ',
+                        line_start_node,
+                        not first_word and problems.get(line.id),
+                        textequivs, logger=logger)
+                if level == 'word':
+                    if textequivs:
+                        start_node = _add_element(graph, start_node,
+                                                  word, textequivs)
+                    else:
+                        logger.warning(
+                            "Word '%s' contains no text results",
+                            word.id)
+                    first_word = False
+                    continue
+                glyphs = word.get_Glyph()
+                if not glyphs:
+                    logger.warning("Word '%s' contains no glyphs",
+                                   word.id)
+                for glyph in glyphs:
+                    textequivs = glyph.get_TextEquiv()
+                    if textequivs:
+                        start_node = _add_element(graph, start_node,
+                                                  glyph, textequivs)
+                    else:
+                        logger.warning(
+                            "Glyph '%s' contains no text results",
+                            glyph.id)
+                first_word = False
+            first_line = False
+        first_region = False
+    return graph, page_start_node, start_node
+
+
+def _add_element(graph, start_node, element, textequivs):
+    graph.add_node(start_node + 1)
+    graph.add_edge(start_node, start_node + 1,
+                   element=element,
+                   alternatives=_filter_choices(textequivs))
+    return start_node + 1
+
+
+def _add_space(graph, start_node, space, last_start_node, problem,
+               textequivs, logger=None):
+    """Add a pseudo-element edge for whitespace, except where a
+    tokenisation problem shows the parent text already concatenates."""
+    if logger is None:
+        logger = LOG
+    if (textequivs and textequivs[0].Unicode and problem and
+            _repair_tokenisation(
+                problem.actual,
+                ''.join(edge['alternatives'][0].Unicode
+                        for edge in _get_edges(graph, last_start_node)),
+                textequivs[0].Unicode, logger=logger)):
+        pass  # skip space (concatenation join)
+    else:
+        start_node = _add_element(
+            graph, start_node, None,
+            [TextEquivType(Unicode=space, conf=1.0)])
+    return start_node
+
+
+def _repair_tokenisation(tokenisation, concatenation, next_token,
+                         logger=None):
+    """Check whether the annotated tokenisation continues without a
+    space at this junction (then skip the artificial space)."""
+    if logger is None:
+        logger = LOG
+    i = 0
+    for i in range(min(len(tokenisation), len(concatenation)), -1, -1):
+        if concatenation[-i:] == tokenisation[:i]:
+            break
+    if i > 0 and tokenisation[i:].startswith(next_token):
+        logger.warning('Repairing tokenisation between "%s" and "%s"',
+                       concatenation[-i:], next_token)
+        return True
+    return False
+
+
+def _get_edges(graph, start_node):
+    return [graph.edges[in_, out]
+            for in_, out in nx.bfs_edges(graph, start_node)]
+
+
+def _filter_choices(textequivs):
+    """Cap alternatives at CHOICE_THRESHOLD_NUM and within
+    CHOICE_THRESHOLD_CONF of the best; default conf 1.0."""
+    if not textequivs:
+        return []
+    textequivs = textequivs[:CHOICE_THRESHOLD_NUM]
+    for te in textequivs:
+        te.set_conf(float(te.conf) if te.conf else 1.0)
+    conf0 = textequivs[0].conf
+    return [te for te in textequivs
+            if conf0 - te.conf < CHOICE_THRESHOLD_CONF]
+
+
+# ---------------------------------------------------------------------
+# tokenisation consistency (validator-equivalent)
+# ---------------------------------------------------------------------
+
+@dataclass
+class ConsistencyError:
+    tag: str
+    ID: str
+    actual: str
+    expected: str
+
+
+def _page_get_tokenisation_problems(level, pcgts, logger=None
+                                    ) -> Dict[str, ConsistencyError]:
+    """Detect elements whose own text annotation deviates from the
+    concatenation of their children only w.r.t. white space (then the
+    artificial joining space must be skipped).  Standalone equivalent
+    of the reference's PageValidator-based check
+    (wrapper/rate.py:592-610)."""
+    if logger is None:
+        logger = LOG
+    problems: Dict[str, ConsistencyError] = {}
+
+    def check(tag, elem_id, own, joined):
+        if not own or own == joined:
+            return
+        if len(own.split()) != len(joined.split()):
+            if _HIERARCHY.get(tag) == level:
+                problems[elem_id] = ConsistencyError(
+                    tag=tag, ID=elem_id, actual=own, expected=joined)
+                logger.warning(
+                    'Tokenisation inconsistency in %s "%s": "%s" vs '
+                    'joined "%s"', tag, elem_id, own, joined)
+
+    page = pcgts.get_Page()
+    for region in page.get_AllRegions(classes=['Text']):
+        own = region.text_equivs[0].Unicode if region.text_equivs else ''
+        joined = '\n'.join(
+            (line.text_equivs[0].Unicode if line.text_equivs else '')
+            for line in region.get_TextLine())
+        check('TextRegion', region.id, own, joined)
+        for line in region.get_TextLine():
+            own = line.text_equivs[0].Unicode if line.text_equivs else ''
+            joined = ' '.join(
+                (w.text_equivs[0].Unicode if w.text_equivs else '')
+                for w in line.get_Word())
+            check('TextLine', line.id, own, joined)
+            for word in line.get_Word():
+                own = (word.text_equivs[0].Unicode
+                       if word.text_equivs else '')
+                joined = ''.join(
+                    (g.text_equivs[0].Unicode if g.text_equivs else '')
+                    for g in word.get_Glyph())
+                check('Word', word.id, own, joined)
+    return problems
+
+
+# ---------------------------------------------------------------------
+# result write-back / text projection
+# ---------------------------------------------------------------------
+
+def _page_update_from_path(level, path, entropy, logger=None):
+    """Apply the decoded best path: keep the winning TextEquiv per
+    element, conf = 2^(-cost/len); log ppl summary (the line format is
+    API — tests parse it; reference wrapper/rate.py:426-440)."""
+    if logger is None:
+        logger = LOG
+    strlen = 0
+    for element, textequiv, score in path:
+        if element:
+            element.set_TextEquiv([textequiv])
+            strlen += len(textequiv.Unicode)
+            textequiv.set_conf(score)
+        else:
+            strlen += 1
+    if not strlen:
+        return
+    ent = entropy / strlen
+    avg = pow(2.0, -ent)
+    ppl = pow(2.0, ent)
+    ppll = pow(2.0, ent * strlen / max(len(path), 1))
+    logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
+                avg, ppl, level, ppll)
+
+
+def page_element_unicode0(element):
+    """Unicode string of the first text result."""
+    if element.get_TextEquiv():
+        return element.get_TextEquiv()[0].Unicode or ''
+    return ''
+
+
+def page_element_conf0(element):
+    """Confidence of the first text result."""
+    if element.get_TextEquiv():
+        return float(element.get_TextEquiv()[0].conf or 1.0)
+    return 1.0
+
+
+def page_get_reading_order(ro, rogroup):
+    """Collect regionRef -> group-entry mapping recursively."""
+    regionrefs = []
+    if isinstance(rogroup, (OrderedGroupType, OrderedGroupIndexedType)):
+        regionrefs = (rogroup.get_RegionRefIndexed() +
+                      rogroup.get_OrderedGroupIndexed() +
+                      rogroup.get_UnorderedGroupIndexed())
+    elif rogroup is not None:
+        regionrefs = (rogroup.get_RegionRef() +
+                      rogroup.get_OrderedGroup() +
+                      rogroup.get_UnorderedGroup())
+    for elem in regionrefs:
+        ro[elem.get_regionRef() if hasattr(elem, 'get_regionRef')
+           else elem.id] = elem
+        if not isinstance(elem, (RegionRefType, RegionRefIndexedType)):
+            page_get_reading_order(ro, elem)
+
+
+def page_update_higher_textequiv_levels(level, pcgts, overwrite=True):
+    """Project text up the hierarchy: join first TextEquivs by the rules
+    of each level (words by space, lines/regions by newline, glyphs by
+    concatenation), traversing ReadingOrder OrderedGroups,
+    ``textLineOrder=bottom-to-top`` and
+    ``readingDirection=right-to-left`` in reverse, and joining directly
+    (no whitespace) across ``Relation type=join`` pairs; average confs
+    (reference wrapper/rate.py:478-590)."""
+    page = pcgts.get_Page()
+    relations = page.get_Relations()
+    relations = relations.get_Relation() if relations else []
+    joins = [(rel.get_SourceRegionRef().get_regionRef(),
+              rel.get_TargetRegionRef().get_regionRef())
+             for rel in relations if rel.get_type() == 'join']
+    reading_order: Dict[str, Any] = {}
+    ro = page.get_ReadingOrder()
+    if ro:
+        page_get_reading_order(reading_order,
+                               ro.get_OrderedGroup() or
+                               ro.get_UnorderedGroup())
+    if level == 'region':
+        return
+    for region in page.get_AllRegions(classes=['Text']):
+        subregions = region.get_TextRegion()
+        if subregions:
+            # sort by reading order whenever all subregions have indexed
+            # entries (RegionRefIndexed or indexed groups) — this
+            # resolves the reference's open TODO at wrapper/rate.py:489
+            # (it only sorted when entries were OrderedGroup instances)
+            if (all(sub.id in reading_order and
+                    hasattr(reading_order[sub.id], 'index')
+                    for sub in subregions)):
+                subregions = sorted(
+                    subregions,
+                    key=lambda sub: reading_order[sub.id].index)
+            region_unicode = page_element_unicode0(subregions[0])
+            for sub, next_sub in zip(subregions, subregions[1:]):
+                if (sub.id, next_sub.id) not in joins:
+                    region_unicode += '\n'
+                region_unicode += page_element_unicode0(next_sub)
+            region_conf = sum(page_element_conf0(sub)
+                              for sub in subregions) / len(subregions)
+        else:
+            lines = region.get_TextLine()
+            if ((region.get_textLineOrder() or
+                 page.get_textLineOrder()) == BOTTOM_TO_TOP):
+                lines = list(reversed(lines))
+            if level != 'line':
+                for line in lines:
+                    words = line.get_Word()
+                    if ((line.get_readingDirection() or
+                         region.get_readingDirection() or
+                         page.get_readingDirection()) == RIGHT_TO_LEFT):
+                        words = list(reversed(words))
+                    if level != 'word':
+                        for word in words:
+                            glyphs = word.get_Glyph()
+                            if ((word.get_readingDirection() or
+                                 line.get_readingDirection() or
+                                 region.get_readingDirection() or
+                                 page.get_readingDirection())
+                                    == RIGHT_TO_LEFT):
+                                glyphs = list(reversed(glyphs))
+                            word_unicode = ''.join(
+                                page_element_unicode0(g)
+                                for g in glyphs)
+                            word_conf = sum(page_element_conf0(g)
+                                            for g in glyphs)
+                            if glyphs:
+                                word_conf /= len(glyphs)
+                            if not word.get_TextEquiv() or overwrite:
+                                word.set_TextEquiv([TextEquivType(
+                                    Unicode=word_unicode,
+                                    conf=word_conf)])
+                    line_unicode = ' '.join(page_element_unicode0(w)
+                                            for w in words)
+                    line_conf = sum(page_element_conf0(w)
+                                    for w in words)
+                    if words:
+                        line_conf /= len(words)
+                    if not line.get_TextEquiv() or overwrite:
+                        line.set_TextEquiv([TextEquivType(
+                            Unicode=line_unicode, conf=line_conf)])
+            region_unicode = ''
+            region_conf = 0
+            if lines:
+                region_unicode = page_element_unicode0(lines[0])
+                for line, next_line in zip(lines, lines[1:]):
+                    words = line.get_Word()
+                    next_words = next_line.get_Word()
+                    if not (words and next_words and
+                            (words[-1].id, next_words[0].id) in joins):
+                        region_unicode += '\n'
+                    region_unicode += page_element_unicode0(next_line)
+                region_conf = sum(page_element_conf0(line)
+                                  for line in lines) / len(lines)
+        if not region.get_TextEquiv() or overwrite:
+            region.set_TextEquiv([TextEquivType(
+                Unicode=region_unicode, conf=region_conf)])

@@ -1,0 +1,167 @@
+"""Integration tests of the OCR-D-style wrapper over synthetic PAGE-XML
+workspaces (model: the reference's behavioral/metric test style,
+test/test_wrapper.py, against a fake workspace instead of a cloned
+asset repo)."""
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from ocrd_keraslm_tpu.wrapper import KerasRate
+from ocrd_keraslm_tpu.wrapper.mets import Workspace
+from ocrd_keraslm_tpu.wrapper.page import parse_page, to_xml
+
+from helpers import (build_pcgts, build_workspace, make_tiny_model,
+                     train_tiny_model)
+
+PAGES = {
+    'phys_0001': [['Was', 'ist', 'Aufklärung'],
+                  ['der', 'Mensch', 'denkt']],
+    'phys_0002': [['die', 'Vernunft', 'siegt'],
+                  ['am', 'Ende', 'doch']],
+}
+
+
+def _flat_words(workspace, file_grp):
+    words = []
+    for f in workspace.mets.find_files(fileGrp=file_grp):
+        pcgts = parse_page(os.path.join(workspace.directory,
+                                        f.local_filename))
+        for region in pcgts.get_Page().get_TextRegion():
+            for line in region.get_TextLine():
+                words.extend(line.get_Word())
+    return words
+
+
+def test_scoring_mode(tmp_path, caplog):
+    """alternative_decoding=false at word level: every word ends with
+    exactly 1 TextEquiv, ppl log line emitted, metadata recorded."""
+    ws = build_workspace(str(tmp_path), PAGES)
+    model = make_tiny_model(tmp_path / 'model.h5',
+                            chars='abcdefghijklmnorstuvwzäßAVEMW ü\n'
+                                  'kfgpD')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': False})
+    proc.setup()
+    with caplog.at_level(logging.INFO):
+        proc.process_workspace(ws)
+    outputs = list(ws.mets.find_files(fileGrp='OCR-D-LM'))
+    assert len(outputs) == len(PAGES)
+    words = _flat_words(ws, 'OCR-D-LM')
+    assert len(words) == sum(len(lw) for page in PAGES.values()
+                             for lw in page)
+    for word in words:
+        assert len(word.get_TextEquiv()) == 1
+        assert 0 <= word.get_TextEquiv()[0].conf <= 1
+    ppl_lines = [r for r in caplog.records
+                 if 'char ppl' in r.getMessage()]
+    assert len(ppl_lines) == len(PAGES)
+    # reconstruct ppl value from the (API-stable) log line format
+    msg = ppl_lines[0].getMessage()
+    ppl = float(msg.split('char ppl: ')[1].split(',')[0])
+    assert np.isfinite(ppl) and ppl > 1
+    # metadata agent recorded
+    out = outputs[0]
+    pcgts = parse_page(os.path.join(ws.directory, out.local_filename))
+    steps = [i for i in pcgts.metadata.items
+             if i.type == 'processingStep']
+    assert steps and steps[0].value == 'ocrd-keraslm-rate'
+
+
+def test_decoding_mode(tmp_path):
+    """alternative_decoding=true at glyph level with confusable glyph
+    alternatives: each glyph ends with exactly 1 TextEquiv, both pages
+    written (cross-page traceback flush)."""
+    alternatives = {}
+    # give every first glyph of every word a wrong-but-likely
+    # alternative
+    for li in range(2):
+        for wi in range(3):
+            alternatives[(li, wi, 0)] = [('X', 0.93), ('Y', 0.91)]
+    ws = build_workspace(str(tmp_path), PAGES,
+                         glyph_alternatives=alternatives)
+    model = make_tiny_model(tmp_path / 'model.h5',
+                            chars='abcdefghijklmnorstuvwzäßAVEMWXY '
+                                  'üD\nkfgp')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'beam_width': 3})
+    proc.setup()
+    proc.process_workspace(ws)
+    outputs = list(ws.mets.find_files(fileGrp='OCR-D-LM'))
+    assert len(outputs) == len(PAGES)
+    for f in ws.mets.find_files(fileGrp='OCR-D-LM'):
+        pcgts = parse_page(os.path.join(ws.directory,
+                                        f.local_filename))
+        glyphs = []
+        for region in pcgts.get_Page().get_TextRegion():
+            for line in region.get_TextLine():
+                for word in line.get_Word():
+                    glyphs.extend(word.get_Glyph())
+        assert glyphs
+        for glyph in glyphs:
+            assert len(glyph.get_TextEquiv()) == 1
+        # higher levels were re-projected from the decoded glyphs
+        for region in pcgts.get_Page().get_TextRegion():
+            for line in region.get_TextLine():
+                for word in line.get_Word():
+                    want = ''.join(g.get_TextEquiv()[0].Unicode
+                                   for g in word.get_Glyph())
+                    assert word.get_TextEquiv()[0].Unicode == want
+
+
+def test_decoding_prefers_lm(tmp_path):
+    """A model overfit on 'abcd ' must pick the LM-consistent
+    alternative over a higher-OCR-conf wrong one."""
+    text = 'abcd ' * 400
+    model, nll = train_tiny_model(tmp_path / 'lm.h5', text, steps=400)
+    assert nll < 0.5, 'tiny model failed to overfit (nll %f)' % nll
+    # OCR proposes 'x' (conf .92) vs correct 'c' (conf .90) inside
+    # every 'abcd' word
+    pages = {'p1': [['abcd', 'abcd'], ['abcd', 'abcd']]}
+    alternatives = {(li, wi, 2): [('x', 0.92), ('c', 0.90)]
+                    for li in range(2) for wi in range(2)}
+    ws = build_workspace(str(tmp_path), pages,
+                         glyph_alternatives=alternatives)
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'beam_width': 4,
+                                'lm_weight': 0.8})
+    proc.setup()
+    proc.process_workspace(ws)
+    for f in ws.mets.find_files(fileGrp='OCR-D-LM'):
+        pcgts = parse_page(os.path.join(ws.directory,
+                                        f.local_filename))
+        for region in pcgts.get_Page().get_TextRegion():
+            for line in region.get_TextLine():
+                for word in line.get_Word():
+                    got = ''.join(g.get_TextEquiv()[0].Unicode
+                                  for g in word.get_Glyph())
+                    assert got == 'abcd', got
+
+
+def test_existing_output_skip(tmp_path):
+    ws = build_workspace(str(tmp_path), {'p1': [['ab']]})
+    model = make_tiny_model(tmp_path / 'model.h5', chars='ab')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': False})
+    proc.setup()
+    proc.process_workspace(ws)
+    n1 = len(list(ws.mets.find_files(fileGrp='OCR-D-LM')))
+    # second run: outputs exist, default policy skips
+    proc.process_workspace(ws)
+    n2 = len(list(ws.mets.find_files(fileGrp='OCR-D-LM')))
+    assert n1 == n2 == 1

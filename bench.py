@@ -56,6 +56,49 @@ def numpy_baseline_chars_per_sec(params_np, width, depth, n_chars=4096):
     return (n_chars - 1) / dt
 
 
+def numpy_baseline_decode_chars_per_sec(params_np, width, depth,
+                                        n_edges=256, beam=16, alts=4):
+    """Reference-equivalent beam decode loop in NumPy: one batched
+    LSTM step per char round over beam*alts hypotheses (the reference
+    batches hypotheses through Keras predict_on_batch per round,
+    rating.py:821-826)."""
+    rng = np.random.default_rng(2)
+    voc = params_np['char_embedding'].shape[0]
+    emb = params_np['char_embedding']
+    ctx = params_np['context_embeddings'][0]
+    B = beam * alts
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    h = [np.zeros((B, width), np.float32) for _ in range(depth)]
+    c = [np.zeros((B, width), np.float32) for _ in range(depth)]
+    ids = rng.integers(1, voc, (n_edges, B))
+    t0 = time.perf_counter()
+    for e in range(n_edges):
+        x = np.concatenate([emb[ids[e]], np.tile(ctx[0], (B, 1))],
+                           axis=1)
+        for l in range(depth):
+            lp = params_np['lstm'][l]
+            z = x @ lp['kernel'] + h[l] @ lp['recurrent'] + lp['bias']
+            W = width
+            i = sigmoid(z[:, :W])
+            f = sigmoid(z[:, W:2 * W])
+            g = np.tanh(z[:, 2 * W:3 * W])
+            o = sigmoid(z[:, 3 * W:])
+            c[l] = f * c[l] + i * g
+            h[l] = o * np.tanh(c[l])
+            x = h[l]
+        logits = x @ emb.T
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        # beam bookkeeping surrogate: top-k partition per round
+        np.argpartition(p[0], -beam)
+    dt = time.perf_counter() - t0
+    return n_edges / dt  # decoded chars (1 char per edge) per second
+
+
 def main():
     import jax
 
@@ -119,6 +162,32 @@ def main():
     print('tpu rating (batched x32): %.0f chars/s (%.3fs for %d chars)'
           % (batched, dt, total), file=sys.stderr)
 
+    # ---- lattice beam decoding (device beam, one dispatch/page) ----
+    base_dec = numpy_baseline_decode_chars_per_sec(params_np, width,
+                                                   depth)
+    print('numpy decode baseline: %.0f chars/s' % base_dec,
+          file=sys.stderr)
+    import networkx as nx
+
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+    rng2 = np.random.default_rng(3)
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    n_edges = 1000
+    chars = list(rater.vocab.c2i.keys())
+    for e in range(n_edges):
+        tes = [TextEquivType(Unicode=chars[rng2.integers(len(chars))],
+                             conf=0.9, index=i) for i in range(4)]
+        graph.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+    rater.rate_best_device(graph, 0, n_edges, beam_width=16)  # warmup
+    t0 = time.perf_counter()
+    path, entropy, _ = rater.rate_best_device(graph, 0, n_edges,
+                                              beam_width=16)
+    dt = time.perf_counter() - t0
+    decode = n_edges / dt
+    print('tpu decode (beam 16, 4 alts): %.0f chars/s (%.3fs for %d '
+          'edges)' % (decode, dt, n_edges), file=sys.stderr)
+
     print(json.dumps({
         'metric': 'rating_chars_per_sec',
         'value': round(tpu, 1),
@@ -126,7 +195,11 @@ def main():
         'vs_baseline': round(tpu / base, 2),
         'extra': {'batched_chars_per_sec': round(batched, 1),
                   'batched_vs_baseline': round(batched / base, 2),
-                  'numpy_baseline_chars_per_sec': round(base, 1)},
+                  'numpy_baseline_chars_per_sec': round(base, 1),
+                  'decode_chars_per_sec': round(decode, 1),
+                  'decode_vs_baseline': round(decode / base_dec, 2),
+                  'numpy_baseline_decode_chars_per_sec':
+                      round(base_dec, 1)},
     }))
 
 

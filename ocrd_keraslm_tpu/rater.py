@@ -138,6 +138,7 @@ class Rater:
         # TPU-specific knobs
         self.use_pallas = jax.default_backend() == 'tpu'
         self.train_streams = True  # parallel-streams stateful training
+        self.device_beam = True    # on-device beam search (1 dispatch)
         # runtime variables
         self.logger = logger or logging.getLogger(__name__)
         self.incremental = False
@@ -506,7 +507,24 @@ class Rater:
                  variants: int = 1) -> List[str]:
         """Beam-search sampling after a prefix (reference
         rating.py:642-709): per-step top-10 candidates, absolute
-        probability threshold 0.004, fringe capped at 256."""
+        probability threshold 0.004, fringe capped at 256.
+
+        Runs entirely on device as ONE dispatch (lax.scan beam with
+        top-k pruning and backpointer records) unless
+        ``self.device_beam`` is False (host/parity path)."""
+        assert self.status > 1
+        if self.device_beam and prefix:
+            from .ops.beam_device import generate_beam
+            result = generate_beam(self, prefix, length, context,
+                                   variants)
+            if result:
+                return result
+        return self._generate_host(prefix, length, context, variants)
+
+    def _generate_host(self, prefix: str, length: int, context=None,
+                       variants: int = 1) -> List[str]:
+        """Host-loop generation (reference-parity semantics; one device
+        step per character round)."""
         assert self.status > 1
         if not context:
             context = self.underspecify_contexts()
@@ -691,6 +709,102 @@ class Rater:
                 beam.remove(alternative)
                 break
         return False
+
+    # -- device lattice decoding --------------------------------------
+
+    def rate_best_device(self, graph, start_node, end_node,
+                         device_traceback=None, context=None,
+                         lm_weight=0.5, beam_width=10):
+        """Beam-decode a linear lattice in ONE device dispatch.
+
+        TPU-native alternative to ``rate_best``: the whole edge chain
+        (padded to buckets) runs inside a jitted lax.scan with on-device
+        top-k pruning; the host only builds the input arrays and walks
+        the fetched (E, K) backpointer matrix.  Cross-page state is the
+        final beam (states + costs + last chars) passed back in as
+        ``device_traceback``.
+
+        Differences vs the host/parity path (flag-gated, documented):
+        decisions for a page are final when the page is decoded (no
+        one-page lookahead lock-in), and the incremental 2.5/15-bit
+        pruning thresholds and history clustering are subsumed by exact
+        per-edge top-k.
+
+        Returns (path [(element, textequiv, score)], entropy,
+        new device_traceback).
+        """
+        from .ops.beam_device import decode_lattice_device
+
+        edges = [graph.edges[e] for e in sorted(graph.edges)]
+        if not edges:
+            return [], 0.0, device_traceback
+        D, W = self.depth, self.width
+        K = _bucket(beam_width, STEP_BUCKETS)
+        A = 4
+        E = _bucket(len(edges), (64, 128, 256, 512, 1024, 2048, 4096))
+        maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
+                     for e in edges)
+        L = _bucket(max(maxlen, 1), (2, 4, 8, 16, 32, 64))
+        alt_chars = np.zeros((E, A, L), np.int32)
+        alt_mask = np.zeros((E, A, L), np.float32)
+        alt_conf_bits = np.full((E, A), np.inf, np.float32)
+        for ei, edge in enumerate(edges):
+            for ai, te in enumerate(edge['alternatives'][:A]):
+                ids = self.vocab.encode(te.Unicode)
+                n = min(len(ids), L)
+                alt_chars[ei, ai, :n] = ids[:n]
+                alt_mask[ei, ai, :n] = 1.0
+                conf = te.conf if te.conf else 1.0
+                alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
+        # padding edges: one zero-length free alternative (identity)
+        for ei in range(len(edges), E):
+            alt_conf_bits[ei, 0] = 0.0
+        # initial beam
+        if device_traceback is None:
+            h0 = np.zeros((D, K, W), np.float32)
+            c0 = np.zeros((D, K, W), np.float32)
+            x0 = np.full((K,), self.vocab.get('\n'), np.int32)
+            cost0 = np.full((K,), 3.0e38, np.float32)
+            cost0[0] = 0.0
+        else:
+            h0, c0, x0, cost0 = device_traceback
+        zs = self._context_arrays(context, 1)
+        backptrs, altidxs, costs, h, c, x_prev = decode_lattice_device(
+            self.params, self.cfg, alt_chars, alt_mask, alt_conf_bits,
+            tuple(zs), h0, c0, x0, cost0, float(lm_weight),
+            E, A, L, K)
+        backptrs = np.asarray(backptrs)
+        altidxs = np.asarray(altidxs)
+        costs = np.asarray(costs)
+        # traceback: best hypothesis after the LAST (padded) edge, then
+        # walk backpointers through padding edges (identity cost, but
+        # top_k reorders the beam) down to the real edges
+        nE = len(edges)
+        start_cost = float(np.min(cost0))
+        best_final = int(np.argmin(costs[E - 1]))
+        k = best_final
+        for ei in range(E - 1, nE - 1, -1):
+            k = int(backptrs[ei, k])
+        chain = []
+        for ei in range(nE - 1, -1, -1):
+            chain.append((ei, k, int(altidxs[ei, k])))
+            k = int(backptrs[ei, k])
+        chain.reverse()
+        path = []
+        prev_cost = start_cost
+        for ei, kk, ai in chain:
+            edge = edges[ei]
+            te = edge['alternatives'][min(ai,
+                                          len(edge['alternatives']) - 1)]
+            cum = float(costs[ei, kk])
+            score = pow(2.0, -(cum - prev_cost)
+                        / max(len(te.Unicode), 1))
+            path.append((edge['element'], te, min(score, 1.0)))
+            prev_cost = cum
+        entropy = float(costs[E - 1, best_final]) - start_cost
+        new_traceback = (np.asarray(h), np.asarray(c),
+                        np.asarray(x_prev), costs[E - 1].copy())
+        return path, entropy, new_traceback
 
     # -- training (delegates to trainer module) -----------------------
 

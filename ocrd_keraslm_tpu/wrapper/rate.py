@@ -66,6 +66,12 @@ OCRD_TOOL = {
         'alternative_decoding': {'type': 'boolean', 'default': True},
         'beam_width': {'type': 'number', 'default': 10},
         'lm_weight': {'type': 'number', 'default': 0.5},
+        # TPU-native extension: run the whole lattice beam search as a
+        # single on-device dispatch per page (exact per-edge top-k
+        # pruning, pages written immediately) instead of the
+        # host-driven reference algorithm (per-char-round device calls,
+        # one-page lookahead lock-in)
+        'device_decoding': {'type': 'boolean', 'default': True},
     },
 }
 
@@ -209,6 +215,8 @@ class KerasRate:
         reason = {'SKIP': 'skipped', 'COPY': 'fallback-copied'}.get(
             missing_policy, 'failed')
         prev: Optional[RateState] = None
+        device_tb = None
+        device_mode = self.parameter.get('device_decoding', True)
         n_pages = max(len(list(self.input_files)), 1)
         for input_file in self.input_files:
             page_id = input_file.pageId
@@ -220,8 +228,12 @@ class KerasRate:
             if self._output_exists(file_id):
                 continue
             try:
-                prev = self.process_page_pcgts_stateful(
-                    pcgts, prev, file_id, page_id)
+                if device_mode:
+                    device_tb = self.process_page_pcgts_device(
+                        pcgts, device_tb, file_id, page_id)
+                else:
+                    prev = self.process_page_pcgts_stateful(
+                        pcgts, prev, file_id, page_id)
                 nr_succeeded += 1
             except FileExistsError as err:
                 existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
@@ -269,6 +281,33 @@ class KerasRate:
                                       dict(nr_errors))
 
     # -- per-page processing ------------------------------------------
+
+    def process_page_pcgts_device(self, pcgts: PcGts, device_tb,
+                                  file_id: str, page_id: str):
+        """Decode one page with the on-device lattice beam (single
+        dispatch), write it immediately, and return the new cross-page
+        device traceback (final beam states/costs)."""
+        level = self.parameter['textequiv_level']
+        beam_width = self.parameter['beam_width']
+        lm_weight = self.parameter['lm_weight']
+        self.rater.logger.info("Scoring text in page '%s' at the %s "
+                               'level (device beam)',
+                               pcgts.get_pcGtsId(), level)
+        context = mets_get_context(self.workspace.mets)
+        graph, start_node, end_node = page_get_linear_graph_at(
+            level, pcgts, logger=self.logger)
+        self.rater.logger.info('Rating %d elements including its '
+                               'alternatives', end_node - start_node)
+        path, entropy, device_tb = self.rater.rate_best_device(
+            graph, start_node, end_node,
+            device_traceback=device_tb,
+            context=context,
+            lm_weight=lm_weight,
+            beam_width=beam_width)
+        _page_update_from_path(level, path, entropy, logger=self.logger)
+        page_update_higher_textequiv_levels(level, pcgts)
+        self._write_page(pcgts, file_id, page_id)
+        return device_tb
 
     def process_page_pcgts_stateful(self, pcgts: PcGts,
                                     prev: Optional[RateState],

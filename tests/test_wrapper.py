@@ -72,10 +72,12 @@ def test_scoring_mode(tmp_path, caplog):
     assert steps and steps[0].value == 'ocrd-keraslm-rate'
 
 
-def test_decoding_mode(tmp_path):
+@pytest.mark.parametrize('device', [True, False])
+def test_decoding_mode(tmp_path, device):
     """alternative_decoding=true at glyph level with confusable glyph
     alternatives: each glyph ends with exactly 1 TextEquiv, both pages
-    written (cross-page traceback flush)."""
+    written (cross-page traceback flush); both the on-device and the
+    host/parity decoder paths."""
     alternatives = {}
     # give every first glyph of every word a wrong-but-likely
     # alternative
@@ -92,6 +94,7 @@ def test_decoding_mode(tmp_path):
                      parameter={'model_file': model,
                                 'textequiv_level': 'glyph',
                                 'alternative_decoding': True,
+                                'device_decoding': device,
                                 'beam_width': 3})
     proc.setup()
     proc.process_workspace(ws)
@@ -117,9 +120,10 @@ def test_decoding_mode(tmp_path):
                     assert word.get_TextEquiv()[0].Unicode == want
 
 
-def test_decoding_prefers_lm(tmp_path):
+@pytest.mark.parametrize('device', [True, False])
+def test_decoding_prefers_lm(tmp_path, device):
     """A model overfit on 'abcd ' must pick the LM-consistent
-    alternative over a higher-OCR-conf wrong one."""
+    alternative over a higher-OCR-conf wrong one (both decoders)."""
     text = 'abcd ' * 400
     model, nll = train_tiny_model(tmp_path / 'lm.h5', text, steps=400)
     assert nll < 0.5, 'tiny model failed to overfit (nll %f)' % nll
@@ -135,6 +139,7 @@ def test_decoding_prefers_lm(tmp_path):
                      parameter={'model_file': model,
                                 'textequiv_level': 'glyph',
                                 'alternative_decoding': True,
+                                'device_decoding': device,
                                 'beam_width': 4,
                                 'lm_weight': 0.8})
     proc.setup()

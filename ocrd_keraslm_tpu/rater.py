@@ -759,51 +759,44 @@ class Rater:
         # padding edges: one zero-length free alternative (identity)
         for ei in range(len(edges), E):
             alt_conf_bits[ei, 0] = 0.0
-        # initial beam
+        # initial beam (kept device-resident across pages)
         if device_traceback is None:
             h0 = np.zeros((D, K, W), np.float32)
             c0 = np.zeros((D, K, W), np.float32)
             x0 = np.full((K,), self.vocab.get('\n'), np.int32)
             cost0 = np.full((K,), 3.0e38, np.float32)
             cost0[0] = 0.0
+            start_cost = 0.0
         else:
             h0, c0, x0, cost0 = device_traceback
+            start_cost = None  # read from the packed result row 0
         zs = self._context_arrays(context, 1)
-        backptrs, altidxs, costs, h, c, x_prev = decode_lattice_device(
-            self.params, self.cfg, alt_chars, alt_mask, alt_conf_bits,
-            tuple(zs), h0, c0, x0, cost0, float(lm_weight),
-            E, A, L, K)
-        backptrs = np.asarray(backptrs)
-        altidxs = np.asarray(altidxs)
-        costs = np.asarray(costs)
-        # traceback: best hypothesis after the LAST (padded) edge, then
-        # walk backpointers through padding edges (identity cost, but
-        # top_k reorders the beam) down to the real edges
+        packed, h, c, x_prev, cost = decode_lattice_device(
+            self.params, self.cfg, alt_chars, alt_mask,
+            alt_conf_bits, tuple(zs), h0, c0, x0, cost0,
+            float(lm_weight), E, A, L, K)
+        # ONE small fetch: per-edge choices + cumulative path costs
+        # (traceback ran on device); beam states stay on device for the
+        # next page
         nE = len(edges)
-        start_cost = float(np.min(cost0))
-        best_final = int(np.argmin(costs[E - 1]))
-        k = best_final
-        for ei in range(E - 1, nE - 1, -1):
-            k = int(backptrs[ei, k])
-        chain = []
-        for ei in range(nE - 1, -1, -1):
-            chain.append((ei, k, int(altidxs[ei, k])))
-            k = int(backptrs[ei, k])
-        chain.reverse()
+        packed = np.asarray(packed)
+        if start_cost is None:
+            start_cost = float(packed[0, 0])
+        choices = packed[1:nE + 1, 0].astype(np.int32)
+        path_costs = packed[1:nE + 1, 1]
         path = []
         prev_cost = start_cost
-        for ei, kk, ai in chain:
-            edge = edges[ei]
+        for ei, edge in enumerate(edges):
+            ai = int(choices[ei])
             te = edge['alternatives'][min(ai,
                                           len(edge['alternatives']) - 1)]
-            cum = float(costs[ei, kk])
+            cum = float(path_costs[ei])
             score = pow(2.0, -(cum - prev_cost)
                         / max(len(te.Unicode), 1))
             path.append((edge['element'], te, min(score, 1.0)))
             prev_cost = cum
-        entropy = float(costs[E - 1, best_final]) - start_cost
-        new_traceback = (np.asarray(h), np.asarray(c),
-                        np.asarray(x_prev), costs[E - 1].copy())
+        entropy = float(path_costs[nE - 1]) - start_cost
+        new_traceback = (h, c, x_prev, cost)
         return path, entropy, new_traceback
 
     # -- training (delegates to trainer module) -----------------------

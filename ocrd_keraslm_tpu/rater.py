@@ -63,6 +63,29 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: compiles in this environment
+    go through a network tunnel and can take minutes, so caching them
+    across processes matters.  Opt out with KERASLM_COMPILE_CACHE=0."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get('KERASLM_COMPILE_CACHE') == '0':
+        return
+    _CACHE_ENABLED = True
+    try:
+        cache_dir = os.environ.get(
+            'KERASLM_COMPILE_CACHE_DIR',
+            os.path.expanduser('~/.cache/keraslm_tpu_xla'))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.5)
+    except Exception as err:  # cache is an optimization, never fatal
+        LOG.debug('compilation cache unavailable: %s', err)
+
+
 # ----------------------------------------------------------------------
 # jitted device functions (cfg is a hashable frozen dataclass -> static)
 # ----------------------------------------------------------------------
@@ -139,6 +162,9 @@ class Rater:
         self.use_pallas = jax.default_backend() == 'tpu'
         self.train_streams = True  # parallel-streams stateful training
         self.device_beam = True    # on-device beam search (1 dispatch)
+        self.fused_decode = False  # experimental fused decode kernel
+        self._decode_cache: Dict[Any, Any] = {}
+        _enable_compilation_cache()
         # runtime variables
         self.logger = logger or logging.getLogger(__name__)
         self.incremental = False
@@ -738,6 +764,14 @@ class Rater:
         edges = [graph.edges[e] for e in sorted(graph.edges)]
         if not edges:
             return [], 0.0, device_traceback
+        if self.fused_decode:
+            # experimental: whole-search fused Pallas kernel.  Measured
+            # slower than the XLA scan on v5e so far (~84us vs ~30us
+            # per edge — the serial scalar top-K chain dominates) and
+            # costly to compile; kept flag-gated for further tuning.
+            return self._rate_best_pallas(edges, device_traceback,
+                                          context, lm_weight,
+                                          beam_width)
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
         A = 4
@@ -798,6 +832,113 @@ class Rater:
         entropy = float(path_costs[nE - 1]) - start_cost
         new_traceback = (h, c, x_prev, cost)
         return path, entropy, new_traceback
+
+    def _decode_weights(self, context, lm_weight):
+        """Device-resident decode weight set for the fused Pallas
+        kernel: vocab-padded (transposed) embedding, per-layer input/
+        recurrent kernels, and biases with the page-constant context
+        embedding folded into layer 0.  Cached per (params, context)."""
+        ctx = tuple(context or self.underspecify_contexts())
+        key = (id(self.params), ctx, round(float(lm_weight), 6))
+        cached = self._decode_cache.get(key)
+        if cached is not None:
+            return cached
+        W, D, V = self.width, self.depth, self.voc_size
+        V_pad = max(128, -(-V // 128) * 128)
+        emb = jnp.zeros((V_pad, W), jnp.float32)
+        emb = emb.at[:V].set(jnp.asarray(self.params['char_embedding']))
+        embT = emb.T
+        ctx_vec = jnp.concatenate(
+            [jnp.asarray(self.params['context_embeddings'][i])[
+                ctx[i] if i < len(ctx) else 0]
+             for i in range(len(self.contexts))]) \
+            if self.contexts else jnp.zeros((0,))
+        kins, recs, biases = [], [], []
+        for d in range(D):
+            lp = self.params['lstm'][d]
+            kernel = jnp.asarray(lp['kernel'])
+            bias = jnp.asarray(lp['bias'])
+            if d == 0 and kernel.shape[0] > W:
+                bias = bias + ctx_vec @ kernel[W:]
+                kernel = kernel[:W]
+            kins.append(kernel)
+            recs.append(jnp.asarray(lp['recurrent']))
+            biases.append(bias)
+        weights = dict(
+            emb=emb, embT=embT,
+            kin=jnp.stack(kins), rec=jnp.stack(recs),
+            bias=jnp.stack(biases)[:, None, :],
+            v_pad=V_pad, v_real=V)
+        self._decode_cache.clear()  # keep one entry (params change etc.)
+        self._decode_cache[key] = weights
+        return weights
+
+    def _rate_best_pallas(self, edges, device_traceback, context,
+                          lm_weight, beam_width):
+        """Fused-kernel decode path (see ops/decode_kernel.py)."""
+        from .ops.decode_kernel import decode_lattice_pallas
+
+        D, W = self.depth, self.width
+        K = _bucket(beam_width, (8, 16, 32, 64))
+        A = 4
+        E = _bucket(len(edges), (8, 64, 512, 1024, 2048, 4096))
+        maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
+                     for e in edges)
+        L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+        alt_chars = np.zeros((E, A, L), np.int32)
+        alt_mask = np.zeros((E, A, L), np.float32)
+        alt_conf_bits = np.full((E, A), 1.0e30, np.float32)
+        for ei, edge in enumerate(edges):
+            for ai, te in enumerate(edge['alternatives'][:A]):
+                ids = self.vocab.encode(te.Unicode)
+                n = min(len(ids), L)
+                alt_chars[ei, ai, :n] = ids[:n]
+                alt_mask[ei, ai, :n] = 1.0
+                conf = te.conf if te.conf else 1.0
+                alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
+        for ei in range(len(edges), E):
+            alt_conf_bits[ei, 0] = 0.0
+        wts = self._decode_weights(context, lm_weight)
+        if device_traceback is None:
+            h0 = jnp.zeros((D, K, W), jnp.float32)
+            c0 = jnp.zeros((D, K, W), jnp.float32)
+            xemb0 = jnp.broadcast_to(
+                wts['emb'][self.vocab.get('\n')], (K, W))
+            cost0 = jnp.full((1, K), 1.0e30, jnp.float32)
+            cost0 = cost0.at[0, 0].set(0.0)
+        else:
+            h0, c0, xemb0, cost0 = device_traceback
+            if h0.shape[1] != K:  # beam size changed between pages
+                h0 = h0[:, :K]
+                c0 = c0[:, :K]
+                xemb0 = xemb0[:K]
+                cost0 = cost0[:, :K]
+        packed, hF, cF, xembF, costF = decode_lattice_pallas(
+            wts['emb'], wts['embT'], wts['kin'], wts['rec'],
+            wts['bias'], alt_chars, alt_mask,
+            alt_conf_bits[:, :, None],
+            h0, c0, xemb0, cost0,
+            n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D, width=W,
+            v_pad=wts['v_pad'], v_real=wts['v_real'],
+            lm_weight=float(lm_weight))
+        nE = len(edges)
+        packed = np.asarray(packed)
+        start_cost = float(packed[0, 0])
+        choices = packed[1:nE + 1, 0].astype(np.int32)
+        path_costs = packed[1:nE + 1, 1]
+        path = []
+        prev_cost = start_cost
+        for ei, edge in enumerate(edges):
+            ai = int(choices[ei])
+            te = edge['alternatives'][min(ai,
+                                          len(edge['alternatives']) - 1)]
+            cum = float(path_costs[ei])
+            score = pow(2.0, -(cum - prev_cost)
+                        / max(len(te.Unicode), 1))
+            path.append((edge['element'], te, min(score, 1.0)))
+            prev_cost = cum
+        entropy = float(path_costs[nE - 1]) - start_cost
+        return path, entropy, (hF, cF, xembF, costF)
 
     # -- training (delegates to trainer module) -----------------------
 

@@ -1,0 +1,84 @@
+"""Parity test: fused Pallas decode kernel vs the XLA scan decoder
+(interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+import networkx as nx
+
+from helpers import train_tiny_model
+from ocrd_keraslm_tpu.rater import Rater
+
+
+def _toy_graph(words, alternatives=None):
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    node = 0
+    for wi, word in enumerate(words):
+        if wi > 0:
+            graph.add_edge(node, node + 1, element=None,
+                           alternatives=[TextEquivType(Unicode=' ',
+                                                       conf=1.0)])
+            node += 1
+        for ci, char in enumerate(word):
+            alts = (alternatives or {}).get((wi, ci))
+            tes = ([TextEquivType(Unicode=c, conf=cf, index=i)
+                    for i, (c, cf) in enumerate(alts)] if alts
+                   else [TextEquivType(Unicode=char, conf=0.95,
+                                       index=0)])
+            graph.add_edge(node, node + 1,
+                           element='w%d_c%d' % (wi, ci),
+                           alternatives=tes)
+            node += 1
+    return graph, 0, node
+
+
+@pytest.fixture(scope='module')
+def rater(tmp_path_factory):
+    path = tmp_path_factory.mktemp('m') / 'lm.h5'
+    model, _ = train_tiny_model(str(path), 'abcd ' * 400, steps=400)
+    r = Rater()
+    r.load_config(model)
+    r.configure()
+    r.load_weights(model)
+    return r
+
+
+def test_pallas_decode_matches_xla(rater):
+    alternatives = {(0, 2): [('x', 0.92), ('c', 0.90)],
+                    (1, 1): [('y', 0.92), ('b', 0.90)]}
+    g1, s1, e1 = _toy_graph(['abcd'], alternatives=alternatives)
+    rater.fused_decode = False
+    path_xla, ent_xla, _ = rater.rate_best_device(
+        g1, s1, e1, lm_weight=0.8, beam_width=4)
+    g2, s2, e2 = _toy_graph(['abcd'], alternatives=alternatives)
+    rater.fused_decode = True
+    try:
+        path_pl, ent_pl, tb = rater.rate_best_device(
+            g2, s2, e2, lm_weight=0.8, beam_width=4)
+    finally:
+        rater.fused_decode = False
+    xla_str = ''.join(te.Unicode for _, te, _ in path_xla)
+    pl_str = ''.join(te.Unicode for _, te, _ in path_pl)
+    assert pl_str == xla_str == 'abcd'
+    assert abs(ent_pl - ent_xla) < 1e-2, (ent_pl, ent_xla)
+    # per-edge scores comparable
+    for (_, _, s1_), (_, _, s2_) in zip(path_xla, path_pl):
+        assert abs(s1_ - s2_) < 1e-3
+
+
+def test_pallas_decode_cross_page(rater):
+    rater.fused_decode = True
+    try:
+        g1, s1, e1 = _toy_graph(['abcd'])
+        path1, ent1, tb = rater.rate_best_device(g1, s1, e1,
+                                                 beam_width=4)
+        g2, s2, e2 = _toy_graph(['abcd'])
+        path2, ent2, _ = rater.rate_best_device(g2, s2, e2,
+                                                device_traceback=tb,
+                                                beam_width=4)
+    finally:
+        rater.fused_decode = False
+    assert ''.join(te.Unicode for _, te, _ in path2) == 'abcd'
+    assert np.isfinite(ent2) and ent2 > 0

@@ -1,0 +1,47 @@
+# ocrd_keraslm_tpu build/test/bench targets
+# (capability parity with the reference Makefile: deps/install/test/
+#  docker; TPU-specific additions: bench, multichip dry run)
+
+PYTHON ?= python
+PIP ?= pip
+TESTDIR = tests
+
+help:
+	@echo "Targets:"
+	@echo "  deps          install runtime dependencies"
+	@echo "  install       install this package (editable)"
+	@echo "  test          run the test suite (CPU backend)"
+	@echo "  test-training train a tiny model end-to-end via the CLI"
+	@echo "  bench         run the TPU benchmark (prints one JSON line)"
+	@echo "  multichip     dry-run the sharded train step on 8 virtual devices"
+	@echo "  docker        build the docker image"
+
+deps:
+	$(PIP) install jax numpy h5py click networkx lxml optax
+
+install:
+	$(PIP) install -e . --no-deps --no-build-isolation
+
+test:
+	$(PYTHON) -m pytest $(TESTDIR) -x -q
+
+# trains a small model on generated text and round-trips all CLI
+# commands (reference: make test TEST_TRAINING=1)
+test-training:
+	mkdir -p /tmp/keraslm_gt
+	$(PYTHON) -c "import random; random.seed(0); words=['die','der','und','nicht','ist','von','zu','mit','sich','auf','wird','aber','kant','vernunft']; [open('/tmp/keraslm_gt/%s.txt'%n,'w').write('\n'.join(' '.join(random.choices(words,k=12)) for _ in range(200))) for n in ('goethe_werke_1808','kant_kritik_1781','schiller_werke_1781')]"
+	KERASLM_PLATFORM=cpu keraslm-rate train -m /tmp/keraslm_gt/model.h5 -w 32 -d 1 -l 64 -e 3 /tmp/keraslm_gt/
+	KERASLM_PLATFORM=cpu keraslm-rate test -m /tmp/keraslm_gt/model.h5 /tmp/keraslm_gt/kant_kritik_1781.txt
+	KERASLM_PLATFORM=cpu keraslm-rate apply -m /tmp/keraslm_gt/model.h5 "die vernunft"
+	KERASLM_PLATFORM=cpu keraslm-rate generate -m /tmp/keraslm_gt/model.h5 -n 10 "die "
+
+bench:
+	$(PYTHON) bench.py
+
+multichip:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 $(PYTHON) __graft_entry__.py 8
+
+docker:
+	docker build -t ocrd/keraslm_tpu .
+
+.PHONY: help deps install test test-training bench multichip docker

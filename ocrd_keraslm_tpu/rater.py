@@ -274,14 +274,25 @@ class Rater:
     # -- persistence ---------------------------------------------------
 
     def save(self, filename):
-        """Save weights + config (h5, reference schema)."""
+        """Save weights + config: h5 (reference-schema interop) or
+        Orbax-native directory format when the path is a directory /
+        ends in ``.orbax`` (SURVEY.md §5.4)."""
         assert self.status > 1
-        h5io.save_model(filename, self.params, self.cfg, self.vocab,
-                        self.history)
+        from .utils import orbaxio
+        if orbaxio.is_orbax_path(filename):
+            orbaxio.save_model(filename, self.params, self.cfg,
+                               self.vocab, self.history)
+        else:
+            h5io.save_model(filename, self.params, self.cfg,
+                            self.vocab, self.history)
 
     def load_config(self, filename):
         assert self.status == 0
-        cfg, vocab, history = h5io.load_config(filename)
+        from .utils import orbaxio
+        if orbaxio.is_orbax_path(filename):
+            cfg, vocab, history = orbaxio.load_config(filename)
+        else:
+            cfg, vocab, history = h5io.load_config(filename)
         self.width = cfg.width
         self.depth = cfg.depth
         self.length = cfg.length
@@ -294,7 +305,11 @@ class Rater:
 
     def load_weights(self, filename):
         assert self.status > 0
-        self.params = h5io.load_weights(filename, self.cfg)
+        from .utils import orbaxio
+        if orbaxio.is_orbax_path(filename):
+            self.params = orbaxio.load_weights(filename, self.cfg)
+        else:
+            self.params = h5io.load_weights(filename, self.cfg)
         self.voc_size = self.params['char_embedding'].shape[0]
         self.cfg = self.cfg.replace(voc_size=self.voc_size)
         self.status = 2

@@ -35,13 +35,46 @@ class SortedGroup(click.Group):
 
 
 @click.group(cls=SortedGroup)
-def cli():
+@click.option('--profile', is_flag=True,
+              help='enable host profiling (cProfile)')
+@click.option('--profile-file', default=None,
+              type=click.Path(dir_okay=False, writable=True),
+              help='write host profile stats to this file')
+@click.option('--jax-trace', default=None,
+              type=click.Path(file_okay=False, writable=True),
+              help='capture a device trace (jax.profiler) into this '
+                   'directory, viewable in TensorBoard/Perfetto')
+@click.pass_context
+def cli(ctx, profile, profile_file, jax_trace):
     # optional backend override (e.g. KERASLM_PLATFORM=cpu for fast
     # compiles / environments where the TPU plugin hijacks the default)
     platform = os.environ.get('KERASLM_PLATFORM')
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    # profiling equivalent to the OCR-D core --profile/--profile-file
+    # flags (reference README:190-191) + device-side tracing
+    if profile or profile_file:
+        import atexit
+        import cProfile
+        import pstats
+        prof = cProfile.Profile()
+        prof.enable()
+
+        def _dump():
+            prof.disable()
+            if profile_file:
+                prof.dump_stats(profile_file)
+            else:
+                pstats.Stats(prof).sort_stats('cumulative') \
+                    .print_stats(30)
+        atexit.register(_dump)
+    if jax_trace:
+        import atexit
+
+        import jax
+        jax.profiler.start_trace(jax_trace)
+        atexit.register(jax.profiler.stop_trace)
 
 
 def _expand_paths(items):

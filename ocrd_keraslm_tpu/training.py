@@ -181,19 +181,29 @@ def train_rater(rater, data, val_data=None) -> None:
     batch_dim = (1 if (rater.stateful and not rater.train_streams)
                  else rater.batch_size)
 
+    import time as _time
+    first_step_logged = False
     try:
         for epoch in range(EPOCHS):
             # ---- training pass ----
+            epoch_t0 = _time.perf_counter()
             carry = zero_carry(cfg, batch_dim)
             tr_loss = tr_acc = tr_n = 0.0
             for batch in make_gen(plan.training_files, True):
                 if batch.reset_carry and rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
                 rng, sub = jax.random.split(rng)
+                step_t0 = _time.perf_counter()
                 params, opt_state, carry, loss, nll, acc = train_step(
                     params, opt_state, cfg, batch.x, tuple(batch.zs),
                     batch.y, batch.mask, carry, sub)
                 loss_f = float(loss)
+                if not first_step_logged:
+                    # compile-vs-step observability (SURVEY.md §5.1/5.5)
+                    rater.logger.info(
+                        'first train step (incl. jit compile): %.2fs',
+                        _time.perf_counter() - step_t0)
+                    first_step_logged = True
                 if loss_f > 25:
                     rater.logger.warning('huge loss in "%s"',
                                          batch.file_name)
@@ -235,9 +245,13 @@ def train_rater(rater, data, val_data=None) -> None:
             history['accuracy'].append(ep_acc)
             history['val_loss'].append(ep_vloss)
             history['val_accuracy'].append(ep_vacc)
+            chars_per_sec = tr_n / max(
+                _time.perf_counter() - epoch_t0, 1e-9)
             rater.logger.info(
-                'epoch %d: loss %.4f acc %.4f val_loss %.4f val_acc %.4f',
-                epoch + 1, ep_loss, ep_acc, ep_vloss, ep_vacc)
+                'epoch %d: loss %.4f acc %.4f val_loss %.4f '
+                'val_acc %.4f (%.0f chars/s)',
+                epoch + 1, ep_loss, ep_acc, ep_vloss, ep_vacc,
+                chars_per_sec)
 
             if nan_seen or np.isnan(ep_vloss):
                 break

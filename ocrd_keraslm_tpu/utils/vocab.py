@@ -38,6 +38,7 @@ class Vocab:
     def __init__(self, chars: Optional[Iterable[str]] = None):
         self.c2i: Dict[str, int] = {}
         self.i2c: Dict[int, str] = {}
+        self._version = 0
         if chars:
             self.assign(chars)
 
@@ -48,6 +49,7 @@ class Vocab:
         chars = sorted(set(chars))
         self.c2i = {c: i for i, c in enumerate(chars, 1)}
         self.i2c = {i: c for i, c in enumerate(chars, 1)}
+        self._version += 1
 
     @classmethod
     def from_codepoints(cls, codepoints: Sequence[int]) -> 'Vocab':
@@ -97,17 +99,34 @@ class Vocab:
     # -- vectorization ------------------------------------------------
 
     def encode(self, text: str, log_unmapped: bool = False) -> np.ndarray:
-        """Encode a string into an int32 index array (0 for unmapped)."""
-        out = np.zeros(len(text), dtype=np.int32)
-        for j, char in enumerate(text):
-            idx = self.c2i.get(char)
-            if idx is None:
-                if log_unmapped:
-                    LOG.error('unmapped character "%s" at input position %d',
-                              char, j)
-                idx = 0
-            out[j] = idx
+        """Encode a string into an int32 index array (0 for unmapped).
+
+        Vectorized via a codepoint lookup table (the per-char dict loop
+        is the host-side hot path when feeding whole corpora)."""
+        if not text:
+            return np.zeros(0, dtype=np.int32)
+        cps = np.frombuffer(text.encode('utf-32-le'), dtype=np.uint32)
+        table = self._table()
+        out = np.where(cps < len(table), table[np.minimum(
+            cps, len(table) - 1)], 0).astype(np.int32)
+        if log_unmapped:
+            for j in np.nonzero(out == 0)[0][:20]:
+                LOG.error('unmapped character "%s" at input position %d',
+                          text[j], int(j))
         return out
+
+    def _table(self) -> np.ndarray:
+        """Codepoint -> index lookup table (cached; rebuilt on growth)."""
+        key = getattr(self, '_version', 0)
+        cached = getattr(self, '_table_cache', None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        max_cp = max((ord(c) for c in self.c2i), default=0)
+        table = np.zeros(max_cp + 1, dtype=np.int32)
+        for c, i in self.c2i.items():
+            table[ord(c)] = i
+        self._table_cache = (key, table)
+        return table
 
     def decode(self, indices: Iterable[int]) -> str:
         return ''.join(self.i2c.get(int(i), '�') for i in indices)
@@ -121,6 +140,7 @@ class Vocab:
         for k, c in enumerate(added):
             self.c2i[c] = base + k
             self.i2c[base + k] = c
+        self._version += 1
         return added
 
     def remove(self, char: Optional[str] = None,
@@ -146,6 +166,7 @@ class Vocab:
         size = self.size
         self.c2i.pop(char)
         self.i2c.pop(idx)
+        self._version += 1
         for i in range(idx + 1, size):
             other = self.i2c.get(i)
             if other is None:

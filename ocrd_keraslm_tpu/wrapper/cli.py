@@ -33,9 +33,18 @@ from .rate import OCRD_TOOL, KerasRate
 @click.option('-J', '--dump-json', is_flag=True,
               help='print tool description and exit')
 @click.option('-l', '--log-level', default='INFO', show_default=True)
+@click.option('--profile', is_flag=True,
+              help='enable host profiling (cProfile)')
+@click.option('--profile-file', default=None,
+              type=click.Path(dir_okay=False, writable=True),
+              help='write host profile stats to this file')
+@click.option('--jax-trace', default=None,
+              type=click.Path(file_okay=False, writable=True),
+              help='capture a device trace (jax.profiler) into this '
+                   'directory')
 def ocrd_keraslm_rate(mets, input_file_grp, output_file_grp, parameter,
                       parameter_override, overwrite, dump_json,
-                      log_level):
+                      log_level, profile, profile_file, jax_trace):
     """Rate elements of the text with a character-level LSTM language
     model (TPU-native)."""
     logging.basicConfig(level=getattr(logging, log_level.upper(),
@@ -44,6 +53,27 @@ def ocrd_keraslm_rate(mets, input_file_grp, output_file_grp, parameter,
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    if profile or profile_file:
+        import atexit
+        import cProfile
+        import pstats
+        prof = cProfile.Profile()
+        prof.enable()
+
+        def _dump():
+            prof.disable()
+            if profile_file:
+                prof.dump_stats(profile_file)
+            else:
+                pstats.Stats(prof).sort_stats('cumulative') \
+                    .print_stats(30)
+        atexit.register(_dump)
+    if jax_trace:
+        import atexit
+
+        import jax
+        jax.profiler.start_trace(jax_trace)
+        atexit.register(jax.profiler.stop_trace)
     if dump_json:
         click.echo(json.dumps(OCRD_TOOL, indent=2))
         return

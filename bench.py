@@ -163,43 +163,93 @@ def main():
           % (batched, dt, total), file=sys.stderr)
 
     # ---- lattice beam decoding (device beam, one dispatch/page) ----
-    base_dec = numpy_baseline_decode_chars_per_sec(params_np, width,
-                                                   depth)
-    print('numpy decode baseline: %.0f chars/s' % base_dec,
-          file=sys.stderr)
-    import networkx as nx
+    decode = base_dec = None
+    try:
+        base_dec = numpy_baseline_decode_chars_per_sec(params_np,
+                                                       width, depth)
+        print('numpy decode baseline: %.0f chars/s' % base_dec,
+              file=sys.stderr)
+        import networkx as nx
 
-    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
-    rng2 = np.random.default_rng(3)
-    graph = nx.DiGraph()
-    graph.add_node(0)
-    n_edges = 1000
-    chars = list(rater.vocab.c2i.keys())
-    for e in range(n_edges):
-        tes = [TextEquivType(Unicode=chars[rng2.integers(len(chars))],
-                             conf=0.9, index=i) for i in range(4)]
-        graph.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
-    rater.rate_best_device(graph, 0, n_edges, beam_width=16)  # warmup
-    t0 = time.perf_counter()
-    path, entropy, _ = rater.rate_best_device(graph, 0, n_edges,
-                                              beam_width=16)
-    dt = time.perf_counter() - t0
-    decode = n_edges / dt
-    print('tpu decode (beam 16, 4 alts): %.0f chars/s (%.3fs for %d '
-          'edges)' % (decode, dt, n_edges), file=sys.stderr)
+        from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+        rng2 = np.random.default_rng(3)
+        graph = nx.DiGraph()
+        graph.add_node(0)
+        n_edges = 1000
+        chars = list(rater.vocab.c2i.keys())
+        for e in range(n_edges):
+            tes = [TextEquivType(
+                Unicode=chars[rng2.integers(len(chars))],
+                conf=0.9, index=i) for i in range(4)]
+            graph.add_edge(e, e + 1, element='g%d' % e,
+                           alternatives=tes)
+        t0 = time.perf_counter()
+        rater.rate_best_device(graph, 0, n_edges, beam_width=16)
+        print('decode compile+warmup: %.1fs'
+              % (time.perf_counter() - t0), file=sys.stderr)
+        best = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            path, entropy, _ = rater.rate_best_device(
+                graph, 0, n_edges, beam_width=16)
+            best = min(best, time.perf_counter() - t0)
+        decode = n_edges / best
+        print('tpu decode (beam 16, 4 alts): %.0f chars/s (%.3fs for '
+              '%d edges)' % (decode, best, n_edges), file=sys.stderr)
+    except Exception as err:
+        print('decode bench failed: %r' % err, file=sys.stderr)
 
+    # ---- training step throughput (parallel-streams stateful) ----
+    train_cps = None
+    base_train = base / 3.0  # estimate: fwd numpy loop / 3 (fwd+bwd)
+    try:
+        import jax.numpy as jnp
+
+        from ocrd_keraslm_tpu.models.lstm_lm import zero_carry
+        from ocrd_keraslm_tpu.training import _OPT, train_step
+        B, T = 128, 256
+        x = jnp.asarray(rng.integers(1, voc, (B, T)), jnp.int32)
+        y = jnp.asarray(rng.integers(1, voc, (B, T)), jnp.int32)
+        mask = jnp.ones((B, T), jnp.float32)
+        zs = (jnp.zeros((B,), jnp.int32),)
+        carry = zero_carry(cfg, B)
+        opt_state = _OPT.init(params)
+        p = params
+        rngk = jax.random.PRNGKey(0)
+        p, opt_state, carry, loss, nll, acc = train_step(
+            p, opt_state, cfg, x, zs, y, mask, carry, rngk)  # compile
+        float(loss)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            p, opt_state, carry, loss, nll, acc = train_step(
+                p, opt_state, cfg, x, zs, y, mask, carry, rngk)
+        float(loss)
+        dt = (time.perf_counter() - t0) / reps
+        train_cps = B * T / dt
+        print('tpu train step: %.0f chars/s (%.1f ms/step of %d chars)'
+              % (train_cps, dt * 1e3, B * T), file=sys.stderr)
+    except Exception as err:
+        print('train bench failed: %r' % err, file=sys.stderr)
+
+    extra = {'batched_chars_per_sec': round(batched, 1),
+             'batched_vs_baseline': round(batched / base, 2),
+             'numpy_baseline_chars_per_sec': round(base, 1)}
+    if decode is not None:
+        extra.update({
+            'decode_chars_per_sec': round(decode, 1),
+            'decode_vs_baseline': round(decode / base_dec, 2),
+            'numpy_baseline_decode_chars_per_sec': round(base_dec, 1)})
+    if train_cps is not None:
+        extra.update({
+            'train_chars_per_sec': round(train_cps, 1),
+            'train_vs_baseline_est': round(train_cps / base_train, 2)})
     print(json.dumps({
         'metric': 'rating_chars_per_sec',
         'value': round(tpu, 1),
         'unit': 'chars/s',
         'vs_baseline': round(tpu / base, 2),
-        'extra': {'batched_chars_per_sec': round(batched, 1),
-                  'batched_vs_baseline': round(batched / base, 2),
-                  'numpy_baseline_chars_per_sec': round(base, 1),
-                  'decode_chars_per_sec': round(decode, 1),
-                  'decode_vs_baseline': round(decode / base_dec, 2),
-                  'numpy_baseline_decode_chars_per_sec':
-                      round(base_dec, 1)},
+        'extra': extra,
     }))
 
 

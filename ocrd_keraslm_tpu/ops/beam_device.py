@@ -228,23 +228,19 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
 
     (h, c, x_prev, cost), (backptrs, altidxs, costs) = jax.lax.scan(
         edge_step, (h0, c0, x0, cost0),
-        (alt_chars, alt_mask, alt_conf_bits), unroll=2)
+        (alt_chars, alt_mask, alt_conf_bits))
 
-    # on-device traceback: reverse backpointer walk from the best final
-    # hypothesis, so the host fetches only the per-edge choices + path
-    # costs instead of (E, K) matrices (device->host round-trips
-    # dominate); everything host-bound is packed into ONE array
-    best = jnp.argmin(cost)
-
-    def back_step(k, rec):
-        bp, ai, co = rec
-        return bp[k], (ai[k], co[k])
-    _, (choices, path_costs) = jax.lax.scan(
-        back_step, best, (backptrs, altidxs, costs), reverse=True)
-    # packed: row 0 = (min incoming cost, best final cost);
-    # rows 1..E = (choice, cumulative path cost)
+    # everything host-bound packs into ONE array (device->host
+    # round-trips dominate): row 0 carries the min incoming cost,
+    # rows 1..E carry [backptr | altidx | cumulative cost] per beam
+    # slot; the (cheap, cross-block-exact) traceback runs on host
+    K = cost0.shape[0]
+    header = jnp.zeros((1, 3 * K), jnp.float32).at[0, 0].set(
+        jnp.min(cost0))
     packed = jnp.concatenate([
-        jnp.stack([jnp.min(cost0), cost[best]])[None, :],
-        jnp.stack([choices.astype(jnp.float32), path_costs], axis=1),
+        header,
+        jnp.concatenate([backptrs.astype(jnp.float32),
+                         altidxs.astype(jnp.float32),
+                         costs], axis=1),
     ], axis=0)
     return packed, h, c, x_prev, cost

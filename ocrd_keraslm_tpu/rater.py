@@ -234,7 +234,8 @@ class Rater:
                     '%d character types', old_voc)
                 self.params = None
                 self.configure()
-                new_emb = np.asarray(self.params['char_embedding'])
+                new_emb = np.array(self.params['char_embedding'],
+                                   copy=True)
                 new_emb[:old_voc] = np.asarray(
                     old_params['char_embedding'])
                 self.params['char_embedding'] = jnp.asarray(new_emb)
@@ -790,24 +791,14 @@ class Rater:
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
         A = 4
-        E = _bucket(len(edges), (64, 128, 256, 512, 1024, 2048, 4096))
+        # fixed block buckets: long pages chain blocks of <= 1024 edges
+        # through the device-resident beam carry, so ONE compiled shape
+        # serves any page length (tunnel compiles cost minutes)
+        E_BUCKETS = (64, 256, 1024)
+        E_MAX = E_BUCKETS[-1]
         maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
                      for e in edges)
-        L = _bucket(max(maxlen, 1), (2, 4, 8, 16, 32, 64))
-        alt_chars = np.zeros((E, A, L), np.int32)
-        alt_mask = np.zeros((E, A, L), np.float32)
-        alt_conf_bits = np.full((E, A), np.inf, np.float32)
-        for ei, edge in enumerate(edges):
-            for ai, te in enumerate(edge['alternatives'][:A]):
-                ids = self.vocab.encode(te.Unicode)
-                n = min(len(ids), L)
-                alt_chars[ei, ai, :n] = ids[:n]
-                alt_mask[ei, ai, :n] = 1.0
-                conf = te.conf if te.conf else 1.0
-                alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
-        # padding edges: one zero-length free alternative (identity)
-        for ei in range(len(edges), E):
-            alt_conf_bits[ei, 0] = 0.0
+        L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         # initial beam (kept device-resident across pages)
         if device_traceback is None:
             h0 = np.zeros((D, K, W), np.float32)
@@ -815,24 +806,66 @@ class Rater:
             x0 = np.full((K,), self.vocab.get('\n'), np.int32)
             cost0 = np.full((K,), 3.0e38, np.float32)
             cost0[0] = 0.0
-            start_cost = 0.0
         else:
             h0, c0, x0, cost0 = device_traceback
-            start_cost = None  # read from the packed result row 0
         zs = self._context_arrays(context, 1)
-        packed, h, c, x_prev, cost = decode_lattice_device(
-            self.params, self.cfg, alt_chars, alt_mask,
-            alt_conf_bits, tuple(zs), h0, c0, x0, cost0,
-            float(lm_weight), E, A, L, K)
-        # ONE small fetch: per-edge choices + cumulative path costs
-        # (traceback ran on device); beam states stay on device for the
-        # next page
         nE = len(edges)
-        packed = np.asarray(packed)
-        if start_cost is None:
-            start_cost = float(packed[0, 0])
-        choices = packed[1:nE + 1, 0].astype(np.int32)
-        path_costs = packed[1:nE + 1, 1]
+        all_rows = []
+        start_cost = None
+        h, c, x_prev, cost = h0, c0, x0, cost0
+        for lo in range(0, nE, E_MAX):
+            block = edges[lo:lo + E_MAX]
+            E = _bucket(len(block), E_BUCKETS)
+            alt_chars = np.zeros((E, A, L), np.int32)
+            alt_mask = np.zeros((E, A, L), np.float32)
+            alt_conf_bits = np.full((E, A), np.inf, np.float32)
+            for ei, edge in enumerate(block):
+                for ai, te in enumerate(edge['alternatives'][:A]):
+                    ids = self.vocab.encode(te.Unicode)
+                    n = min(len(ids), L)
+                    alt_chars[ei, ai, :n] = ids[:n]
+                    alt_mask[ei, ai, :n] = 1.0
+                    conf = te.conf if te.conf else 1.0
+                    alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
+            # padding edges: one zero-length free alternative (identity)
+            for ei in range(len(block), E):
+                alt_conf_bits[ei, 0] = 0.0
+            packed, h, c, x_prev, cost = decode_lattice_device(
+                self.params, self.cfg, alt_chars, alt_mask,
+                alt_conf_bits, tuple(zs), h, c, x_prev, cost,
+                float(lm_weight), E, A, L, K)
+            packed = np.asarray(packed)  # single fetch per block
+            if start_cost is None:
+                start_cost = float(packed[0, 0])
+            all_rows.append(packed[1:])
+        # host traceback (exact across blocks): top_k sorts ascending,
+        # so the best final hypothesis is slot 0
+        rows = np.concatenate(all_rows, axis=0)
+        bp = rows[:, :K].astype(np.int32)
+        alts_m = rows[:, K:2 * K].astype(np.int32)
+        costs_m = rows[:, 2 * K:]
+        k = 0
+        rev_choices = []
+        rev_costs = []
+        for ei in range(len(rows) - 1, -1, -1):
+            rev_choices.append(alts_m[ei, k])
+            rev_costs.append(costs_m[ei, k])
+            k = int(bp[ei, k])
+        rev_choices.reverse()
+        rev_costs.reverse()
+        # padding rows sit at the tail of each block; real-edge rows are
+        # the first len(block) of each block segment
+        choices = []
+        path_costs = []
+        pos = 0
+        for lo in range(0, nE, E_MAX):
+            block_len = min(E_MAX, nE - lo)
+            E = _bucket(block_len, E_BUCKETS)
+            choices.extend(rev_choices[pos:pos + block_len])
+            path_costs.extend(rev_costs[pos:pos + block_len])
+            pos += E
+        choices = np.asarray(choices, np.int32)
+        path_costs = np.asarray(path_costs, np.float32)
         path = []
         prev_cost = start_cost
         for ei, edge in enumerate(edges):

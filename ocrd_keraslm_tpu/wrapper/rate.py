@@ -182,9 +182,14 @@ class KerasRate:
 
     def process_workspace_stateless(self, workspace: Workspace) -> None:
         """Plain scoring: pages are independent (the OCR-D default
-        page-parallel contract)."""
+        page-parallel contract).  TPU-native twist: all pages of the
+        document are scored as parallel batch streams in ONE device
+        dispatch (``Rater.rate_batch``) instead of one call per page —
+        the equivalent of the reference's page-parallel METS-server
+        mode, realized as batching instead of multiprocessing."""
         self.workspace = workspace
         self.verify()
+        pages = []   # (input_file, page_id, pcgts, file_id, text-parts)
         for input_file in self.input_files:
             page_id = input_file.pageId
             pcgts = self._load_page(input_file, page_id)
@@ -193,13 +198,57 @@ class KerasRate:
             file_id = self._make_file_id(input_file)
             if self._output_exists(file_id):
                 continue
+            pages.append((pcgts, file_id, page_id))
+        if not pages:
+            return
+        level = self.parameter['textequiv_level']
+        context = mets_get_context(self.workspace.mets)
+        page_texts = []
+        page_elements = []
+        for pcgts, _, _ in pages:
+            graph, _, _ = page_get_linear_graph_at(level, pcgts,
+                                                   logger=self.logger)
+            text = [(edge['element'], edge['alternatives'])
+                    for edge in _get_edges(graph, 0)]
+            page_elements.append(text)
+            page_texts.append(''.join(tes[0].Unicode
+                                      for _, tes in text))
+        all_confidences = self.rater.rate_batch(
+            page_texts, [context] * len(pages))
+        for (pcgts, file_id, page_id), text, confidences in zip(
+                pages, page_elements, all_confidences):
             try:
-                self.process_page_pcgts(pcgts)
+                self._apply_confidences(pcgts, text, confidences, level)
                 self._write_page(pcgts, file_id, page_id)
             except KeyboardInterrupt:
                 raise
             except Exception as err:
                 self._handle_page_error(err, page_id)
+
+    def _apply_confidences(self, pcgts, text, confidences, level):
+        lm_weight = self.parameter['lm_weight']
+        i = 0
+        for element, textequivs in text:
+            textequiv = textequivs[0]
+            if element:
+                element.set_TextEquiv([textequiv])
+            n = len(textequiv.Unicode)
+            conf = sum(confidences[i:i + n]) / max(n, 1)
+            conf2 = textequiv.conf if textequiv.conf is not None else 1.0
+            textequiv.set_conf(conf * lm_weight +
+                               conf2 * (1. - lm_weight))
+            i += n
+        if i != len(confidences):
+            self.logger.critical('Input text length and output scores '
+                                 'length are off by %d characters',
+                                 i - len(confidences))
+        avg = sum(confidences) / len(confidences)
+        ent = sum(-log(max(p, 1e-99), 2)
+                  for p in confidences) / len(confidences)
+        ppl = pow(2.0, ent)
+        ppll = pow(2.0, ent * len(confidences) / max(len(text), 1))
+        self.logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
+                         avg, ppl, level, ppll)
 
     def process_workspace_stateful(self, workspace: Workspace) -> None:
         """Sequential page loop with cross-page LM traceback and OCR-D
@@ -355,27 +404,7 @@ class KerasRate:
         self.logger.info('Rating %d elements with a total of %d '
                          'characters', len(text), len(textstring))
         confidences = self.rater.rate(textstring, context)
-        i = 0
-        for element, textequivs in text:
-            textequiv = textequivs[0]
-            if element:
-                element.set_TextEquiv([textequiv])
-            n = len(textequiv.Unicode)
-            conf = sum(confidences[i:i + n]) / max(n, 1)
-            conf2 = textequiv.conf if textequiv.conf is not None else 1.0
-            textequiv.set_conf(conf * lm_weight + conf2 * (1. - lm_weight))
-            i += n
-        if i != len(confidences):
-            self.logger.critical('Input text length and output scores '
-                                 'length are off by %d characters',
-                                 i - len(confidences))
-        avg = sum(confidences) / len(confidences)
-        ent = sum(-log(max(p, 1e-99), 2)
-                  for p in confidences) / len(confidences)
-        ppl = pow(2.0, ent)
-        ppll = pow(2.0, ent * len(confidences) / len(text))
-        self.logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
-                         avg, ppl, level, ppll)
+        self._apply_confidences(pcgts, text, confidences, level)
         self.add_metadata(pcgts)
         return pcgts
 

@@ -96,6 +96,23 @@ def test_device_decode_matches_host_choice(overfit_rater):
     assert dev_str == host_str
 
 
+def test_device_decode_block_chaining(overfit_rater):
+    """Pages longer than one edge block (1024) chain blocks through the
+    device-resident carry; the host traceback stays exact across the
+    block boundary."""
+    r = overfit_rater
+    words = ['abcd'] * 225  # 225*4 + 224 spaces = 1124 edges > 1024
+    alternatives = {(3, 2): [('x', 0.92), ('c', 0.90)],
+                    (220, 1): [('q', 0.92), ('b', 0.90)]}
+    g, s, e = _toy_graph(words, alternatives=alternatives)
+    path, entropy, _ = r.rate_best_device(g, s, e, lm_weight=0.8,
+                                          beam_width=4)
+    decoded = ''.join(te.Unicode for _, te, _ in path)
+    assert decoded == ' '.join(words)
+    assert len(path) == 225 * 4 + 224
+    assert np.isfinite(entropy) and entropy > 0
+
+
 def test_device_decode_cross_page_carry(overfit_rater):
     """The final beam of page 1 conditions page 2 (state carry)."""
     r = overfit_rater

@@ -1,0 +1,113 @@
+"""Training-loop integration tests: stateless + stateful paths, early
+stopping/checkpointing, multiple context variables."""
+import glob
+import os
+import random
+
+import numpy as np
+import pytest
+
+import ocrd_keraslm_tpu.training as training
+from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+from ocrd_keraslm_tpu.rater import Rater
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    random.seed(7)
+    words = ['die', 'der', 'und', 'ist', 'kant', 'vernunft', 'mensch']
+    files = []
+    for name in ['a_eins_1781.txt', 'b_zwei_1790.txt',
+                 'c_drei_1800.txt']:
+        path = tmp_path / name
+        with open(path, 'w') as fh:
+            for _ in range(60):
+                fh.write(' '.join(random.choices(words, k=10)) + '\n')
+        files.append(str(path))
+    return files
+
+
+def _train(files, tmp_path, epochs=2, **attrs):
+    old_epochs = training.EPOCHS
+    training.EPOCHS = epochs
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # checkpoints land here
+    try:
+        r = Rater()
+        r.width, r.depth, r.length = 16, 1, 16
+        for k, v in attrs.items():
+            setattr(r, k, v)
+        r.configure()
+        r.train(files)
+        return r
+    finally:
+        os.chdir(cwd)
+        training.EPOCHS = old_epochs
+
+
+def test_stateful_streams_training(corpus, tmp_path):
+    r = _train(corpus, tmp_path, stateful=True, train_streams=True)
+    assert r.status == 2
+    assert len(r.history['loss']) >= 1
+    assert np.isfinite(r.history['val_loss'][-1])
+    # best-only checkpoints written
+    assert glob.glob(str(tmp_path / 'ckpt.*.h5'))
+
+
+def test_stateful_parity_training(corpus, tmp_path):
+    r = _train(corpus, tmp_path, stateful=True, train_streams=False)
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])
+
+
+def test_stateless_training(corpus, tmp_path):
+    r = _train(corpus, tmp_path, stateful=False)
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])
+    # stateless model can rate and generate
+    probs = r.rate('die vernunft', [179])
+    assert len(probs) == 12
+
+
+def test_two_context_variables(corpus, tmp_path):
+    """Context variables are a configurable list (reference hardcoded
+    one; rating.py:118-122 asked for this)."""
+    r = _train(corpus, tmp_path, stateful=True,
+               contexts=((200, 10), (50, 4)))
+    assert r.status == 2
+    probs = r.rate('die vernunft', [179, 3])
+    assert len(probs) == 12
+    # save/load round-trips the context spec
+    path = str(tmp_path / 'ctx2.h5')
+    r.save(path)
+    r2 = Rater()
+    r2.load_config(path)
+    assert r2.contexts == ((200, 10), (50, 4))
+    r2.configure()
+    r2.load_weights(path)
+    res, ppl = r2.rate2('die kant', [179, 3])
+    assert np.isfinite(ppl)
+
+
+def test_vocab_growth_continuation(corpus, tmp_path):
+    """Continued training with new characters transfers old embedding
+    rows (reference reconfigure_for_mapping)."""
+    r = _train(corpus, tmp_path, stateful=True)
+    old_emb = np.asarray(r.params['char_embedding'])
+    old_voc = r.voc_size
+    # new file with new characters
+    extra = tmp_path / 'd_vier_1810.txt'
+    with open(extra, 'w') as fh:
+        fh.write('xqXQ 1234!? ' * 200)
+    files = corpus + [str(extra)]
+    old_epochs = training.EPOCHS
+    training.EPOCHS = 1
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r.train(files)
+    finally:
+        os.chdir(cwd)
+        training.EPOCHS = old_epochs
+    assert r.voc_size > old_voc
+    assert r.params['char_embedding'].shape[0] == r.voc_size

@@ -101,9 +101,17 @@ def numpy_baseline_decode_chars_per_sec(params_np, width, depth,
 
 def main():
     import jax
+    import jax.numpy as _jnp
 
     from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
     from ocrd_keraslm_tpu.rater import Rater, SCORE_CHUNK
+
+    # absorb the remote-compile service cold start (observed up to
+    # ~350s for the FIRST compile of a process, seconds afterwards)
+    t0 = time.perf_counter()
+    float(jax.jit(lambda v: (v @ v).sum())(_jnp.ones((129, 129))))
+    print('compile-service warmup: %.1fs' % (time.perf_counter() - t0),
+          file=sys.stderr)
 
     width, depth, voc = 128, 2, 200
     cfg = LMConfig(width=width, depth=depth, length=256, voc_size=voc)

@@ -325,30 +325,25 @@ def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
             context = context_from_filename(name)
             ids = vocab.encode(text)
             size = len(ids)
-            # choose stream count so each stream has >= 1 full window
-            B = max(1, min(batch_size, (size - 1) // (length + 1)))
-            stream_len = (size - 1) // B
-            n_windows = max(stream_len // length, 1)
+            # native (C++) batch builder when available; NumPy fallback
+            from .native import build_stream_batches
+            prebuilt = build_stream_batches(ids, batch_size, length)
+            if prebuilt is not None:
+                xs, ys, masks = prebuilt
+                windows = ((xs[w], ys[w], masks[w])
+                           for w in range(len(xs)))
+            else:
+                windows = _stream_windows_numpy(ids, size, batch_size,
+                                                length)
             first = True
-            for w in range(n_windows):
-                x = np.zeros((batch_size, length), np.int32)
-                y = np.zeros((batch_size, length), np.int32)
-                mask = np.zeros((batch_size, length), np.float32)
-                for b in range(B):
-                    lo = b * stream_len + w * length
-                    hi = min(lo + length, b * stream_len + stream_len,
-                             size - 1)
-                    n = hi - lo
-                    if n <= 0:
-                        continue
-                    x[b, :n] = ids[lo:hi]
-                    y[b, :n] = ids[lo + 1:hi + 1]
-                    mask[b, :n] = 1.0
+            for x, y, mask in windows:
+                x = np.ascontiguousarray(x)
                 zs = [np.full((batch_size,), c, np.int32)
                       for c in context[:n_contexts]]
                 while len(zs) < n_contexts:
                     zs.append(np.zeros((batch_size,), np.int32))
                 if train and rng.uniform() < char_degradation:
+                    x = x.copy()
                     x[:, rng.integers(length)] = 0
                 if train and zs and rng.uniform() < context_degradation:
                     zs[rng.integers(len(zs))][:] = 0
@@ -357,3 +352,25 @@ def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
                 first = False
         if not repeat:
             break
+
+
+def _stream_windows_numpy(ids, size, batch_size, length):
+    """NumPy fallback for the native stream batch builder."""
+    B = max(1, min(batch_size, (size - 1) // (length + 1)))
+    stream_len = (size - 1) // B
+    n_windows = max(stream_len // length, 1)
+    for w in range(n_windows):
+        x = np.zeros((batch_size, length), np.int32)
+        y = np.zeros((batch_size, length), np.int32)
+        mask = np.zeros((batch_size, length), np.float32)
+        for b in range(B):
+            lo = b * stream_len + w * length
+            hi = min(lo + length, b * stream_len + stream_len,
+                     size - 1)
+            n = hi - lo
+            if n <= 0:
+                continue
+            x[b, :n] = ids[lo:hi]
+            y[b, :n] = ids[lo + 1:hi + 1]
+            mask[b, :n] = 1.0
+        yield x, y, mask

@@ -109,7 +109,9 @@ def generate_device(params, cfg: LMConfig, prefix, prefix_mask, zs,
                 (new_char, backptr, new_cost))
     (h, c, x_prev, cost), (chars, backptrs, costs) = jax.lax.scan(
         step, (h, c, x_prev, cost), None, length=length, unroll=2)
-    return chars, backptrs, cost
+    # per-step cost records allow ranking at ANY step <= length, so the
+    # host can bucket `length` to a few compiled sizes
+    return chars, backptrs, costs
 
 
 def generate_beam(rater, prefix: str, length: int, context=None,
@@ -128,19 +130,30 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     zs = tuple(np.asarray([context[i] if i < len(context) else 0],
                           np.int32)
                for i in range(len(rater.contexts)))
+    # bucket the scan length so each -n value does not compile its own
+    # program (compiles are minutes in tunneled environments); surplus
+    # steps are computed and discarded
+    length = int(length)
+    for bucket in (16, 64, 256, 1024, 4096, 10000):
+        if length <= bucket:
+            run_length = bucket
+            break
+    else:
+        run_length = length
     chars, backptrs, costs = generate_device(
         rater.params, rater.cfg, jnp.asarray(prefix_ids),
-        jnp.asarray(prefix_mask), zs, int(length))
-    chars = np.asarray(chars)      # (length, K)
+        jnp.asarray(prefix_mask), zs, run_length)
+    chars = np.asarray(chars)        # (run_length, K)
     backptrs = np.asarray(backptrs)
-    costs = np.asarray(costs)
-    order = np.argsort(costs)[:variants]
+    costs = np.asarray(costs)        # (run_length, K) per-step costs
+    final_costs = costs[length - 1]
+    order = np.argsort(final_costs)[:variants]
     results = []
     for k in order:
-        if costs[k] >= 1e38:
+        if final_costs[k] >= 1e38:
             continue
         seq = []
-        idx = k
+        idx = int(k)
         for t in range(length - 1, -1, -1):
             seq.append(int(chars[t, idx]))
             idx = int(backptrs[t, idx])

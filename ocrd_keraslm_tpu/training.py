@@ -189,7 +189,9 @@ def train_rater(rater, data, val_data=None) -> None:
             epoch_t0 = _time.perf_counter()
             carry = zero_carry(cfg, batch_dim)
             tr_loss = tr_acc = tr_n = 0.0
-            for batch in make_gen(plan.training_files, True):
+            from .native import Prefetcher
+            for batch in Prefetcher(make_gen(plan.training_files,
+                                             True)):
                 if batch.reset_carry and rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
                 rng, sub = jax.random.split(rng)

@@ -463,7 +463,11 @@ class Rater:
     def rate2(self, text: str, context=None
               ) -> Tuple[List[Tuple[str, float]], float]:
         """Per-character probabilities + base-2 perplexity (reference
-        rating.py:531-576: the slow/debug path, here vectorized)."""
+        rating.py:531-576: the slow/debug path, here vectorized).
+
+        For stateless fixed-window models the reference's rolling
+        zero-padded window semantics are reproduced; stateful and
+        variable-length models use the exact full-context scan."""
         assert self.status > 1
         text = nfc(text)
         if not text:

@@ -1,8 +1,8 @@
 """Fused Pallas TPU kernel: whole-lattice beam decoding on-chip.
 
-The XLA version (ops/beam_device.py) is already a single dispatch, but
-each edge costs ~30-40us in per-op overhead.  This kernel runs the
-complete search — expansion, embedding lookup, both LSTM layers, tied
+The XLA version (ops/beam_device.py) is a single dispatch, but each
+edge costs ~40us in per-op overhead.  This kernel runs the complete
+search — expansion, embedding lookup, the LSTM layer stack, tied
 softmax scoring, top-K pruning, state gathering — inside ONE
 ``pallas_call`` with a sequential grid over edges:
 
@@ -12,17 +12,18 @@ softmax scoring, top-K pruning, state gathering — inside ONE
   lives in the kernel's output refs (constant index maps -> persistent
   across grid steps), so the final state doubles as the cross-page
   carry;
-* per-edge alternative data (char ids, masks, confidence bits) streams
-  through SMEM blocks;
+* per-edge alternative char ids / masks / confidences stream through
+  SMEM scalars (A*L of them per edge);
 * "gathers" are one-hot matmuls on the MXU (beam expansion (KA, K) @
   (K, W); state re-ordering (K, KA) @ (KA, W); embedding lookup
   (KA, V) @ (V, W)) — no dynamic indexing;
-* top-K selection is K unrolled argmin-and-mask iterations on a lane
-  vector (VPU), emitting backpointers/alternative ids as SMEM scalars.
+* costs travel as 128-lane vectors; top-K selection is K unrolled
+  argmin-and-mask iterations on a lane vector (VPU), accumulating the
+  per-edge [backptr | altidx | cost] records into ONE (8, 128) VMEM
+  tile written once per edge — no scalar output writes.
 
 The page context variables are constant per page, so their embedding
-contribution is folded into the layer-0 bias outside the kernel
-(one less matmul per char step).
+contribution is folded into the layer-0 bias outside the kernel.
 
 Cost semantics identical to ops/beam_device.decode_lattice_device
 (lm_weight * -log2 p_LM per char + (1 - lm_weight) * -log2 conf per
@@ -31,7 +32,6 @@ char); parity-tested against it.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 INV_LN2 = 1.4426950408889634
 BIG = 1.0e30
+LANE = 128
 
 
 def _lstm_gates_pl(z, c):
@@ -55,12 +56,11 @@ def _lstm_gates_pl(z, c):
 
 def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
     KA = K * A
-    LANE = 128  # padded lane width for cost vectors
 
     def kernel(chars_ref, mask_ref, conf_ref,     # per-edge SMEM
                emb_ref, embT_ref, kin_ref, rec_ref, bias_ref,  # VMEM
                h0_ref, c0_ref, xemb0_ref, cost0_ref,  # init
-               bp_ref, alt_ref, costs_ref,        # per-edge outputs
+               rec_out_ref,                       # per-edge records
                h_ref, c_ref, xemb_ref, costf_ref  # persistent state
                ):
         t = pl.program_id(0)
@@ -70,8 +70,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             h_ref[:] = h0_ref[:]
             c_ref[:] = c0_ref[:]
             xemb_ref[:] = xemb0_ref[:]
-            for j in range(K):
-                costf_ref[0, j] = cost0_ref[0, j]
+            costf_ref[:] = cost0_ref[:]
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (KA, 1), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -80,31 +79,35 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
         # ---- expansion: beam (K) -> hypotheses (KA = K * A) ----
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (KA, K), 1)
         Rexp = (row_iota // A == col_iota).astype(jnp.float32)
-        hE = [jnp.dot(Rexp, h_ref[d], preferred_element_type=jnp.float32)
+        hE = [jnp.dot(Rexp, h_ref[d],
+                      preferred_element_type=jnp.float32)
               for d in range(D)]
-        cE = [jnp.dot(Rexp, c_ref[d], preferred_element_type=jnp.float32)
+        cE = [jnp.dot(Rexp, c_ref[d],
+                      preferred_element_type=jnp.float32)
               for d in range(D)]
         xembE = jnp.dot(Rexp, xemb_ref[:],
                         preferred_element_type=jnp.float32)
-        # costs: lane vector (1, LANE), lanes >= KA invalid
-        costE = jnp.zeros((1, LANE), jnp.float32) + BIG
-        for j in range(K):
-            cj = costf_ref[0, j]
-            costE = jnp.where((lane_iota >= j * A) &
-                              (lane_iota < (j + 1) * A), cj, costE)
+        # cost expansion as a lane-vector matmul:
+        # Mexp[src_lane, dst_lane] = 1 iff dst//A == src and dst < KA
+        src_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+        dst_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+        Mexp = ((dst_iota // A == src_iota) &
+                (dst_iota < KA)).astype(jnp.float32)
+        costE = jnp.dot(costf_ref[:], Mexp,
+                        preferred_element_type=jnp.float32)
+        costE = jnp.where(lane_iota < KA, costE, BIG)
 
-        # per-hypothesis conf bits (lane vector)
+        # per-hypothesis conf bits (lane vector, SMEM scalar reads)
         confE = jnp.zeros((1, LANE), jnp.float32)
-        nchars = jnp.zeros((1, LANE), jnp.float32)
         for a in range(A):
             conf_a = conf_ref[0, a, 0]
             confE = jnp.where(lane_iota % A == a, conf_a, confE)
 
         acc = jnp.zeros((1, LANE), jnp.float32)
+        nchars = jnp.zeros((1, LANE), jnp.float32)
 
         # ---- char steps (unrolled) ----
         for step_t in range(L):
-            # current char id / mask per hypothesis (sublane + lane)
             char_sub = jnp.zeros((KA, 1), jnp.int32)
             m_sub = jnp.zeros((KA, 1), jnp.float32)
             m_lane = jnp.zeros((1, LANE), jnp.float32)
@@ -116,7 +119,6 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                 m_lane = jnp.where(lane_iota % A == a, ma, m_lane)
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
-            # layer stack
             inp = xembE
             new_h, new_c = [], []
             for d in range(D):
@@ -124,13 +126,12 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                              preferred_element_type=jnp.float32)
                      + jnp.dot(hE[d], rec_ref[d],
                                preferred_element_type=jnp.float32)
-                     + bias_ref[d])  # (1, 4W) block broadcasts
+                     + bias_ref[d])
                 h2, c2 = _lstm_gates_pl(z, cE[d])
                 new_h.append(h2)
                 new_c.append(c2)
                 inp = h2
 
-            # tied softmax: logits (KA, V), mask padded vocab lanes
             logits = jnp.dot(inp, embT_ref[:],
                              preferred_element_type=jnp.float32)
             logits = jnp.where(lane_iota_v < V_real, logits, -BIG)
@@ -140,14 +141,13 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             logit_cur = jnp.sum(onehot_cur * logits, axis=-1,
                                 keepdims=True)
             nll2_sub = (lse - logit_cur) * INV_LN2    # (KA, 1) bits
-            # accumulate in lane orientation
             nll2_lane = nll2_sub.reshape(1, KA)
-            pad = jnp.zeros((1, LANE - KA), jnp.float32)
-            nll2_lane = jnp.concatenate([nll2_lane, pad], axis=1)
+            nll2_lane = jnp.concatenate(
+                [nll2_lane, jnp.zeros((1, LANE - KA), jnp.float32)],
+                axis=1)
             acc = acc + m_lane * (lm_weight * nll2_lane)
             nchars = nchars + m_lane
 
-            # masked state update
             keep = m_sub > 0
             for d in range(D):
                 hE[d] = jnp.where(keep, new_h[d], hE[d])
@@ -156,27 +156,36 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                                preferred_element_type=jnp.float32)
             xembE = jnp.where(keep, xemb_new, xembE)
 
-        # ---- totals + top-K selection ----
+        # ---- totals + top-K selection (lane vectors only) ----
         total = costE + acc + (1.0 - lm_weight) * confE * nchars
         total = jnp.where(lane_iota < KA, total, BIG)
         total = jnp.where(confE >= BIG, BIG, total)
 
         S = jnp.zeros((K, KA), jnp.float32)
-        srow_iota = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 1)
+        s_row = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 0)
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 1)
+        bp_lane = jnp.zeros((1, LANE), jnp.float32)
+        alt_lane = jnp.zeros((1, LANE), jnp.float32)
+        cost_lane = jnp.full((1, LANE), BIG, jnp.float32)
         for j in range(K):
             m = jnp.min(total)
             cand = jnp.where(total == m, lane_iota, LANE)
             first = jnp.min(cand)
-            bp_ref[0, j, 0] = (first // A).astype(jnp.int32)
-            alt_ref[0, j, 0] = (first % A).astype(jnp.int32)
-            costs_ref[0, j, 0] = m
-            costf_ref[0, j] = m
-            sel_lane = (lane_iota == first)
-            S = jnp.where((srow_iota == first) &
-                          (jax.lax.broadcasted_iota(jnp.int32, (K, KA),
-                                                    0) == j),
-                          1.0, S)
-            total = jnp.where(sel_lane, BIG, total)
+            is_j = lane_iota == j
+            bp_lane = jnp.where(is_j, (first // A).astype(jnp.float32),
+                                bp_lane)
+            alt_lane = jnp.where(is_j, (first % A).astype(jnp.float32),
+                                 alt_lane)
+            cost_lane = jnp.where(is_j, m, cost_lane)
+            S = jnp.where((s_col == first) & (s_row == j), 1.0, S)
+            total = jnp.where(lane_iota == first, BIG, total)
+
+        # ONE record write per edge: rows 0..2 = bp / alt / cost
+        rec = jnp.concatenate(
+            [bp_lane, alt_lane, cost_lane,
+             jnp.zeros((5, LANE), jnp.float32)], axis=0)
+        rec_out_ref[0] = rec
+        costf_ref[:] = cost_lane
 
         # ---- gather new beam states (one-hot matmuls) ----
         for d in range(D):
@@ -202,23 +211,23 @@ def decode_lattice_pallas(emb, embT, kin, rec, bias,
     """One-dispatch fused lattice decode.
 
     emb: (V_pad, W); embT: (W, V_pad); kin/rec: (D, W, 4W);
-    bias: (D, 1, 4W) (context contribution folded into layer 0);
+    bias: (D, 1, 4W) (context folded into layer 0);
     alt_chars/mask: (E, A, L); alt_conf_bits: (E, A, 1);
-    h0/c0: (D, K, W); xemb0: (K, W); cost0: (1, K).
+    h0/c0: (D, K, W); xemb0: (K, W); cost0: (1, 128) lane vector
+    (lanes >= K at BIG).
 
-    Returns (packed (E+1, 2), hF, cF, xembF, costF) with the same
-    packed layout as ops.beam_device.decode_lattice_device.
+    Returns (packed (E+1, 3K) host-bound records in the same layout as
+    the XLA path, hF, cF, xembF, costF (1, 128)).
     """
     E, A, L = n_edges, n_alts, alt_len
     D, W, K, V = depth, width, beam, v_pad
     interpret = jax.default_backend() != 'tpu'
     kernel = _make_kernel(D, K, A, L, W, V, v_real, lm_weight)
-    grid = (E,)
     smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    bp, alt, costs, hF, cF, xembF, costF = pl.pallas_call(
+    records, hF, cF, xembF, costF = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(E,),
         in_specs=[
             smem((1, A, L), lambda t: (t, 0, 0)),
             smem((1, A, L), lambda t: (t, 0, 0)),
@@ -231,41 +240,33 @@ def decode_lattice_pallas(emb, embT, kin, rec, bias,
             vmem((D, K, W), lambda t: (0, 0, 0)),
             vmem((D, K, W), lambda t: (0, 0, 0)),
             vmem((K, W), lambda t: (0, 0)),
-            smem((1, K), lambda t: (0, 0)),
+            vmem((1, LANE), lambda t: (0, 0)),
         ],
         out_specs=(
-            smem((1, K, 1), lambda t: (t, 0, 0)),
-            smem((1, K, 1), lambda t: (t, 0, 0)),
-            smem((1, K, 1), lambda t: (t, 0, 0)),
+            vmem((1, 8, LANE), lambda t: (t, 0, 0)),
             vmem((D, K, W), lambda t: (0, 0, 0)),
             vmem((D, K, W), lambda t: (0, 0, 0)),
             vmem((K, W), lambda t: (0, 0)),
-            smem((1, K), lambda t: (0, 0)),
+            vmem((1, LANE), lambda t: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((E, K, 1), jnp.int32),
-            jax.ShapeDtypeStruct((E, K, 1), jnp.int32),
-            jax.ShapeDtypeStruct((E, K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((E, 8, LANE), jnp.float32),
             jax.ShapeDtypeStruct((D, K, W), jnp.float32),
             jax.ShapeDtypeStruct((D, K, W), jnp.float32),
             jax.ShapeDtypeStruct((K, W), jnp.float32),
-            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ),
         interpret=interpret,
     )(alt_chars, alt_mask, alt_conf_bits, emb, embT, kin, rec, bias,
       h0, c0, xemb0, cost0)
 
-    # reverse traceback (tiny XLA scan, same dispatch)
-    best = jnp.argmin(costF[0])
-
-    def back_step(k, rec_):
-        bp_e, alt_e, co_e = rec_
-        return bp_e[k], (alt_e[k], co_e[k])
-    _, (choices, path_costs) = jax.lax.scan(
-        back_step, best, (bp[..., 0], alt[..., 0], costs[..., 0]),
-        reverse=True)
-    packed = jnp.concatenate([
-        jnp.stack([jnp.min(cost0[0]), costF[0, best]])[None, :],
-        jnp.stack([choices.astype(jnp.float32), path_costs], axis=1),
-    ], axis=0)
+    # pack host-bound data exactly like the XLA path: row 0 header with
+    # min incoming cost, rows 1..E = [bp | alt | cost] per beam slot
+    bp = records[:, 0, :beam]
+    alt = records[:, 1, :beam]
+    costs = records[:, 2, :beam]
+    header = jnp.zeros((1, 3 * beam), jnp.float32).at[0, 0].set(
+        jnp.min(jnp.where(jnp.arange(LANE) < beam, cost0[0], BIG)))
+    packed = jnp.concatenate(
+        [header, jnp.concatenate([bp, alt, costs], axis=1)], axis=0)
     return packed, hF, cF, xembF, costF

@@ -67,11 +67,15 @@ _CACHE_ENABLED = False
 
 
 def _enable_compilation_cache():
-    """Persistent XLA compilation cache: compiles in this environment
-    go through a network tunnel and can take minutes, so caching them
-    across processes matters.  Opt out with KERASLM_COMPILE_CACHE=0."""
+    """Persistent XLA compilation cache — OPT-IN via
+    KERASLM_COMPILE_CACHE=1.
+
+    Disabled by default: under the axon remote-compile PJRT plugin a
+    cache hit was observed to return a stale executable with silently
+    wrong numerics (decode costs off by 4x); remote compiles are not
+    accelerated by the local cache anyway."""
     global _CACHE_ENABLED
-    if _CACHE_ENABLED or os.environ.get('KERASLM_COMPILE_CACHE') == '0':
+    if _CACHE_ENABLED or os.environ.get('KERASLM_COMPILE_CACHE') != '1':
         return
     _CACHE_ENABLED = True
     try:
@@ -844,44 +848,9 @@ class Rater:
             all_rows.append(packed[1:])
         # host traceback (exact across blocks): top_k sorts ascending,
         # so the best final hypothesis is slot 0
-        rows = np.concatenate(all_rows, axis=0)
-        bp = rows[:, :K].astype(np.int32)
-        alts_m = rows[:, K:2 * K].astype(np.int32)
-        costs_m = rows[:, 2 * K:]
-        k = 0
-        rev_choices = []
-        rev_costs = []
-        for ei in range(len(rows) - 1, -1, -1):
-            rev_choices.append(alts_m[ei, k])
-            rev_costs.append(costs_m[ei, k])
-            k = int(bp[ei, k])
-        rev_choices.reverse()
-        rev_costs.reverse()
-        # padding rows sit at the tail of each block; real-edge rows are
-        # the first len(block) of each block segment
-        choices = []
-        path_costs = []
-        pos = 0
-        for lo in range(0, nE, E_MAX):
-            block_len = min(E_MAX, nE - lo)
-            E = _bucket(block_len, E_BUCKETS)
-            choices.extend(rev_choices[pos:pos + block_len])
-            path_costs.extend(rev_costs[pos:pos + block_len])
-            pos += E
-        choices = np.asarray(choices, np.int32)
-        path_costs = np.asarray(path_costs, np.float32)
-        path = []
-        prev_cost = start_cost
-        for ei, edge in enumerate(edges):
-            ai = int(choices[ei])
-            te = edge['alternatives'][min(ai,
-                                          len(edge['alternatives']) - 1)]
-            cum = float(path_costs[ei])
-            score = pow(2.0, -(cum - prev_cost)
-                        / max(len(te.Unicode), 1))
-            path.append((edge['element'], te, min(score, 1.0)))
-            prev_cost = cum
-        entropy = float(path_costs[nE - 1]) - start_cost
+        path, entropy = self._walk_traceback(edges, all_rows, K,
+                                             E_BUCKETS, E_MAX,
+                                             start_cost)
         new_traceback = (h, c, x_prev, cost)
         return path, entropy, new_traceback
 
@@ -927,57 +896,92 @@ class Rater:
 
     def _rate_best_pallas(self, edges, device_traceback, context,
                           lm_weight, beam_width):
-        """Fused-kernel decode path (see ops/decode_kernel.py)."""
+        """Fused-kernel decode path (see ops/decode_kernel.py): same
+        block chaining + host traceback as the XLA path; the cross-page
+        carry holds previous-char EMBEDDINGS instead of char ids."""
         from .ops.decode_kernel import decode_lattice_pallas
 
         D, W = self.depth, self.width
         K = _bucket(beam_width, (8, 16, 32, 64))
         A = 4
-        E = _bucket(len(edges), (8, 64, 512, 1024, 2048, 4096))
+        E_BUCKETS = (64, 256, 1024)
+        E_MAX = E_BUCKETS[-1]
         maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
                      for e in edges)
         L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
-        alt_chars = np.zeros((E, A, L), np.int32)
-        alt_mask = np.zeros((E, A, L), np.float32)
-        alt_conf_bits = np.full((E, A), 1.0e30, np.float32)
-        for ei, edge in enumerate(edges):
-            for ai, te in enumerate(edge['alternatives'][:A]):
-                ids = self.vocab.encode(te.Unicode)
-                n = min(len(ids), L)
-                alt_chars[ei, ai, :n] = ids[:n]
-                alt_mask[ei, ai, :n] = 1.0
-                conf = te.conf if te.conf else 1.0
-                alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
-        for ei in range(len(edges), E):
-            alt_conf_bits[ei, 0] = 0.0
         wts = self._decode_weights(context, lm_weight)
         if device_traceback is None:
-            h0 = jnp.zeros((D, K, W), jnp.float32)
-            c0 = jnp.zeros((D, K, W), jnp.float32)
-            xemb0 = jnp.broadcast_to(
+            h = jnp.zeros((D, K, W), jnp.float32)
+            c = jnp.zeros((D, K, W), jnp.float32)
+            xemb = jnp.broadcast_to(
                 wts['emb'][self.vocab.get('\n')], (K, W))
-            cost0 = jnp.full((1, K), 1.0e30, jnp.float32)
-            cost0 = cost0.at[0, 0].set(0.0)
+            cost = jnp.where(jnp.arange(128) == 0, 0.0,
+                             1.0e30)[None, :].astype(jnp.float32)
         else:
-            h0, c0, xemb0, cost0 = device_traceback
-            if h0.shape[1] != K:  # beam size changed between pages
-                h0 = h0[:, :K]
-                c0 = c0[:, :K]
-                xemb0 = xemb0[:K]
-                cost0 = cost0[:, :K]
-        packed, hF, cF, xembF, costF = decode_lattice_pallas(
-            wts['emb'], wts['embT'], wts['kin'], wts['rec'],
-            wts['bias'], alt_chars, alt_mask,
-            alt_conf_bits[:, :, None],
-            h0, c0, xemb0, cost0,
-            n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D, width=W,
-            v_pad=wts['v_pad'], v_real=wts['v_real'],
-            lm_weight=float(lm_weight))
+            h, c, xemb, cost = device_traceback
         nE = len(edges)
-        packed = np.asarray(packed)
-        start_cost = float(packed[0, 0])
-        choices = packed[1:nE + 1, 0].astype(np.int32)
-        path_costs = packed[1:nE + 1, 1]
+        all_rows = []
+        start_cost = None
+        for lo in range(0, nE, E_MAX):
+            block = edges[lo:lo + E_MAX]
+            E = _bucket(len(block), E_BUCKETS)
+            alt_chars = np.zeros((E, A, L), np.int32)
+            alt_mask = np.zeros((E, A, L), np.float32)
+            alt_conf_bits = np.full((E, A), 1.0e30, np.float32)
+            for ei, edge in enumerate(block):
+                for ai, te in enumerate(edge['alternatives'][:A]):
+                    ids = self.vocab.encode(te.Unicode)
+                    n = min(len(ids), L)
+                    alt_chars[ei, ai, :n] = ids[:n]
+                    alt_mask[ei, ai, :n] = 1.0
+                    conf = te.conf if te.conf else 1.0
+                    alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
+            for ei in range(len(block), E):
+                alt_conf_bits[ei, 0] = 0.0
+            packed, h, c, xemb, cost = decode_lattice_pallas(
+                wts['emb'], wts['embT'], wts['kin'], wts['rec'],
+                wts['bias'], alt_chars, alt_mask,
+                alt_conf_bits[:, :, None],
+                h, c, xemb, cost,
+                n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D,
+                width=W, v_pad=wts['v_pad'], v_real=wts['v_real'],
+                lm_weight=float(lm_weight))
+            packed = np.asarray(packed)
+            if start_cost is None:
+                start_cost = float(packed[0, 0])
+            all_rows.append(packed[1:])
+        path, entropy = self._walk_traceback(edges, all_rows, K,
+                                             E_BUCKETS, E_MAX,
+                                             start_cost)
+        return path, entropy, (h, c, xemb, cost)
+
+    def _walk_traceback(self, edges, all_rows, K, E_BUCKETS, E_MAX,
+                        start_cost):
+        """Host backpointer walk over fetched [bp|alt|cost] rows (exact
+        across chained blocks; slot 0 is the best final hypothesis)."""
+        nE = len(edges)
+        rows = np.concatenate(all_rows, axis=0)
+        bp = rows[:, :K].astype(np.int32)
+        alts_m = rows[:, K:2 * K].astype(np.int32)
+        costs_m = rows[:, 2 * K:]
+        k = 0
+        rev_choices = []
+        rev_costs = []
+        for ei in range(len(rows) - 1, -1, -1):
+            rev_choices.append(alts_m[ei, k])
+            rev_costs.append(costs_m[ei, k])
+            k = int(bp[ei, k])
+        rev_choices.reverse()
+        rev_costs.reverse()
+        choices = []
+        path_costs = []
+        pos = 0
+        for lo in range(0, nE, E_MAX):
+            block_len = min(E_MAX, nE - lo)
+            E = _bucket(block_len, E_BUCKETS)
+            choices.extend(rev_choices[pos:pos + block_len])
+            path_costs.extend(rev_costs[pos:pos + block_len])
+            pos += E
         path = []
         prev_cost = start_cost
         for ei, edge in enumerate(edges):
@@ -990,7 +994,7 @@ class Rater:
             path.append((edge['element'], te, min(score, 1.0)))
             prev_cost = cum
         entropy = float(path_costs[nE - 1]) - start_cost
-        return path, entropy, (hF, cF, xembF, costF)
+        return path, entropy
 
     # -- training (delegates to trainer module) -----------------------
 

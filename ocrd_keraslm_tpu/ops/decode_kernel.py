@@ -1,33 +1,35 @@
 """Fused Pallas TPU kernel: whole-lattice beam decoding on-chip.
 
 The XLA version (ops/beam_device.py) is a single dispatch, but each
-edge costs ~40us in per-op overhead.  This kernel runs the complete
+edge costs ~30-40us in per-op overhead.  This kernel runs the complete
 search — expansion, embedding lookup, the LSTM layer stack, tied
 softmax scoring, top-K pruning, state gathering — inside ONE
-``pallas_call`` with a sequential grid over edges:
+``pallas_call`` with a sequential grid over edges, engineered to
+minimize the sequential op chain per edge:
 
-* all weights (embedding + transposed embedding + per-layer input and
-  recurrent kernels) stay VMEM-resident for the whole lattice;
-* the beam state (h, c per layer, previous-char embeddings, costs)
-  lives in the kernel's output refs (constant index maps -> persistent
-  across grid steps), so the final state doubles as the cross-page
-  carry;
-* per-edge alternative char ids / masks / confidences stream through
-  SMEM scalars (A*L of them per edge);
-* "gathers" are one-hot matmuls on the MXU (beam expansion (KA, K) @
-  (K, W); state re-ordering (K, KA) @ (KA, W); embedding lookup
-  (KA, V) @ (V, W)) — no dynamic indexing;
-* costs travel as 128-lane vectors; top-K selection is K unrolled
-  argmin-and-mask iterations on a lane vector (VPU), accumulating the
-  per-edge [backptr | altidx | cost] records into ONE (8, 128) VMEM
-  tile written once per edge — no scalar output writes.
+* the whole beam state is ONE packed (K, S) matrix with layout
+  ``[xemb | h_0..h_{D-1} | c_0..c_{D-1}]`` (S = (2D+1)W), persisted in
+  an output ref across grid steps (constant index map), so beam
+  expansion and post-top-K gathering are ONE one-hot MXU matmul each
+  instead of 2D+1;
+* per layer the input and recurrent projections are fused into one
+  (KA, 2W) @ (2W, 4W) matmul over ``[input | h]`` (for layer 0 the
+  operand is a contiguous slice of the packed state — no concat);
+* costs travel as 128-lane vectors (beam->hypothesis expansion is a
+  lane matmul); top-K selection is K unrolled argmin-and-mask
+  iterations on a lane vector, accumulating the per-edge
+  [backptr | altidx | cost] records into one (8, 128) VMEM tile
+  written once per edge;
+* all weights stay VMEM-resident; per-edge alternative data streams
+  through per-edge VMEM blocks; the page context embedding is folded
+  into the layer-0 bias outside the kernel;
+* gather-type matmuls (state expansion/reorder, cost expansion,
+  embedding lookup) run at Precision.HIGHEST — they must pass f32
+  values through exactly (see EXACT below).
 
-The page context variables are constant per page, so their embedding
-contribution is folded into the layer-0 bias outside the kernel.
-
-Cost semantics identical to ops/beam_device.decode_lattice_device
-(lm_weight * -log2 p_LM per char + (1 - lm_weight) * -log2 conf per
-char); parity-tested against it.
+Cost semantics identical to ops/beam_device.decode_lattice_device;
+parity-tested (including brute-force exhaustive search on toy
+lattices).
 """
 from __future__ import annotations
 
@@ -38,66 +40,60 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# One-hot "gather" matmuls and the cost-expansion matmul must be exact
+# f32 pass-throughs: the MXU's default bf16 input rounding quantizes
+# the carried values (at cumulative cost >= 1024 the bf16 ULP is 8, so
+# per-edge increments vanish entirely — observed as frozen costs).
+EXACT = jax.lax.Precision.HIGHEST
+
 INV_LN2 = 1.4426950408889634
 BIG = 1.0e30
 LANE = 128
 
 
-def _lstm_gates_pl(z, c):
-    W = c.shape[-1]
-    i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
-    f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
-    g = jnp.tanh(z[:, 2 * W:3 * W])
-    o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
-    c2 = f * c + i * g
-    h2 = o * jnp.tanh(c2)
-    return h2, c2
-
-
 def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
     KA = K * A
+    S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
+
+    def xemb_sl(m):
+        return m[:, 0:W]
+
+    def h_sl(m, d):
+        return m[:, (1 + d) * W:(2 + d) * W]
+
+    def c_sl(m, d):
+        return m[:, (1 + D + d) * W:(2 + D + d) * W]
 
     def kernel(chars_ref, mask_ref, conf_ref,     # per-edge SMEM
-               emb_ref, embT_ref, kin_ref, rec_ref, bias_ref,  # VMEM
-               h0_ref, c0_ref, xemb0_ref, cost0_ref,  # init
+               emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
+               state0_ref, cost0_ref,             # init
                rec_out_ref,                       # per-edge records
-               h_ref, c_ref, xemb_ref, costf_ref  # persistent state
+               state_ref, costf_ref               # persistent state
                ):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            h_ref[:] = h0_ref[:]
-            c_ref[:] = c0_ref[:]
-            xemb_ref[:] = xemb0_ref[:]
+            state_ref[:] = state0_ref[:]
             costf_ref[:] = cost0_ref[:]
 
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (KA, 1), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         lane_iota_v = jax.lax.broadcasted_iota(jnp.int32, (KA, V), 1)
 
-        # ---- expansion: beam (K) -> hypotheses (KA = K * A) ----
+        # ---- expansion: ONE matmul for the whole packed state ----
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (KA, K), 1)
         Rexp = (row_iota // A == col_iota).astype(jnp.float32)
-        hE = [jnp.dot(Rexp, h_ref[d],
-                      preferred_element_type=jnp.float32)
-              for d in range(D)]
-        cE = [jnp.dot(Rexp, c_ref[d],
-                      preferred_element_type=jnp.float32)
-              for d in range(D)]
-        xembE = jnp.dot(Rexp, xemb_ref[:],
-                        preferred_element_type=jnp.float32)
-        # cost expansion as a lane-vector matmul:
-        # Mexp[src_lane, dst_lane] = 1 iff dst//A == src and dst < KA
+        stateE = jnp.dot(Rexp, state_ref[:], precision=EXACT,
+                         preferred_element_type=jnp.float32)  # (KA, S)
         src_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
         dst_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
         Mexp = ((dst_iota // A == src_iota) &
                 (dst_iota < KA)).astype(jnp.float32)
-        costE = jnp.dot(costf_ref[:], Mexp,
+        costE = jnp.dot(costf_ref[:], Mexp, precision=EXACT,
                         preferred_element_type=jnp.float32)
         costE = jnp.where(lane_iota < KA, costE, BIG)
 
-        # per-hypothesis conf bits (lane vector, SMEM scalar reads)
         confE = jnp.zeros((1, LANE), jnp.float32)
         for a in range(A):
             conf_a = conf_ref[0, a, 0]
@@ -119,15 +115,24 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                 m_lane = jnp.where(lane_iota % A == a, ma, m_lane)
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
-            inp = xembE
             new_h, new_c = [], []
+            inp = None
             for d in range(D):
-                z = (jnp.dot(inp, kin_ref[d],
+                if d == 0:
+                    # [xemb | h_0] is contiguous in the packed layout
+                    operand = stateE[:, 0:2 * W]
+                else:
+                    operand = jnp.concatenate([inp, h_sl(stateE, d)],
+                                              axis=1)
+                z = (jnp.dot(operand, wcat_ref[d],
                              preferred_element_type=jnp.float32)
-                     + jnp.dot(hE[d], rec_ref[d],
-                               preferred_element_type=jnp.float32)
                      + bias_ref[d])
-                h2, c2 = _lstm_gates_pl(z, cE[d])
+                i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+                f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+                g = jnp.tanh(z[:, 2 * W:3 * W])
+                o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+                c2 = f * c_sl(stateE, d) + i * g
+                h2 = o * jnp.tanh(c2)
                 new_h.append(h2)
                 new_c.append(c2)
                 inp = h2
@@ -140,28 +145,27 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                 jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
             logit_cur = jnp.sum(onehot_cur * logits, axis=-1,
                                 keepdims=True)
-            nll2_sub = (lse - logit_cur) * INV_LN2    # (KA, 1) bits
-            nll2_lane = nll2_sub.reshape(1, KA)
+            nll2_lane = ((lse - logit_cur) * INV_LN2).reshape(1, KA)
             nll2_lane = jnp.concatenate(
                 [nll2_lane, jnp.zeros((1, LANE - KA), jnp.float32)],
                 axis=1)
             acc = acc + m_lane * (lm_weight * nll2_lane)
             nchars = nchars + m_lane
 
-            keep = m_sub > 0
-            for d in range(D):
-                hE[d] = jnp.where(keep, new_h[d], hE[d])
-                cE[d] = jnp.where(keep, new_c[d], cE[d])
             xemb_new = jnp.dot(onehot_cur, emb_ref[:],
+                               precision=EXACT,
                                preferred_element_type=jnp.float32)
-            xembE = jnp.where(keep, xemb_new, xembE)
+            stateE_new = jnp.concatenate(
+                [xemb_new] + new_h + new_c, axis=1)
+            keep = m_sub > 0
+            stateE = jnp.where(keep, stateE_new, stateE)
 
         # ---- totals + top-K selection (lane vectors only) ----
         total = costE + acc + (1.0 - lm_weight) * confE * nchars
         total = jnp.where(lane_iota < KA, total, BIG)
         total = jnp.where(confE >= BIG, BIG, total)
 
-        S = jnp.zeros((K, KA), jnp.float32)
+        Ssel = jnp.zeros((K, KA), jnp.float32)
         s_row = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 0)
         s_col = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 1)
         bp_lane = jnp.zeros((1, LANE), jnp.float32)
@@ -177,91 +181,77 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             alt_lane = jnp.where(is_j, (first % A).astype(jnp.float32),
                                  alt_lane)
             cost_lane = jnp.where(is_j, m, cost_lane)
-            S = jnp.where((s_col == first) & (s_row == j), 1.0, S)
+            Ssel = jnp.where((s_col == first) & (s_row == j), 1.0,
+                             Ssel)
             total = jnp.where(lane_iota == first, BIG, total)
 
-        # ONE record write per edge: rows 0..2 = bp / alt / cost
         rec = jnp.concatenate(
             [bp_lane, alt_lane, cost_lane,
              jnp.zeros((5, LANE), jnp.float32)], axis=0)
         rec_out_ref[0] = rec
         costf_ref[:] = cost_lane
 
-        # ---- gather new beam states (one-hot matmuls) ----
-        for d in range(D):
-            h_ref[d] = jnp.dot(S, hE[d],
+        # ---- gather: ONE matmul for the whole packed state ----
+        state_ref[:] = jnp.dot(Ssel, stateE, precision=EXACT,
                                preferred_element_type=jnp.float32)
-            c_ref[d] = jnp.dot(S, cE[d],
-                               preferred_element_type=jnp.float32)
-        xemb_ref[:] = jnp.dot(S, xembE,
-                              preferred_element_type=jnp.float32)
 
-    return kernel
+    return kernel, S
 
 
 @partial(jax.jit, static_argnames=('n_edges', 'n_alts', 'alt_len',
                                    'beam', 'depth', 'width', 'v_pad',
                                    'v_real', 'lm_weight'))
-def decode_lattice_pallas(emb, embT, kin, rec, bias,
+def decode_lattice_pallas(emb, embT, wcat, bias,
                           alt_chars, alt_mask, alt_conf_bits,
-                          h0, c0, xemb0, cost0,
+                          state0, cost0,
                           n_edges: int, n_alts: int, alt_len: int,
                           beam: int, depth: int, width: int,
                           v_pad: int, v_real: int, lm_weight: float):
     """One-dispatch fused lattice decode.
 
-    emb: (V_pad, W); embT: (W, V_pad); kin/rec: (D, W, 4W);
-    bias: (D, 1, 4W) (context folded into layer 0);
-    alt_chars/mask: (E, A, L); alt_conf_bits: (E, A, 1);
-    h0/c0: (D, K, W); xemb0: (K, W); cost0: (1, 128) lane vector
-    (lanes >= K at BIG).
+    emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
+    ``[input-kernel; recurrent-kernel]``; bias: (D, 1, 4W) (context
+    folded into layer 0); alt_chars/mask: (E, A, L);
+    alt_conf_bits: (E, A, 1); state0: (K, (2D+1)W) packed
+    ``[xemb | h.. | c..]``; cost0: (1, 128) lane vector.
 
-    Returns (packed (E+1, 3K) host-bound records in the same layout as
-    the XLA path, hF, cF, xembF, costF (1, 128)).
+    Returns (packed (E+1, 3K) host-bound records in the XLA path's
+    layout, stateF (K, S), costF (1, 128)).
     """
     E, A, L = n_edges, n_alts, alt_len
     D, W, K, V = depth, width, beam, v_pad
     interpret = jax.default_backend() != 'tpu'
-    kernel = _make_kernel(D, K, A, L, W, V, v_real, lm_weight)
+    kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight)
     smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    records, hF, cF, xembF, costF = pl.pallas_call(
+    records, stateF, costF = pl.pallas_call(
         kernel,
         grid=(E,),
         in_specs=[
-            smem((1, A, L), lambda t: (t, 0, 0)),
-            smem((1, A, L), lambda t: (t, 0, 0)),
-            smem((1, A, 1), lambda t: (t, 0, 0)),
+            vmem((1, A, L), lambda t: (t, 0, 0)),
+            vmem((1, A, L), lambda t: (t, 0, 0)),
+            vmem((1, A, 1), lambda t: (t, 0, 0)),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
-            vmem((D, W, 4 * W), lambda t: (0, 0, 0)),
-            vmem((D, W, 4 * W), lambda t: (0, 0, 0)),
+            vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
             vmem((D, 1, 4 * W), lambda t: (0, 0, 0)),
-            vmem((D, K, W), lambda t: (0, 0, 0)),
-            vmem((D, K, W), lambda t: (0, 0, 0)),
-            vmem((K, W), lambda t: (0, 0)),
+            vmem((K, S), lambda t: (0, 0)),
             vmem((1, LANE), lambda t: (0, 0)),
         ],
         out_specs=(
             vmem((1, 8, LANE), lambda t: (t, 0, 0)),
-            vmem((D, K, W), lambda t: (0, 0, 0)),
-            vmem((D, K, W), lambda t: (0, 0, 0)),
-            vmem((K, W), lambda t: (0, 0)),
+            vmem((K, S), lambda t: (0, 0)),
             vmem((1, LANE), lambda t: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((E, 8, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((D, K, W), jnp.float32),
-            jax.ShapeDtypeStruct((D, K, W), jnp.float32),
-            jax.ShapeDtypeStruct((K, W), jnp.float32),
+            jax.ShapeDtypeStruct((K, S), jnp.float32),
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ),
         interpret=interpret,
-    )(alt_chars, alt_mask, alt_conf_bits, emb, embT, kin, rec, bias,
-      h0, c0, xemb0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, emb, embT, wcat, bias,
+      state0, cost0)
 
-    # pack host-bound data exactly like the XLA path: row 0 header with
-    # min incoming cost, rows 1..E = [bp | alt | cost] per beam slot
     bp = records[:, 0, :beam]
     alt = records[:, 1, :beam]
     costs = records[:, 2, :beam]
@@ -269,4 +259,4 @@ def decode_lattice_pallas(emb, embT, kin, rec, bias,
         jnp.min(jnp.where(jnp.arange(LANE) < beam, cost0[0], BIG)))
     packed = jnp.concatenate(
         [header, jnp.concatenate([bp, alt, costs], axis=1)], axis=0)
-    return packed, hF, cF, xembF, costF
+    return packed, stateF, costF

@@ -818,9 +818,11 @@ class Rater:
             h0, c0, x0, cost0 = device_traceback
         zs = self._context_arrays(context, 1)
         nE = len(edges)
-        all_rows = []
         start_cost = None
         h, c, x_prev, cost = h0, c0, x0, cost0
+        # dispatch ALL blocks first (the carry chains on device, so the
+        # dispatches pipeline without host sync), fetch afterwards
+        pending = []
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             E = _bucket(len(block), E_BUCKETS)
@@ -842,7 +844,10 @@ class Rater:
                 self.params, self.cfg, alt_chars, alt_mask,
                 alt_conf_bits, tuple(zs), h, c, x_prev, cost,
                 float(lm_weight), E, A, L, K)
-            packed = np.asarray(packed)  # single fetch per block
+            pending.append(packed)
+        all_rows = []
+        for packed in pending:
+            packed = np.asarray(packed)
             if start_cost is None:
                 start_cost = float(packed[0, 0])
             all_rows.append(packed[1:])
@@ -874,7 +879,7 @@ class Rater:
                 ctx[i] if i < len(ctx) else 0]
              for i in range(len(self.contexts))]) \
             if self.contexts else jnp.zeros((0,))
-        kins, recs, biases = [], [], []
+        wcats, biases = [], []
         for d in range(D):
             lp = self.params['lstm'][d]
             kernel = jnp.asarray(lp['kernel'])
@@ -882,12 +887,13 @@ class Rater:
             if d == 0 and kernel.shape[0] > W:
                 bias = bias + ctx_vec @ kernel[W:]
                 kernel = kernel[:W]
-            kins.append(kernel)
-            recs.append(jnp.asarray(lp['recurrent']))
+            # fused [input-kernel; recurrent-kernel] -> one matmul/step
+            wcats.append(jnp.concatenate(
+                [kernel, jnp.asarray(lp['recurrent'])], axis=0))
             biases.append(bias)
         weights = dict(
             emb=emb, embT=embT,
-            kin=jnp.stack(kins), rec=jnp.stack(recs),
+            wcat=jnp.stack(wcats),
             bias=jnp.stack(biases)[:, None, :],
             v_pad=V_pad, v_real=V)
         self._decode_cache.clear()  # keep one entry (params change etc.)
@@ -911,17 +917,17 @@ class Rater:
         L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         wts = self._decode_weights(context, lm_weight)
         if device_traceback is None:
-            h = jnp.zeros((D, K, W), jnp.float32)
-            c = jnp.zeros((D, K, W), jnp.float32)
-            xemb = jnp.broadcast_to(
-                wts['emb'][self.vocab.get('\n')], (K, W))
+            # packed state [xemb | h_0.. | c_0..]
+            state = jnp.zeros((K, (2 * D + 1) * W), jnp.float32)
+            state = state.at[:, :W].set(jnp.broadcast_to(
+                wts['emb'][self.vocab.get('\n')], (K, W)))
             cost = jnp.where(jnp.arange(128) == 0, 0.0,
                              1.0e30)[None, :].astype(jnp.float32)
         else:
-            h, c, xemb, cost = device_traceback
+            state, cost = device_traceback
         nE = len(edges)
-        all_rows = []
         start_cost = None
+        pending = []
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             E = _bucket(len(block), E_BUCKETS)
@@ -938,14 +944,16 @@ class Rater:
                     alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
             for ei in range(len(block), E):
                 alt_conf_bits[ei, 0] = 0.0
-            packed, h, c, xemb, cost = decode_lattice_pallas(
-                wts['emb'], wts['embT'], wts['kin'], wts['rec'],
-                wts['bias'], alt_chars, alt_mask,
-                alt_conf_bits[:, :, None],
-                h, c, xemb, cost,
+            packed, state, cost = decode_lattice_pallas(
+                wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+                alt_chars, alt_mask, alt_conf_bits[:, :, None],
+                state, cost,
                 n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D,
                 width=W, v_pad=wts['v_pad'], v_real=wts['v_real'],
                 lm_weight=float(lm_weight))
+            pending.append(packed)
+        all_rows = []
+        for packed in pending:
             packed = np.asarray(packed)
             if start_cost is None:
                 start_cost = float(packed[0, 0])
@@ -953,7 +961,7 @@ class Rater:
         path, entropy = self._walk_traceback(edges, all_rows, K,
                                              E_BUCKETS, E_MAX,
                                              start_cost)
-        return path, entropy, (h, c, xemb, cost)
+        return path, entropy, (state, cost)
 
     def _walk_traceback(self, edges, all_rows, K, E_BUCKETS, E_MAX,
                         start_cost):

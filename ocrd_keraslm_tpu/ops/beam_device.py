@@ -170,20 +170,22 @@ def generate_beam(rater, prefix: str, length: int, context=None,
 @partial(jax.jit, static_argnames=('cfg', 'n_edges', 'n_alts',
                                    'alt_len', 'beam'))
 def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
-                          alt_conf_bits, zs, h0, c0, x0, cost0,
-                          lm_weight, n_edges: int, n_alts: int,
+                          alt_conf_bits, alt_valid, zs, h0, c0, x0,
+                          cost0, lm_weight, n_edges: int, n_alts: int,
                           alt_len: int, beam: int):
     """Beam decode a linear lattice in ONE dispatch.
 
     alt_chars: (E, A, L) int32 char ids per edge/alternative (0-padded);
     alt_mask: (E, A, L) float32 char validity;
-    alt_conf_bits: (E, A) float32 = -log2(conf) per alternative, or
-    +inf for invalid alternatives;
+    alt_conf_bits: (E, A, L) float32 = -log2(conf) PER CHAR (so merged
+    single-alternative runs can carry their original per-element
+    confidences);
+    alt_valid: (E, A) float32 alternative validity (0 -> pruned);
     h0, c0: (D, K, W) initial beam states; x0 (K,) last consumed char;
-    cost0 (K,) initial costs (inf for empty slots); valid0 (K,) float32.
+    cost0 (K,) initial costs (big for empty slots).
 
-    Returns (backptr (E, K), altidx (E, K), costs (E, K), final h, c,
-    x_prev) — per-edge backpointers for host traceback.
+    Returns (packed records for host traceback, final h, c, x_prev,
+    cost).
     """
     D, W = cfg.depth, cfg.width
     K, A, L = beam, n_alts, n_alts and alt_len
@@ -192,7 +194,7 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
 
     def edge_step(state, edge):
         h, c, x_prev, cost = state
-        chars, mask, conf_bits = edge   # (A, L), (A, L), (A,)
+        chars, mask, conf_bits, valid = edge
         # expand beam x alternatives -> KA hypotheses
         hE = jnp.repeat(h, A, axis=1)           # (D, KA, W)
         cE = jnp.repeat(c, A, axis=1)
@@ -200,10 +202,8 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
         costE = jnp.repeat(cost, A)
         charsE = jnp.tile(chars, (K, 1))        # (KA, L)
         maskE = jnp.tile(mask, (K, 1))
-        confE = jnp.tile(conf_bits, (K,))       # (KA,)
-        # per-char OCR cost share (repeated per char, reference
-        # rating.py:827-830)
-        char_conf_cost = (1.0 - lm_weight) * confE
+        confE = jnp.tile(conf_bits, (K, 1))     # (KA, L) per char
+        validE = jnp.tile(valid, (K,))          # (KA,)
 
         def char_step(cstate, t):
             hh, cc, xx, acc = cstate
@@ -214,7 +214,7 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
             p = jnp.take_along_axis(probs, cur[:, None],
                                     axis=-1)[:, 0]
             step_cost = (lm_weight * (-jnp.log2(jnp.maximum(p, 1e-99)))
-                         + char_conf_cost)
+                         + (1.0 - lm_weight) * confE[:, t])
             acc = acc + m * step_cost
             keep = m > 0
             hh = jnp.where(keep[None, :, None], h2, hh)
@@ -227,7 +227,7 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
             char_step, (hE, cE, xE, jnp.zeros((KA,))),
             jnp.arange(L), unroll=True)
         total = costE + delta
-        total = jnp.where(jnp.isfinite(confE), total, NEG_INF)
+        total = jnp.where(validE > 0.5, total, NEG_INF)
         total = jnp.where(costE >= NEG_INF / 2, NEG_INF, total)
         neg, flat_idx = jax.lax.top_k(-total, K)
         new_cost = -neg
@@ -241,7 +241,7 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
 
     (h, c, x_prev, cost), (backptrs, altidxs, costs) = jax.lax.scan(
         edge_step, (h0, c0, x0, cost0),
-        (alt_chars, alt_mask, alt_conf_bits))
+        (alt_chars, alt_mask, alt_conf_bits, alt_valid))
 
     # everything host-bound packs into ONE array (device->host
     # round-trips dominate): row 0 carries the min incoming cost,

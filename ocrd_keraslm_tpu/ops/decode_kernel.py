@@ -64,7 +64,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
     def c_sl(m, d):
         return m[:, (1 + D + d) * W:(2 + D + d) * W]
 
-    def kernel(chars_ref, mask_ref, conf_ref,     # per-edge SMEM
+    def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
                emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
                state0_ref, cost0_ref,             # init
                rec_out_ref,                       # per-edge records
@@ -94,25 +94,28 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                         preferred_element_type=jnp.float32)
         costE = jnp.where(lane_iota < KA, costE, BIG)
 
-        confE = jnp.zeros((1, LANE), jnp.float32)
+        validE = jnp.zeros((1, LANE), jnp.float32)
         for a in range(A):
-            conf_a = conf_ref[0, a, 0]
-            confE = jnp.where(lane_iota % A == a, conf_a, confE)
+            valid_a = valid_ref[0, a, 0]
+            validE = jnp.where(lane_iota % A == a, valid_a, validE)
 
         acc = jnp.zeros((1, LANE), jnp.float32)
-        nchars = jnp.zeros((1, LANE), jnp.float32)
 
         # ---- char steps (unrolled) ----
         for step_t in range(L):
             char_sub = jnp.zeros((KA, 1), jnp.int32)
             m_sub = jnp.zeros((KA, 1), jnp.float32)
             m_lane = jnp.zeros((1, LANE), jnp.float32)
+            conf_lane = jnp.zeros((1, LANE), jnp.float32)
             for a in range(A):
                 ca = chars_ref[0, a, step_t]
                 ma = mask_ref[0, a, step_t]
+                cfa = conf_ref[0, a, step_t]
                 char_sub = jnp.where(row_iota % A == a, ca, char_sub)
                 m_sub = jnp.where(row_iota % A == a, ma, m_sub)
                 m_lane = jnp.where(lane_iota % A == a, ma, m_lane)
+                conf_lane = jnp.where(lane_iota % A == a, cfa,
+                                      conf_lane)
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
             new_h, new_c = [], []
@@ -149,8 +152,8 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             nll2_lane = jnp.concatenate(
                 [nll2_lane, jnp.zeros((1, LANE - KA), jnp.float32)],
                 axis=1)
-            acc = acc + m_lane * (lm_weight * nll2_lane)
-            nchars = nchars + m_lane
+            acc = acc + m_lane * (lm_weight * nll2_lane +
+                                  (1.0 - lm_weight) * conf_lane)
 
             xemb_new = jnp.dot(onehot_cur, emb_ref[:],
                                precision=EXACT,
@@ -161,9 +164,9 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             stateE = jnp.where(keep, stateE_new, stateE)
 
         # ---- totals + top-K selection (lane vectors only) ----
-        total = costE + acc + (1.0 - lm_weight) * confE * nchars
+        total = costE + acc
         total = jnp.where(lane_iota < KA, total, BIG)
-        total = jnp.where(confE >= BIG, BIG, total)
+        total = jnp.where(validE > 0.5, total, BIG)
 
         Ssel = jnp.zeros((K, KA), jnp.float32)
         s_row = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 0)
@@ -203,7 +206,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                                    'v_real', 'lm_weight'))
 def decode_lattice_pallas(emb, embT, wcat, bias,
                           alt_chars, alt_mask, alt_conf_bits,
-                          state0, cost0,
+                          alt_valid, state0, cost0,
                           n_edges: int, n_alts: int, alt_len: int,
                           beam: int, depth: int, width: int,
                           v_pad: int, v_real: int, lm_weight: float):
@@ -212,7 +215,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
     ``[input-kernel; recurrent-kernel]``; bias: (D, 1, 4W) (context
     folded into layer 0); alt_chars/mask: (E, A, L);
-    alt_conf_bits: (E, A, 1); state0: (K, (2D+1)W) packed
+    alt_conf_bits: (E, A, L) per-char bits; alt_valid: (E, A, 1);
+    state0: (K, (2D+1)W) packed
     ``[xemb | h.. | c..]``; cost0: (1, 128) lane vector.
 
     Returns (packed (E+1, 3K) host-bound records in the XLA path's
@@ -228,6 +232,7 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
         kernel,
         grid=(E,),
         in_specs=[
+            vmem((1, A, L), lambda t: (t, 0, 0)),
             vmem((1, A, L), lambda t: (t, 0, 0)),
             vmem((1, A, L), lambda t: (t, 0, 0)),
             vmem((1, A, 1), lambda t: (t, 0, 0)),
@@ -249,8 +254,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ),
         interpret=interpret,
-    )(alt_chars, alt_mask, alt_conf_bits, emb, embT, wcat, bias,
-      state0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, emb, embT, wcat,
+      bias, state0, cost0)
 
     bp = records[:, 0, :beam]
     alt = records[:, 1, :beam]

@@ -167,6 +167,7 @@ class Rater:
         self.train_streams = True  # parallel-streams stateful training
         self.device_beam = True    # on-device beam search (1 dispatch)
         self.fused_decode = False  # experimental fused decode kernel
+        self.merge_runs = True     # merge single-alternative edge runs
         self._decode_cache: Dict[Any, Any] = {}
         _enable_compilation_cache()
         # runtime variables
@@ -788,6 +789,7 @@ class Rater:
         edges = [graph.edges[e] for e in sorted(graph.edges)]
         if not edges:
             return [], 0.0, device_traceback
+        edges = self._prepare_decode_edges(edges)
         if self.fused_decode:
             # experimental: whole-search fused Pallas kernel.  Measured
             # slower than the XLA scan on v5e so far (~84us vs ~30us
@@ -804,8 +806,8 @@ class Rater:
         # serves any page length (tunnel compiles cost minutes)
         E_BUCKETS = (64, 256, 1024)
         E_MAX = E_BUCKETS[-1]
-        maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
-                     for e in edges)
+        maxlen = max(max((len(ids) for ids in pe['alt_ids']),
+                         default=1) for pe in edges)
         L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         # initial beam (kept device-resident across pages)
         if device_traceback is None:
@@ -826,23 +828,11 @@ class Rater:
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             E = _bucket(len(block), E_BUCKETS)
-            alt_chars = np.zeros((E, A, L), np.int32)
-            alt_mask = np.zeros((E, A, L), np.float32)
-            alt_conf_bits = np.full((E, A), np.inf, np.float32)
-            for ei, edge in enumerate(block):
-                for ai, te in enumerate(edge['alternatives'][:A]):
-                    ids = self.vocab.encode(te.Unicode)
-                    n = min(len(ids), L)
-                    alt_chars[ei, ai, :n] = ids[:n]
-                    alt_mask[ei, ai, :n] = 1.0
-                    conf = te.conf if te.conf else 1.0
-                    alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
-            # padding edges: one zero-length free alternative (identity)
-            for ei in range(len(block), E):
-                alt_conf_bits[ei, 0] = 0.0
+            alt_chars, alt_mask, alt_conf, alt_valid = \
+                self._fill_decode_arrays(block, E, A, L)
             packed, h, c, x_prev, cost = decode_lattice_device(
                 self.params, self.cfg, alt_chars, alt_mask,
-                alt_conf_bits, tuple(zs), h, c, x_prev, cost,
+                alt_conf, alt_valid, tuple(zs), h, c, x_prev, cost,
                 float(lm_weight), E, A, L, K)
             pending.append(packed)
         all_rows = []
@@ -912,8 +902,8 @@ class Rater:
         A = 4
         E_BUCKETS = (64, 256, 1024)
         E_MAX = E_BUCKETS[-1]
-        maxlen = max(max(len(te.Unicode) for te in e['alternatives'])
-                     for e in edges)
+        maxlen = max(max((len(ids) for ids in pe['alt_ids']),
+                         default=1) for pe in edges)
         L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         wts = self._decode_weights(context, lm_weight)
         if device_traceback is None:
@@ -931,22 +921,12 @@ class Rater:
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             E = _bucket(len(block), E_BUCKETS)
-            alt_chars = np.zeros((E, A, L), np.int32)
-            alt_mask = np.zeros((E, A, L), np.float32)
-            alt_conf_bits = np.full((E, A), 1.0e30, np.float32)
-            for ei, edge in enumerate(block):
-                for ai, te in enumerate(edge['alternatives'][:A]):
-                    ids = self.vocab.encode(te.Unicode)
-                    n = min(len(ids), L)
-                    alt_chars[ei, ai, :n] = ids[:n]
-                    alt_mask[ei, ai, :n] = 1.0
-                    conf = te.conf if te.conf else 1.0
-                    alt_conf_bits[ei, ai] = -log(max(conf, 1e-99), 2)
-            for ei in range(len(block), E):
-                alt_conf_bits[ei, 0] = 0.0
+            alt_chars, alt_mask, alt_conf, alt_valid = \
+                self._fill_decode_arrays(block, E, A, L)
             packed, state, cost = decode_lattice_pallas(
                 wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
-                alt_chars, alt_mask, alt_conf_bits[:, :, None],
+                alt_chars, alt_mask, alt_conf,
+                alt_valid[:, :, None],
                 state, cost,
                 n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D,
                 width=W, v_pad=wts['v_pad'], v_real=wts['v_real'],
@@ -963,10 +943,94 @@ class Rater:
                                              start_cost)
         return path, entropy, (state, cost)
 
+    def _prepare_decode_edges(self, edges):
+        """Convert graph edges into decode-edge dicts, merging runs of
+        consecutive single-alternative edges into one long edge.
+
+        Merging is EXACT for the search: all hypotheses extend by the
+        same string, so per-edge top-k between merged boundaries is a
+        no-op; per-char confidences are preserved.  Only the score
+        attribution within a merged run becomes uniform per char
+        (competitive multi-alternative elements are never merged).
+        Char steps are nearly free on device; per-edge overhead
+        dominates (measured), so merging directly multiplies decode
+        throughput on realistic lattices.
+        """
+        MERGE_MAX = 8  # keeps the shared L bucket small (char steps at L<=8 are near-free; L=64 for all edges was a net loss)
+        prepared = []
+        run = None  # accumulating merged run
+
+        def flush():
+            nonlocal run
+            if run is not None:
+                prepared.append(run)
+                run = None
+
+        for edge in edges:
+            alternatives = edge['alternatives']
+            if self.merge_runs and len(alternatives) == 1:
+                te = alternatives[0]
+                ids = self.vocab.encode(te.Unicode)
+                conf = te.conf if te.conf else 1.0
+                bits = -log(max(conf, 1e-99), 2)
+                part = (edge['element'], te, max(len(ids), 1))
+                if run is not None and \
+                        len(run['alt_ids'][0]) + len(ids) <= MERGE_MAX:
+                    run['alt_ids'][0] = np.concatenate(
+                        [run['alt_ids'][0], ids])
+                    run['alt_conf'][0] = np.concatenate(
+                        [run['alt_conf'][0],
+                         np.full(len(ids), bits, np.float32)])
+                    run['parts'].append(part)
+                else:
+                    flush()
+                    run = {
+                        'alt_ids': [ids],
+                        'alt_conf': [np.full(len(ids), bits,
+                                             np.float32)],
+                        'alts': alternatives,
+                        'parts': [part],
+                    }
+            else:
+                flush()
+                pe = {'alt_ids': [], 'alt_conf': [],
+                      'alts': alternatives, 'parts': None,
+                      'element': edge['element']}
+                for te in alternatives[:4]:
+                    ids = self.vocab.encode(te.Unicode)
+                    conf = te.conf if te.conf else 1.0
+                    bits = -log(max(conf, 1e-99), 2)
+                    pe['alt_ids'].append(ids)
+                    pe['alt_conf'].append(
+                        np.full(len(ids), bits, np.float32))
+                prepared.append(pe)
+        flush()
+        return prepared
+
+    @staticmethod
+    def _fill_decode_arrays(block, E, A, L):
+        """(E, A, L) char/mask/conf + (E, A) valid arrays for a block
+        of prepared decode edges (padding edges = identity)."""
+        alt_chars = np.zeros((E, A, L), np.int32)
+        alt_mask = np.zeros((E, A, L), np.float32)
+        alt_conf = np.zeros((E, A, L), np.float32)
+        alt_valid = np.zeros((E, A), np.float32)
+        for ei, pe in enumerate(block):
+            for ai, ids in enumerate(pe['alt_ids'][:A]):
+                n = min(len(ids), L)
+                alt_chars[ei, ai, :n] = ids[:n]
+                alt_mask[ei, ai, :n] = 1.0
+                alt_conf[ei, ai, :n] = pe['alt_conf'][ai][:n]
+                alt_valid[ei, ai] = 1.0
+        for ei in range(len(block), E):
+            alt_valid[ei, 0] = 1.0  # zero-length free alternative
+        return alt_chars, alt_mask, alt_conf, alt_valid
+
     def _walk_traceback(self, edges, all_rows, K, E_BUCKETS, E_MAX,
                         start_cost):
         """Host backpointer walk over fetched [bp|alt|cost] rows (exact
-        across chained blocks; slot 0 is the best final hypothesis)."""
+        across chained blocks; slot 0 is the best final hypothesis),
+        then path emission with merged-run score attribution."""
         nE = len(edges)
         rows = np.concatenate(all_rows, axis=0)
         bp = rows[:, :K].astype(np.int32)
@@ -992,14 +1056,21 @@ class Rater:
             pos += E
         path = []
         prev_cost = start_cost
-        for ei, edge in enumerate(edges):
-            ai = int(choices[ei])
-            te = edge['alternatives'][min(ai,
-                                          len(edge['alternatives']) - 1)]
+        for ei, pe in enumerate(edges):
             cum = float(path_costs[ei])
-            score = pow(2.0, -(cum - prev_cost)
-                        / max(len(te.Unicode), 1))
-            path.append((edge['element'], te, min(score, 1.0)))
+            diff = cum - prev_cost
+            if pe['parts'] is not None:
+                # merged run: uniform per-char score across parts
+                total_chars = sum(n for _, _, n in pe['parts'])
+                per_char = diff / max(total_chars, 1)
+                score = min(pow(2.0, -per_char), 1.0)
+                for element, te, _n in pe['parts']:
+                    path.append((element, te, score))
+            else:
+                ai = int(choices[ei])
+                te = pe['alts'][min(ai, len(pe['alts']) - 1)]
+                score = pow(2.0, -diff / max(len(te.Unicode), 1))
+                path.append((pe.get('element'), te, min(score, 1.0)))
             prev_cost = cum
         entropy = float(path_costs[nE - 1]) - start_cost
         return path, entropy

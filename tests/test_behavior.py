@@ -52,8 +52,10 @@ def test_predict_chain_matches_rate2(trained):
     r2.configure()
     r2.load_weights(trained)
     probs_seq = r2.rate(text)
-    np.testing.assert_allclose(probs_inc, probs_seq, rtol=1e-4,
-                               atol=1e-5)
+    # rate() ships per-char probs as float16 (bandwidth), so compare at
+    # fp16 resolution
+    np.testing.assert_allclose(probs_inc, probs_seq, rtol=2e-3,
+                               atol=1e-4)
 
 
 def test_predict_batch_independence(trained):

@@ -1005,45 +1005,59 @@ class Rater:
                 prepared.append(run)
                 run = None
 
+        encode = self.vocab.encode_cached
+        bits_cache: Dict[float, float] = {}
+
+        def conf_bits(te):
+            conf = te.conf if te.conf else 1.0
+            bits = bits_cache.get(conf)
+            if bits is None:
+                bits = -log(max(conf, 1e-99), 2)
+                bits_cache[conf] = bits
+            return bits
+
         for edge in edges:
             alternatives = edge['alternatives']
             if self.merge_runs and len(alternatives) == 1:
                 te = alternatives[0]
-                ids = self.vocab.encode(te.Unicode)
-                conf = te.conf if te.conf else 1.0
-                bits = -log(max(conf, 1e-99), 2)
+                ids = encode(te.Unicode)
+                bits = conf_bits(te)
                 part = (edge['element'], te, max(len(ids), 1))
                 if run is not None and \
-                        len(run['alt_ids'][0]) + len(ids) <= MERGE_MAX:
-                    run['alt_ids'][0] = np.concatenate(
-                        [run['alt_ids'][0], ids])
-                    run['alt_conf'][0] = np.concatenate(
-                        [run['alt_conf'][0],
-                         np.full(len(ids), bits, np.float32)])
+                        run['n_chars'] + len(ids) <= MERGE_MAX:
+                    run['pieces'].append((ids, bits))
+                    run['n_chars'] += len(ids)
                     run['parts'].append(part)
                 else:
                     flush()
                     run = {
-                        'alt_ids': [ids],
-                        'alt_conf': [np.full(len(ids), bits,
-                                             np.float32)],
+                        'pieces': [(ids, bits)],
+                        'n_chars': len(ids),
                         'alts': alternatives,
                         'parts': [part],
                     }
             else:
                 flush()
-                pe = {'alt_ids': [], 'alt_conf': [],
+                # alt_conf as per-alternative scalars (no tiny arrays)
+                pe = {'alt_ids': [encode(te.Unicode)
+                                  for te in alternatives[:4]],
+                      'alt_conf': [conf_bits(te)
+                                   for te in alternatives[:4]],
                       'alts': alternatives, 'parts': None,
                       'element': edge['element']}
-                for te in alternatives[:4]:
-                    ids = self.vocab.encode(te.Unicode)
-                    conf = te.conf if te.conf else 1.0
-                    bits = -log(max(conf, 1e-99), 2)
-                    pe['alt_ids'].append(ids)
-                    pe['alt_conf'].append(
-                        np.full(len(ids), bits, np.float32))
                 prepared.append(pe)
         flush()
+        # materialize merged runs
+        for pe in prepared:
+            if 'pieces' in pe:
+                pe['alt_ids'] = [np.concatenate(
+                    [ids for ids, _ in pe['pieces']])
+                    if len(pe['pieces']) > 1 else pe['pieces'][0][0]]
+                pe['alt_conf'] = [np.concatenate(
+                    [np.full(len(ids), b, np.float32)
+                     for ids, b in pe['pieces']])]
+                del pe['pieces']
+                del pe['n_chars']
         return prepared
 
     @staticmethod
@@ -1055,11 +1069,15 @@ class Rater:
         alt_conf = np.zeros((E, A, L), np.float32)
         alt_valid = np.zeros((E, A), np.float32)
         for ei, pe in enumerate(block):
+            confs = pe['alt_conf']
             for ai, ids in enumerate(pe['alt_ids'][:A]):
                 n = min(len(ids), L)
                 alt_chars[ei, ai, :n] = ids[:n]
                 alt_mask[ei, ai, :n] = 1.0
-                alt_conf[ei, ai, :n] = pe['alt_conf'][ai][:n]
+                cb = confs[ai]
+                # scalar (per-alternative) or per-char array (merged)
+                alt_conf[ei, ai, :n] = cb[:n] \
+                    if isinstance(cb, np.ndarray) else cb
                 alt_valid[ei, ai] = 1.0
         for ei in range(len(block), E):
             alt_valid[ei, 0] = 1.0  # zero-length free alternative

@@ -115,6 +115,22 @@ class Vocab:
                           text[j], int(j))
         return out
 
+    def encode_cached(self, text: str) -> np.ndarray:
+        """Memoized encode for short, repetitive strings (lattice
+        alternatives: the glyph alphabet is tiny, so hit rates are
+        ~100%); invalidated on vocabulary mutation."""
+        cache = getattr(self, '_encode_cache', None)
+        if cache is None or cache[0] != getattr(self, '_version', 0):
+            cache = (getattr(self, '_version', 0), {})
+            self._encode_cache = cache
+        ids = cache[1].get(text)
+        if ids is None:
+            ids = self.encode(text)
+            ids.setflags(write=False)
+            if len(cache[1]) < 65536:
+                cache[1][text] = ids
+        return ids
+
     def _table(self) -> np.ndarray:
         """Codepoint -> index lookup table (cached; rebuilt on growth)."""
         key = getattr(self, '_version', 0)

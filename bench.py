@@ -125,7 +125,10 @@ def main():
     }
 
     # ---- baseline (NumPy, reference-equivalent CPU loop) ----
-    base = numpy_baseline_chars_per_sec(params_np, width, depth)
+    # best of 3: the shared-host CPU is noisy and a slow baseline run
+    # would flatter vs_baseline
+    base = max(numpy_baseline_chars_per_sec(params_np, width, depth)
+               for _ in range(3))
     print('numpy baseline: %.0f chars/s' % base, file=sys.stderr)
 
     # ---- TPU path: Rater._score_text on synthetic text ----
@@ -173,8 +176,8 @@ def main():
     # ---- lattice beam decoding (device beam, one dispatch/page) ----
     decode = base_dec = None
     try:
-        base_dec = numpy_baseline_decode_chars_per_sec(params_np,
-                                                       width, depth)
+        base_dec = max(numpy_baseline_decode_chars_per_sec(
+            params_np, width, depth) for _ in range(3))
         print('numpy decode baseline: %.0f chars/s' % base_dec,
               file=sys.stderr)
         import networkx as nx

@@ -114,6 +114,31 @@ def generate_device(params, cfg: LMConfig, prefix, prefix_mask, zs,
     return chars, backptrs, costs
 
 
+@partial(jax.jit, static_argnames=('cfg', 'length', 'topk', 'fringe',
+                                   'out_length'))
+def generate_device_best(params, cfg: LMConfig, prefix, prefix_mask,
+                         zs, length: int, out_length: int,
+                         topk: int = 10, fringe: int = 256,
+                         threshold: float = 0.004):
+    """generate_device + on-device traceback of the single best path at
+    step ``out_length`` — the host fetches only (out_length,) chars and
+    one cost instead of three (length, K) matrices."""
+    chars, backptrs, costs = generate_device(
+        params, cfg, prefix, prefix_mask, zs, length, topk, fringe,
+        threshold)
+    best = jnp.argmin(costs[out_length - 1])
+
+    def back_step(k, rec):
+        ch, bp = rec
+        return bp[k], ch[k]
+    # reverse=True walks from the end; outputs stay at their original
+    # positions, so `seq` is already in forward order
+    _, seq = jax.lax.scan(
+        back_step, best,
+        (chars[:out_length], backptrs[:out_length]), reverse=True)
+    return seq, costs[out_length - 1, best]
+
+
 def generate_beam(rater, prefix: str, length: int, context=None,
                   variants: int = 1) -> List[str]:
     """Host driver for ``generate_device``: one dispatch, then string
@@ -140,6 +165,16 @@ def generate_beam(rater, prefix: str, length: int, context=None,
             break
     else:
         run_length = length
+    if variants == 1:
+        # common case: traceback on device, fetch only (length,) chars
+        seq, cost = generate_device_best(
+            rater.params, rater.cfg, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), zs, run_length, int(length))
+        if float(cost) >= 1e38:
+            return []
+        seq = np.asarray(seq)
+        return [prefix[-1:] +
+                ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
     chars, backptrs, costs = generate_device(
         rater.params, rater.cfg, jnp.asarray(prefix_ids),
         jnp.asarray(prefix_mask), zs, run_length)

@@ -35,6 +35,9 @@ class SortedGroup(click.Group):
 
 
 @click.group(cls=SortedGroup)
+@click.option('-l', '--log-level', default='INFO', show_default=True,
+              type=click.Choice(['DEBUG', 'INFO', 'WARNING', 'ERROR'],
+                                case_sensitive=False))
 @click.option('--profile', is_flag=True,
               help='enable host profiling (cProfile)')
 @click.option('--profile-file', default=None,
@@ -45,7 +48,11 @@ class SortedGroup(click.Group):
               help='capture a device trace (jax.profiler) into this '
                    'directory, viewable in TensorBoard/Perfetto')
 @click.pass_context
-def cli(ctx, profile, profile_file, jax_trace):
+def cli(ctx, log_level, profile, profile_file, jax_trace):
+    import logging as _logging
+    _logging.basicConfig(
+        level=getattr(_logging, log_level.upper(), _logging.INFO),
+        format='%(asctime)s %(levelname)s %(name)s - %(message)s')
     # optional backend override (e.g. KERASLM_PLATFORM=cpu for fast
     # compiles / environments where the TPU plugin hijacks the default)
     platform = os.environ.get('KERASLM_PLATFORM')

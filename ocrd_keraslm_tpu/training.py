@@ -188,7 +188,13 @@ def train_rater(rater, data, val_data=None) -> None:
             # ---- training pass ----
             epoch_t0 = _time.perf_counter()
             carry = zero_carry(cfg, batch_dim)
-            tr_loss = tr_acc = tr_n = 0.0
+            # epoch statistics accumulate ON DEVICE: a per-step float()
+            # forces a host sync (~100ms over tunneled setups, 10x the
+            # step itself); NaN/huge-loss checks happen at epoch end
+            acc_nll = jnp.float32(0)
+            acc_acc = jnp.float32(0)
+            acc_n = 0.0
+            last_loss = None
             from .native import Prefetcher
             for batch in Prefetcher(make_gen(plan.training_files,
                                              True)):
@@ -199,27 +205,32 @@ def train_rater(rater, data, val_data=None) -> None:
                 params, opt_state, carry, loss, nll, acc = train_step(
                     params, opt_state, cfg, batch.x, tuple(batch.zs),
                     batch.y, batch.mask, carry, sub)
-                loss_f = float(loss)
                 if not first_step_logged:
-                    # compile-vs-step observability (SURVEY.md §5.1/5.5)
+                    # compile-vs-step observability (SURVEY §5.1/5.5)
+                    float(loss)
                     rater.logger.info(
                         'first train step (incl. jit compile): %.2fs',
                         _time.perf_counter() - step_t0)
                     first_step_logged = True
-                if loss_f > 25:
-                    rater.logger.warning('huge loss in "%s"',
-                                         batch.file_name)
-                if np.isnan(loss_f):
-                    rater.logger.critical('NaN loss in "%s"',
-                                          batch.file_name)
-                    nan_seen = True
-                    break
                 w = float(np.sum(batch.mask))
-                tr_loss += float(nll) * w
-                tr_acc += float(acc) * w
-                tr_n += w
+                acc_nll = acc_nll + nll * w
+                acc_acc = acc_acc + acc * w
+                acc_n += w
+                last_loss = loss
                 if stopper.received:
                     break
+            tr_loss = float(acc_nll)
+            tr_acc = float(acc_acc)
+            tr_n = acc_n
+            if last_loss is not None:
+                loss_f = float(last_loss)
+                if np.isnan(tr_loss) or np.isnan(loss_f):
+                    rater.logger.critical('NaN loss during epoch %d',
+                                          epoch + 1)
+                    nan_seen = True
+                elif loss_f > 25:
+                    rater.logger.warning('huge loss (%.1f) at end of '
+                                         'epoch %d', loss_f, epoch + 1)
             if tr_n == 0:
                 rater.logger.critical('training failed (no data)')
                 rater.status = 1
@@ -227,7 +238,9 @@ def train_rater(rater, data, val_data=None) -> None:
             # ---- validation pass (carry reset before, reference
             # callbacks.py:67-69) ----
             carry = zero_carry(cfg, batch_dim)
-            va_loss = va_acc = va_n = 0.0
+            va_nll_acc = jnp.float32(0)
+            va_acc_acc = jnp.float32(0)
+            va_n = 0.0
             for batch in make_gen(plan.validation_files, False):
                 if batch.reset_carry and rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
@@ -235,9 +248,11 @@ def train_rater(rater, data, val_data=None) -> None:
                     params, cfg, batch.x, tuple(batch.zs), batch.y,
                     batch.mask, carry)
                 w = float(np.sum(batch.mask))
-                va_loss += float(nll) * w
-                va_acc += float(acc) * w
+                va_nll_acc = va_nll_acc + nll * w
+                va_acc_acc = va_acc_acc + acc * w
                 va_n += w
+            va_loss = float(va_nll_acc)
+            va_acc = float(va_acc_acc)
             va_n = max(va_n, 1.0)
             ep_loss = tr_loss / tr_n
             ep_acc = tr_acc / tr_n

@@ -788,6 +788,20 @@ class Rater:
     def rate_best_device(self, graph, start_node, end_node,
                          device_traceback=None, context=None,
                          lm_weight=0.5, beam_width=10):
+        """Synchronous device decode: dispatch + fetch + emit.
+
+        See ``rate_best_device_begin``/``rate_best_device_finish`` for
+        the split form that lets a document loop pipeline pages."""
+        pending, tb = self.rate_best_device_begin(
+            graph, start_node, end_node,
+            device_traceback=device_traceback, context=context,
+            lm_weight=lm_weight, beam_width=beam_width)
+        path, entropy = self.rate_best_device_finish(pending)
+        return path, entropy, tb
+
+    def rate_best_device_begin(self, graph, start_node, end_node,
+                               device_traceback=None, context=None,
+                               lm_weight=0.5, beam_width=10):
         """Beam-decode a linear lattice in ONE device dispatch.
 
         TPU-native alternative to ``rate_best``: the whole edge chain
@@ -810,16 +824,15 @@ class Rater:
 
         edges = [graph.edges[e] for e in sorted(graph.edges)]
         if not edges:
-            return [], 0.0, device_traceback
+            return ('done', [], 0.0), device_traceback
         edges = self._prepare_decode_edges(edges)
         if self.fused_decode:
-            # experimental: whole-search fused Pallas kernel.  Measured
-            # slower than the XLA scan on v5e so far (~84us vs ~30us
-            # per edge — the serial scalar top-K chain dominates) and
-            # costly to compile; kept flag-gated for further tuning.
-            return self._rate_best_pallas(edges, device_traceback,
-                                          context, lm_weight,
-                                          beam_width)
+            # experimental: whole-search fused Pallas kernel; runs
+            # synchronously (wrapped as a completed pending)
+            path, entropy, tb = self._rate_best_pallas(
+                edges, device_traceback, context, lm_weight,
+                beam_width)
+            return ('done', path, entropy), tb
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
         A = 4
@@ -854,16 +867,11 @@ class Rater:
                 self.params, self.cfg, alt_chars, alt_mask,
                 alt_conf, alt_valid, tuple(zs), h, c, x_prev, cost,
                 float(lm_weight), E, A, L, K, device_walk=True)
-            packed = np.asarray(packed)
-            start_cost = float(packed[0, 0])
-            choices = packed[1:nE + 1, 0].astype(np.int32)
-            path_costs = packed[1:nE + 1, 1]
-            path, entropy = self._emit_path(edges, choices, path_costs,
-                                            start_cost)
-            return path, entropy, (h, c, x_prev, cost)
+            pending = ('single', edges, [packed], K)
+            return pending, (h, c, x_prev, cost)
         # dispatch ALL blocks first (the carry chains on device, so the
         # dispatches pipeline without host sync), fetch afterwards
-        pending = []
+        packed_blocks = []
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             E = _bucket(len(block), E_BUCKETS)
@@ -873,20 +881,41 @@ class Rater:
                 self.params, self.cfg, alt_chars, alt_mask,
                 alt_conf, alt_valid, tuple(zs), h, c, x_prev, cost,
                 float(lm_weight), E, A, L, K)
-            pending.append(packed)
+            packed_blocks.append(packed)
+        pending = ('blocks', edges, packed_blocks, K)
+        return pending, (h, c, x_prev, cost)
+
+    # block buckets shared by begin/finish
+    _E_BUCKETS = (64, 256, 1024)
+
+    def rate_best_device_finish(self, pending):
+        """Fetch + traceback + path emission for a pending device
+        decode (see ``rate_best_device``, which dispatches).  Separated
+        so a document loop can dispatch ALL pages (carry chains on
+        device) before paying any fetch round-trip."""
+        if pending[0] == 'done':
+            return pending[1], pending[2]
+        kind, edges, packed_blocks, K = pending
+        nE = len(edges)
+        if kind == 'single':
+            packed = np.asarray(packed_blocks[0])
+            start_cost = float(packed[0, 0])
+            choices = packed[1:nE + 1, 0].astype(np.int32)
+            path_costs = packed[1:nE + 1, 1]
+            return self._emit_path(edges, choices, path_costs,
+                                   start_cost)
         all_rows = []
-        for packed in pending:
+        start_cost = None
+        for packed in packed_blocks:
             packed = np.asarray(packed)
             if start_cost is None:
                 start_cost = float(packed[0, 0])
             all_rows.append(packed[1:])
         # host traceback (exact across blocks): top_k sorts ascending,
         # so the best final hypothesis is slot 0
-        path, entropy = self._walk_traceback(edges, all_rows, K,
-                                             E_BUCKETS, E_MAX,
-                                             start_cost)
-        new_traceback = (h, c, x_prev, cost)
-        return path, entropy, new_traceback
+        return self._walk_traceback(edges, all_rows, K,
+                                    self._E_BUCKETS,
+                                    self._E_BUCKETS[-1], start_cost)
 
     def _decode_weights(self, context, lm_weight):
         """Device-resident decode weight set for the fused Pallas

@@ -266,6 +266,7 @@ class KerasRate:
         prev: Optional[RateState] = None
         device_tb = None
         device_mode = self.parameter.get('device_decoding', True)
+        device_pending = []  # dispatched pages awaiting fetch/write
         n_pages = max(len(list(self.input_files)), 1)
         for input_file in self.input_files:
             page_id = input_file.pageId
@@ -278,8 +279,9 @@ class KerasRate:
                 continue
             try:
                 if device_mode:
-                    device_tb = self.process_page_pcgts_device(
+                    rec, device_tb = self.process_page_pcgts_device_begin(
                         pcgts, device_tb, file_id, page_id)
+                    device_pending.append(rec)
                 else:
                     prev = self.process_page_pcgts_stateful(
                         pcgts, prev, file_id, page_id)
@@ -315,6 +317,24 @@ class KerasRate:
                         'too many failures with %s output (%d of %d, %s)'
                         % (reason, nr_failed, nr_failed + nr_succeeded,
                            dict(nr_errors)))
+        # device mode: all pages were dispatched (the beam carry chains
+        # on device with no host sync); now fetch + write each
+        for rec in device_pending:
+            page_id = rec[3]
+            try:
+                self._finish_device_page(rec)
+            except KeyboardInterrupt:
+                raise
+            except Exception as err:
+                if missing_policy == 'ABORT':
+                    self._base_logger.error(
+                        'Failure on page %s: %s', page_id,
+                        str(err) or err.__class__.__name__)
+                    raise
+                self._base_logger.exception('Failure on page %s',
+                                            page_id)
+                nr_errors[err.__class__.__name__] += 1
+                nr_failed += 1
         if prev:
             # final flush: lock the last page into its own best path
             path, entropy, _ = self.rater.next_path(
@@ -331,11 +351,13 @@ class KerasRate:
 
     # -- per-page processing ------------------------------------------
 
-    def process_page_pcgts_device(self, pcgts: PcGts, device_tb,
-                                  file_id: str, page_id: str):
-        """Decode one page with the on-device lattice beam (single
-        dispatch), write it immediately, and return the new cross-page
-        device traceback (final beam states/costs)."""
+    def process_page_pcgts_device_begin(self, pcgts: PcGts, device_tb,
+                                        file_id: str, page_id: str):
+        """Build the page lattice and DISPATCH its on-device decode;
+        returns (pending record, new device traceback).  Fetching and
+        write-back happen later (``_finish_device_page``), so a whole
+        document pipelines through the device without per-page
+        round-trips."""
         level = self.parameter['textequiv_level']
         beam_width = self.parameter['beam_width']
         lm_weight = self.parameter['lm_weight']
@@ -347,15 +369,28 @@ class KerasRate:
             level, pcgts, logger=self.logger)
         self.rater.logger.info('Rating %d elements including its '
                                'alternatives', end_node - start_node)
-        path, entropy, device_tb = self.rater.rate_best_device(
+        pending, device_tb = self.rater.rate_best_device_begin(
             graph, start_node, end_node,
             device_traceback=device_tb,
             context=context,
             lm_weight=lm_weight,
             beam_width=beam_width)
+        return (pending, pcgts, file_id, page_id), device_tb
+
+    def _finish_device_page(self, rec):
+        pending, pcgts, file_id, page_id = rec
+        level = self.parameter['textequiv_level']
+        path, entropy = self.rater.rate_best_device_finish(pending)
         _page_update_from_path(level, path, entropy, logger=self.logger)
         page_update_higher_textequiv_levels(level, pcgts)
         self._write_page(pcgts, file_id, page_id)
+
+    def process_page_pcgts_device(self, pcgts: PcGts, device_tb,
+                                  file_id: str, page_id: str):
+        """Single-page synchronous variant (begin + finish)."""
+        rec, device_tb = self.process_page_pcgts_device_begin(
+            pcgts, device_tb, file_id, page_id)
+        self._finish_device_page(rec)
         return device_tb
 
     def process_page_pcgts_stateful(self, pcgts: PcGts,

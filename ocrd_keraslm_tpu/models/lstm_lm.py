@@ -153,10 +153,16 @@ def _layer_scan_jnp(x_proj: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
 
     x_proj: (B, T, 4W); h0, c0: (B, W).
     Returns (h_all (B, T, W), hT, cT).
+
+    If ``recurrent`` is bfloat16 the h operand of the recurrent matmul
+    is cast to bfloat16 (halved bandwidth); gates, cell state and
+    outputs stay float32.
     """
+    cdt = recurrent.dtype
+
     def step(carry, xp_t):
         h, c = carry
-        h2, c2 = lstm_gates(xp_t, h, c, recurrent)
+        h2, c2 = lstm_gates(xp_t, h.astype(cdt), c, recurrent)
         return (h2, c2), h2
     (hT, cT), h_all = jax.lax.scan(
         step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
@@ -215,9 +221,12 @@ def forward_seq(params: Params, cfg: LMConfig, x: jnp.ndarray,
         x_proj = (jnp.einsum('btd,df->btf', inp, lp['kernel'].astype(cdt),
                              preferred_element_type=jnp.float32)
                   + lp['bias'])
+        rec = lp['recurrent']
+        if cdt != jnp.float32:
+            rec = rec.astype(cdt)
         h_all, hT, cT = _layer_scan(
-            x_proj, h0[layer], c0[layer], lp['recurrent'],
-            use_pallas=use_pallas)
+            x_proj, h0[layer], c0[layer], rec,
+            use_pallas=use_pallas and cdt == jnp.float32)
         hs.append(hT)
         cs.append(cT)
         inp = h_all

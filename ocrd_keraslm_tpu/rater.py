@@ -177,6 +177,7 @@ class Rater:
         self.device_beam = True    # on-device beam search (1 dispatch)
         self.fused_decode = False  # experimental fused decode kernel
         self.merge_runs = True     # merge single-alternative edge runs
+        self.compute_dtype = 'float32'  # or 'bfloat16' (training speed)
         self._decode_cache: Dict[Any, Any] = {}
         _enable_compilation_cache()
         # runtime variables
@@ -222,7 +223,8 @@ class Rater:
             width=self.width, depth=self.depth, length=self.length,
             voc_size=max(self.voc_size, 1), contexts=self.contexts,
             stateful=self.stateful,
-            variable_length=self.variable_length)
+            variable_length=self.variable_length,
+            compute_dtype=self.compute_dtype)
         if self.params is None and self.voc_size > 0:
             self.params = init_params(self.cfg, jax.random.PRNGKey(42))
         if self.status < 1:

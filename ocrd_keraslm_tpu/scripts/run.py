@@ -135,10 +135,14 @@ def _load_rater(model, incremental=False):
 @click.option('-e', '--epochs', default=100, show_default=True,
               help='maximum number of epochs (early-stopped)',
               type=click.IntRange(min=1, max=10000))
+@click.option('--bf16', is_flag=True,
+              help='bfloat16 matmul operands in the recurrent core '
+                   '(float32 cell state/softmax; faster on TPU)')
 @click.argument('data', nargs=-1,
                 type=click.Path(exists=True, dir_okay=True,
                                 file_okay=True))
-def train(model, ckpt, width, depth, length, val_data, epochs, data):
+def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
+          data):
     """Train a language model from DATA files with parameters WIDTH,
     DEPTH, and LENGTH.
 
@@ -167,6 +171,8 @@ def train(model, ckpt, width, depth, length, val_data, epochs, data):
     rater.width = width
     rater.depth = depth
     rater.length = length
+    if bf16:
+        rater.compute_dtype = 'bfloat16'
 
     rater.configure()
     if continuation:

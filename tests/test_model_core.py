@@ -151,3 +151,18 @@ def test_gradients_flow(setup, rng):
     flat, _ = jax.tree_util.tree_flatten(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
+def test_bfloat16_compute_close_to_f32(setup, rng):
+    """bf16 recurrent-core mode stays close to f32 (cell state and
+    softmax remain f32)."""
+    cfg, params = setup
+    cfg16 = cfg.replace(compute_dtype='bfloat16')
+    B, T = 2, 12
+    x = jnp.asarray(rng.integers(0, cfg.voc_size, (B, T)), jnp.int32)
+    z = jnp.zeros((B,), jnp.int32)
+    ref, _ = forward_seq(params, cfg, x, [z], None)
+    out, _ = forward_seq(params, cfg16, x, [z], None)
+    p_ref = jax.nn.softmax(ref, axis=-1)
+    p_out = jax.nn.softmax(out, axis=-1)
+    assert float(jnp.max(jnp.abs(p_ref - p_out))) < 0.03

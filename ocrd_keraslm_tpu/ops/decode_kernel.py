@@ -168,25 +168,39 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
         total = jnp.where(lane_iota < KA, total, BIG)
         total = jnp.where(validE > 0.5, total, BIG)
 
-        Ssel = jnp.zeros((K, KA), jnp.float32)
-        s_row = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 0)
-        s_col = jax.lax.broadcasted_iota(jnp.int32, (K, KA), 1)
-        bp_lane = jnp.zeros((1, LANE), jnp.float32)
-        alt_lane = jnp.zeros((1, LANE), jnp.float32)
-        cost_lane = jnp.full((1, LANE), BIG, jnp.float32)
-        for j in range(K):
-            m = jnp.min(total)
-            cand = jnp.where(total == m, lane_iota, LANE)
-            first = jnp.min(cand)
-            is_j = lane_iota == j
-            bp_lane = jnp.where(is_j, (first // A).astype(jnp.float32),
-                                bp_lane)
-            alt_lane = jnp.where(is_j, (first % A).astype(jnp.float32),
-                                 alt_lane)
-            cost_lane = jnp.where(is_j, m, cost_lane)
-            Ssel = jnp.where((s_col == first) & (s_row == j), 1.0,
-                             Ssel)
-            total = jnp.where(lane_iota == first, BIG, total)
+        # top-K by RANKING instead of K serial argmin iterations:
+        # rank_i = #{j : total_j precedes total_i} under the exact
+        # lexicographic order (cost, lane index) — one (1,L)@(L,L)
+        # matmul of a 0/1 matrix (exact in bf16), fully parallel
+        total_col = jnp.transpose(total)                 # (LANE, 1)
+        iota_col = jnp.transpose(lane_iota)              # (LANE, 1)
+        prec = ((total_col < total) |
+                ((total_col == total) &
+                 (iota_col < lane_iota))).astype(jnp.float32)
+        ranks = jnp.dot(jnp.ones((1, LANE), jnp.float32), prec,
+                        preferred_element_type=jnp.float32)  # (1, LANE)
+        ranks_i = ranks.astype(jnp.int32)
+        # selection matrix: S[j, i] = 1 iff rank_i == j  (K x LANE)
+        s_row = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0)
+        Ssel_full = (jnp.broadcast_to(ranks_i, (K, LANE)) ==
+                     s_row).astype(jnp.float32)
+        # rank-ordered records: matmuls with the 0/1 selector (exact)
+        parentf = jnp.transpose((lane_iota // A).astype(jnp.float32))
+        altf = jnp.transpose((lane_iota % A).astype(jnp.float32))
+        bp_lane = jnp.transpose(
+            jnp.dot(Ssel_full, parentf, precision=EXACT,
+                    preferred_element_type=jnp.float32))   # (1, K)
+        alt_lane = jnp.transpose(
+            jnp.dot(Ssel_full, altf, precision=EXACT,
+                    preferred_element_type=jnp.float32))
+        cost_lane = jnp.transpose(
+            jnp.dot(Ssel_full, total_col, precision=EXACT,
+                    preferred_element_type=jnp.float32))
+        pad = jnp.zeros((1, LANE - K), jnp.float32)
+        bp_lane = jnp.concatenate([bp_lane, pad], axis=1)
+        alt_lane = jnp.concatenate([alt_lane, pad], axis=1)
+        cost_lane = jnp.concatenate([cost_lane, pad + BIG], axis=1)
+        Ssel = Ssel_full[:, :KA]
 
         rec = jnp.concatenate(
             [bp_lane, alt_lane, cost_lane,

@@ -855,6 +855,17 @@ class Rater:
             cost0[0] = 0.0
         else:
             h0, c0, x0, cost0 = device_traceback
+            if h0.shape[1] != K:  # beam width changed between pages
+                if h0.shape[1] > K:
+                    h0, c0 = h0[:, :K], c0[:, :K]
+                    x0, cost0 = x0[:K], cost0[:K]
+                else:
+                    padn = K - h0.shape[1]
+                    h0 = jnp.pad(h0, ((0, 0), (0, padn), (0, 0)))
+                    c0 = jnp.pad(c0, ((0, 0), (0, padn), (0, 0)))
+                    x0 = jnp.pad(x0, (0, padn))
+                    cost0 = jnp.pad(cost0, (0, padn),
+                                    constant_values=3.0e38)
         zs = self._context_arrays(context, 1)
         nE = len(edges)
         start_cost = None

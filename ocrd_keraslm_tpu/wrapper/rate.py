@@ -227,6 +227,9 @@ class KerasRate:
 
     def _apply_confidences(self, pcgts, text, confidences, level):
         lm_weight = self.parameter['lm_weight']
+        if not confidences:
+            self.logger.warning('page has no text to rate')
+            return
         i = 0
         for element, textequivs in text:
             textequiv = textequivs[0]

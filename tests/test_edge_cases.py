@@ -1,0 +1,114 @@
+"""Edge-case robustness tests (empty pages, beam-width changes,
+unmapped characters, empty graphs)."""
+import numpy as np
+import pytest
+
+import networkx as nx
+
+from ocrd_keraslm_tpu.rater import Rater
+from ocrd_keraslm_tpu.wrapper import KerasRate
+from ocrd_keraslm_tpu.wrapper.page import PcGts, TextEquivType, to_xml
+from ocrd_keraslm_tpu.wrapper.mets import Mets, MetsFile, Workspace, \
+    mets_to_xml
+
+from helpers import make_tiny_model, train_tiny_model
+
+
+def _toy_graph(words):
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    node = 0
+    for wi, word in enumerate(words):
+        if wi > 0:
+            graph.add_edge(node, node + 1, element=None,
+                           alternatives=[TextEquivType(Unicode=' ',
+                                                       conf=1.0)])
+            node += 1
+        for char in word:
+            graph.add_edge(node, node + 1, element='e%d' % node,
+                           alternatives=[TextEquivType(Unicode=char,
+                                                       conf=0.9)])
+            node += 1
+    return graph, 0, node
+
+
+@pytest.fixture(scope='module')
+def rater(tmp_path_factory):
+    path = tmp_path_factory.mktemp('m') / 'lm.h5'
+    model, _ = train_tiny_model(str(path), 'abcd ' * 200, steps=100)
+    r = Rater()
+    r.load_config(model)
+    r.configure()
+    r.load_weights(model)
+    return r
+
+
+def test_empty_graph_decode(rater):
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    path, entropy, tb = rater.rate_best_device(graph, 0, 0)
+    assert path == [] and entropy == 0.0
+
+
+def test_beam_width_change_between_pages(rater):
+    g1, s1, e1 = _toy_graph(['abcd'])
+    _, _, tb = rater.rate_best_device(g1, s1, e1, beam_width=4)
+    g2, s2, e2 = _toy_graph(['abcd'])
+    # wider beam on page 2: carry must pad
+    path, ent, tb2 = rater.rate_best_device(g2, s2, e2,
+                                            device_traceback=tb,
+                                            beam_width=16)
+    assert ''.join(te.Unicode for _, te, _ in path) == 'abcd'
+    g3, s3, e3 = _toy_graph(['abcd'])
+    # narrower beam on page 3: carry must truncate
+    path, ent, _ = rater.rate_best_device(g3, s3, e3,
+                                          device_traceback=tb2,
+                                          beam_width=4)
+    assert ''.join(te.Unicode for _, te, _ in path) == 'abcd'
+
+
+def test_unmapped_chars_decode(rater):
+    g, s, e = _toy_graph(['aXcd'])  # X is not in the tiny vocab
+    path, ent, _ = rater.rate_best_device(g, s, e)
+    assert len(path) == 4
+    assert np.isfinite(ent)
+
+
+def test_empty_page_scoring(tmp_path):
+    """A page without text must not crash the scoring processor."""
+    import os
+    os.makedirs(tmp_path / 'OCR-D-OCR', exist_ok=True)
+    pcgts = PcGts()
+    pcgts.pcGtsId = 'empty'
+    mets = Mets(unique_identifier='urn:x/e_1800')
+    fname = 'OCR-D-OCR/p.xml'
+    with open(tmp_path / fname, 'w') as fh:
+        fh.write(to_xml(pcgts))
+    mets.file_groups['OCR-D-OCR'] = [MetsFile(
+        ID='p', fileGrp='OCR-D-OCR', local_filename=fname,
+        pageId='phys1')]
+    mets.page_ids.append('phys1')
+    with open(tmp_path / 'mets.xml', 'w') as fh:
+        fh.write(mets_to_xml(mets))
+    ws = Workspace(str(tmp_path))
+    model = make_tiny_model(tmp_path / 'model.h5', chars='ab')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': False})
+    proc.setup()
+    proc.process_workspace(ws)  # must not raise
+    # decoding mode on the same empty page must also survive
+    import os as _os
+    _os.environ['OCRD_EXISTING_OUTPUT'] = 'OVERWRITE'
+    try:
+        proc2 = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                          output_file_grp='OCR-D-LM2',
+                          parameter={'model_file': model,
+                                     'textequiv_level': 'glyph',
+                                     'alternative_decoding': True})
+        proc2.setup()
+        proc2.process_workspace(ws)
+    finally:
+        _os.environ.pop('OCRD_EXISTING_OUTPUT')

@@ -202,13 +202,14 @@ def main():
 
         def decode_document():
             # the processor's pipelined shape: dispatch all pages
-            # (cross-page beam carry chains on device), then fetch
+            # (cross-page beam carry chains on device), batch-fetch
             tb = None
             pendings = []
             for g in pages:
                 pending, tb = rater.rate_best_device_begin(
                     g, 0, n_edges, device_traceback=tb, beam_width=16)
                 pendings.append(pending)
+            pendings = rater.fetch_pendings(pendings)
             outs = [rater.rate_best_device_finish(p) for p in pendings]
             return outs
         t0 = time.perf_counter()

@@ -77,6 +77,15 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             state_ref[:] = state0_ref[:]
             costf_ref[:] = cost0_ref[:]
 
+        # per-edge rows via dynamic indexing of VMEM-resident arrays:
+        # per-step streamed blocks cost ~30-40us/step in pipeline DMA
+        # sync (measured); whole-array residency costs nothing at these
+        # sizes (chars/mask/conf ~KBs, records ~4MB)
+        chars_row = chars_ref[t]    # (A, L) int32
+        mask_row = mask_ref[t]      # (A, L)
+        conf_row = conf_ref[t]      # (A, L)
+        valid_row = valid_ref[t]    # (A, 1)
+
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (KA, 1), 0)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         lane_iota_v = jax.lax.broadcasted_iota(jnp.int32, (KA, V), 1)
@@ -96,7 +105,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
 
         validE = jnp.zeros((1, LANE), jnp.float32)
         for a in range(A):
-            valid_a = valid_ref[0, a, 0]
+            valid_a = valid_row[a, 0]
             validE = jnp.where(lane_iota % A == a, valid_a, validE)
 
         acc = jnp.zeros((1, LANE), jnp.float32)
@@ -108,9 +117,9 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
             m_lane = jnp.zeros((1, LANE), jnp.float32)
             conf_lane = jnp.zeros((1, LANE), jnp.float32)
             for a in range(A):
-                ca = chars_ref[0, a, step_t]
-                ma = mask_ref[0, a, step_t]
-                cfa = conf_ref[0, a, step_t]
+                ca = chars_row[a, step_t]
+                ma = mask_row[a, step_t]
+                cfa = conf_row[a, step_t]
                 char_sub = jnp.where(row_iota % A == a, ca, char_sub)
                 m_sub = jnp.where(row_iota % A == a, ma, m_sub)
                 m_lane = jnp.where(lane_iota % A == a, ma, m_lane)
@@ -205,7 +214,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
         rec = jnp.concatenate(
             [bp_lane, alt_lane, cost_lane,
              jnp.zeros((5, LANE), jnp.float32)], axis=0)
-        rec_out_ref[0] = rec
+        rec_out_ref[t] = rec
         costf_ref[:] = cost_lane
 
         # ---- gather: ONE matmul for the whole packed state ----
@@ -246,10 +255,10 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
         kernel,
         grid=(E,),
         in_specs=[
-            vmem((1, A, L), lambda t: (t, 0, 0)),
-            vmem((1, A, L), lambda t: (t, 0, 0)),
-            vmem((1, A, L), lambda t: (t, 0, 0)),
-            vmem((1, A, 1), lambda t: (t, 0, 0)),
+            vmem((E, A, L), lambda t: (0, 0, 0)),
+            vmem((E, A, L), lambda t: (0, 0, 0)),
+            vmem((E, A, L), lambda t: (0, 0, 0)),
+            vmem((E, A, 1), lambda t: (0, 0, 0)),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
             vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
@@ -258,7 +267,7 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             vmem((1, LANE), lambda t: (0, 0)),
         ],
         out_specs=(
-            vmem((1, 8, LANE), lambda t: (t, 0, 0)),
+            vmem((E, 8, LANE), lambda t: (0, 0, 0)),
             vmem((K, S), lambda t: (0, 0)),
             vmem((1, LANE), lambda t: (0, 0)),
         ),

@@ -901,6 +901,32 @@ class Rater:
     # block buckets shared by begin/finish
     _E_BUCKETS = (64, 256, 1024)
 
+    def fetch_pendings(self, pendings):
+        """Fetch the device arrays of MANY pending decodes in as few
+        transfers as possible (same-shape packed arrays are stacked on
+        device and fetched once — each separate fetch costs a full
+        round-trip).  Returns pendings with numpy arrays."""
+        groups: Dict[Any, List[Tuple[int, int, Any]]] = {}
+        new = [list(p) for p in pendings]
+        for pi, p in enumerate(pendings):
+            if p[0] == 'done':
+                continue
+            new[pi][2] = list(p[2])
+            for bi, arr in enumerate(p[2]):
+                if isinstance(arr, np.ndarray):
+                    continue
+                groups.setdefault(tuple(arr.shape), []).append(
+                    (pi, bi, arr))
+        for shape, items in groups.items():
+            if len(items) == 1:
+                pi, bi, arr = items[0]
+                new[pi][2][bi] = np.asarray(arr)
+                continue
+            stacked = np.asarray(jnp.stack([a for _, _, a in items]))
+            for row, (pi, bi, _) in enumerate(items):
+                new[pi][2][bi] = stacked[row]
+        return [tuple(p) for p in new]
+
     def rate_best_device_finish(self, pending):
         """Fetch + traceback + path emission for a pending device
         decode (see ``rate_best_device``, which dispatches).  Separated
@@ -1110,17 +1136,31 @@ class Rater:
         alt_mask = np.zeros((E, A, L), np.float32)
         alt_conf = np.zeros((E, A, L), np.float32)
         alt_valid = np.zeros((E, A), np.float32)
+        # single-char alternatives fill via ONE fancy-index write each
+        # (list appends beat 28k tiny numpy slice assignments per page)
+        f_ei, f_ai, f_ch, f_cf = [], [], [], []
         for ei, pe in enumerate(block):
             confs = pe['alt_conf']
             for ai, ids in enumerate(pe['alt_ids'][:A]):
+                cb = confs[ai]
+                if len(ids) == 1 and not isinstance(cb, np.ndarray):
+                    f_ei.append(ei)
+                    f_ai.append(ai)
+                    f_ch.append(ids[0])
+                    f_cf.append(cb)
+                    continue
                 n = min(len(ids), L)
                 alt_chars[ei, ai, :n] = ids[:n]
                 alt_mask[ei, ai, :n] = 1.0
-                cb = confs[ai]
                 # scalar (per-alternative) or per-char array (merged)
                 alt_conf[ei, ai, :n] = cb[:n] \
                     if isinstance(cb, np.ndarray) else cb
                 alt_valid[ei, ai] = 1.0
+        if f_ei:
+            alt_chars[f_ei, f_ai, 0] = f_ch
+            alt_mask[f_ei, f_ai, 0] = 1.0
+            alt_conf[f_ei, f_ai, 0] = f_cf
+            alt_valid[f_ei, f_ai] = 1.0
         for ei in range(len(block), E):
             alt_valid[ei, 0] = 1.0  # zero-length free alternative
         return alt_chars, alt_mask, alt_conf, alt_valid

@@ -321,7 +321,13 @@ class KerasRate:
                         % (reason, nr_failed, nr_failed + nr_succeeded,
                            dict(nr_errors)))
         # device mode: all pages were dispatched (the beam carry chains
-        # on device with no host sync); now fetch + write each
+        # on device with no host sync); batch-fetch all results in as
+        # few round-trips as possible, then write each page
+        if device_pending:
+            fetched = self.rater.fetch_pendings(
+                [rec[0] for rec in device_pending])
+            device_pending = [(p,) + rec[1:] for p, rec in
+                              zip(fetched, device_pending)]
         for rec in device_pending:
             page_id = rec[3]
             try:

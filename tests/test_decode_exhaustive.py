@@ -1,0 +1,95 @@
+"""Golden correctness: both device decoders vs exhaustive search.
+
+For small random lattices the globally optimal path is computed by
+enumerating every alternative combination with the exact per-char cost
+(lm_weight * -log2 p_LM + (1 - lm_weight) * -log2 conf); a beam of
+width >= the full expansion must find exactly that path and cost."""
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import networkx as nx
+
+from ocrd_keraslm_tpu.models.lstm_lm import (LMConfig, forward_step,
+                                             init_params, zero_carry)
+from ocrd_keraslm_tpu.rater import Rater
+from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+
+def make_rater(seed):
+    voc = 12
+    r = Rater()
+    r.width, r.depth, r.length = 16, 2, 16
+    r.contexts = ((20, 4),)
+    r.stateful = True
+    r.vocab.assign('abcdefghijk')
+    r.voc_size = r.vocab.size
+    r.configure()
+    params = init_params(r.cfg, jax.random.PRNGKey(seed))
+    # scale embeddings so probabilities differ meaningfully
+    params['char_embedding'] = params['char_embedding'] * 200
+    r.params = params
+    r.status = 2
+    return r
+
+
+def random_lattice(rng, n_edges, n_alts):
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    alts = []
+    for e in range(n_edges):
+        tes = [TextEquivType(
+            Unicode='abcdefghijk'[rng.integers(11)],
+            conf=float(rng.uniform(0.5, 1.0)), index=i)
+            for i in range(n_alts)]
+        alts.append(tes)
+        graph.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+    return graph, alts
+
+
+def brute_force(rater, alts, lm_weight):
+    cfg = rater.cfg
+
+    def path_cost(choice):
+        h, c = zero_carry(cfg, 1)
+        x = np.array([rater.vocab.get('\n')], np.int32)
+        zs = [np.zeros((1,), np.int32)]
+        cost = 0.0
+        for e, ai in enumerate(choice):
+            te = alts[e][ai]
+            for ch in te.Unicode:
+                probs, (h, c) = forward_step(
+                    rater.params, cfg, jnp.asarray(x), zs, (h, c))
+                idx = rater.vocab.get(ch)
+                cost += (lm_weight *
+                         -math.log2(max(float(probs[0, idx]), 1e-99)) +
+                         (1 - lm_weight) * -math.log2(te.conf))
+                x = np.array([idx], np.int32)
+        return cost
+    n_alts = len(alts[0])
+    best = min(itertools.product(range(n_alts), repeat=len(alts)),
+               key=path_cost)
+    return best, path_cost(best)
+
+
+@pytest.mark.parametrize('seed', [1, 2, 3])
+@pytest.mark.parametrize('fused', [False, True])
+def test_decoders_match_exhaustive(seed, fused):
+    rng = np.random.default_rng(seed)
+    rater = make_rater(seed)
+    rater.fused_decode = fused
+    lm_weight = 0.7
+    n_edges, n_alts = 5, 3
+    graph, alts = random_lattice(rng, n_edges, n_alts)
+    want_choice, want_cost = brute_force(rater, alts, lm_weight)
+    # beam 32 > 3^5/"per-edge expansion" keeps all - exact search
+    path, entropy, _ = rater.rate_best_device(
+        graph, 0, n_edges, lm_weight=lm_weight, beam_width=27)
+    got_choice = tuple(alts[e].index(te)
+                       for e, (_, te, _) in enumerate(path))
+    assert got_choice == want_choice
+    assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)

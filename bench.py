@@ -186,7 +186,7 @@ def main():
         rng2 = np.random.default_rng(3)
         chars = list(rater.vocab.c2i.keys())
         n_edges = 1000
-        n_pages = 8
+        n_pages = 16
 
         def make_page():
             g = nx.DiGraph()

@@ -67,10 +67,11 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
                emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
                state0_ref, cost0_ref,             # init
-               rec_out_ref,                       # per-edge records
-               state_ref, costf_ref               # persistent state
+               rec_out_ref, stateF_ref, costF_ref,  # outputs
+               state_ref, costf_ref               # scratch (persistent)
                ):
         t = pl.program_id(0)
+        n_t = pl.num_programs(0)
 
         @pl.when(t == 0)
         def _():
@@ -221,18 +222,28 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
         state_ref[:] = jnp.dot(Ssel, stateE, precision=EXACT,
                                preferred_element_type=jnp.float32)
 
+        # final carry outputs written ONCE (output refs with constant
+        # maps written per step forced a write-back each grid step;
+        # scratch refs persist for free)
+        @pl.when(t == n_t - 1)
+        def _():
+            stateF_ref[:] = state_ref[:]
+            costF_ref[:] = costf_ref[:]
+
     return kernel, S
 
 
 @partial(jax.jit, static_argnames=('n_edges', 'n_alts', 'alt_len',
                                    'beam', 'depth', 'width', 'v_pad',
-                                   'v_real', 'lm_weight'))
+                                   'v_real', 'lm_weight',
+                                   'device_walk'))
 def decode_lattice_pallas(emb, embT, wcat, bias,
                           alt_chars, alt_mask, alt_conf_bits,
                           alt_valid, state0, cost0,
                           n_edges: int, n_alts: int, alt_len: int,
                           beam: int, depth: int, width: int,
-                          v_pad: int, v_real: int, lm_weight: float):
+                          v_pad: int, v_real: int, lm_weight: float,
+                          device_walk: bool = False):
     """One-dispatch fused lattice decode.
 
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
@@ -277,14 +288,32 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ),
         interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((K, S), jnp.float32),
+            pltpu.VMEM((1, LANE), jnp.float32),
+        ],
     )(alt_chars, alt_mask, alt_conf_bits, alt_valid, emb, embT, wcat,
       bias, state0, cost0)
 
     bp = records[:, 0, :beam]
     alt = records[:, 1, :beam]
     costs = records[:, 2, :beam]
-    header = jnp.zeros((1, 3 * beam), jnp.float32).at[0, 0].set(
-        jnp.min(jnp.where(jnp.arange(LANE) < beam, cost0[0], BIG)))
+    min_in = jnp.min(jnp.where(jnp.arange(LANE) < beam, cost0[0], BIG))
+    if device_walk:
+        # reverse backpointer walk on device: rank 0 = best final slot;
+        # host fetches only (E+1, 2)
+        def back_step(k, rec_):
+            bp_e, alt_e, co_e = rec_
+            return bp_e[k].astype(jnp.int32), (alt_e[k], co_e[k])
+        _, (choices, path_costs) = jax.lax.scan(
+            back_step, jnp.int32(0), (bp, alt, costs), reverse=True)
+        header = jnp.stack([min_in, jnp.float32(0)])[None, :]
+        packed = jnp.concatenate([
+            header,
+            jnp.stack([choices, path_costs], axis=1),
+        ], axis=0)
+        return packed, stateF, costF
+    header = jnp.zeros((1, 3 * beam), jnp.float32).at[0, 0].set(min_in)
     packed = jnp.concatenate(
         [header, jnp.concatenate([bp, alt, costs], axis=1)], axis=0)
     return packed, stateF, costF

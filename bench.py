@@ -229,6 +229,23 @@ def main():
     except Exception as err:
         print('decode bench failed: %r' % err, file=sys.stderr)
 
+    # ---- incremental generation (explicit-state beam sampling) ----
+    gen_cps = None
+    try:
+        from ocrd_keraslm_tpu.ops.beam_device import generate_beam
+        rater.generate('abc', 16)  # warmup/compile (length bucket 16)
+        rater.generate('abc', 256)  # warmup bucket 256
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = rater.generate('abc', 256)
+        dt = (time.perf_counter() - t0) / reps
+        gen_cps = 256 / dt
+        print('tpu generation (fringe 256): %.0f chars/s (%.3fs for '
+              '256 chars)' % (gen_cps, dt), file=sys.stderr)
+    except Exception as err:
+        print('generation bench failed: %r' % err, file=sys.stderr)
+
     # ---- training step throughput (parallel-streams stateful) ----
     train_cps = None
     base_train = base / 3.0  # estimate: fwd numpy loop / 3 (fwd+bwd)
@@ -274,6 +291,8 @@ def main():
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),
             'train_vs_baseline_est': round(train_cps / base_train, 2)})
+    if gen_cps is not None:
+        extra['generate_chars_per_sec'] = round(gen_cps, 1)
     print(json.dumps({
         'metric': 'rating_chars_per_sec',
         'value': round(tpu, 1),

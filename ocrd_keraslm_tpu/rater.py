@@ -110,9 +110,9 @@ def _score_chunk(params, cfg: LMConfig, x, zs, y, mask, carry,
     return probs, nll, carry
 
 
-@partial(jax.jit, static_argnames=('cfg', 'use_pallas'))
+@partial(jax.jit, static_argnames=('cfg', 'use_pallas', 'fused'))
 def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, fused: bool = False):
     """Whole-text scoring in ONE device dispatch.
 
     xc, yc, maskc: (C, B, T) — C sequential chunks of B parallel text
@@ -125,16 +125,73 @@ def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
     compute, dominates (measured 96ms fetch vs 21ms compute for 256k
     chars over the tunnel); the exact ppl aggregates (f32 NLL sums) are
     computed on device, so the downsampling only touches reported
-    per-char confidences."""
-    def body(carry, inp):
-        x, y, m = inp
-        logits, carry = forward_seq(params, cfg, x, list(zs), carry,
-                                    use_pallas=use_pallas)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        tgt = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
-        nll = -jnp.sum(tgt * m, axis=-1)
-        return carry, (jnp.exp(tgt).astype(jnp.float16) *
-                       m.astype(jnp.float16), nll)
+    per-char confidences.
+
+    With ``fused`` the whole per-chunk computation (all LSTM layers +
+    tied-softmax target prob/NLL) runs in ONE Pallas kernel
+    (ops/score_kernel.py) instead of one kernel per layer plus a
+    materialised (B, T, V) logits tensor."""
+    return _score_chunks_scan(params, cfg, xc, zs, yc, maskc, carry,
+                              use_pallas, fused)
+
+
+@partial(jax.jit, static_argnames=('cfg', 'n_chunks', 'use_pallas',
+                                   'fused'))
+def _score_stream_jit(params, cfg: LMConfig, xflat, zs, lens, last,
+                      carry, n_chunks: int, use_pallas: bool = False,
+                      fused: bool = False):
+    """Like ``_score_text_jit`` but taking the COMPACT input stream:
+    only the (B, C*T) char ids (uint16 when the vocab allows),
+    per-stream lengths and final targets travel host->device — the
+    shifted teacher-forcing targets and validity mask are derived here.
+    Host->device bandwidth over a tunneled PJRT link otherwise
+    dominates small-batch scoring (measured 47ms of the 230ms
+    single-stream budget for the 3x int32/float32 layout)."""
+    B, N = xflat.shape
+    T = N // n_chunks
+    xflat = xflat.astype(jnp.int32)
+    yflat = jnp.concatenate(
+        [xflat[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    yflat = yflat.at[jnp.arange(B), jnp.maximum(lens - 1, 0)].set(
+        jnp.where(lens > 0, last.astype(jnp.int32), yflat[:, 0]))
+    mask = (jnp.arange(N)[None, :] < lens[:, None]).astype(jnp.float32)
+
+    def chunk(a):
+        return jnp.swapaxes(a.reshape(B, n_chunks, T), 0, 1)
+    return _score_chunks_scan(params, cfg, chunk(xflat), zs,
+                              chunk(yflat), chunk(mask), carry,
+                              use_pallas, fused)
+
+
+def _score_chunks_scan(params, cfg, xc, zs, yc, maskc, carry,
+                       use_pallas, fused):
+    if fused:
+        from .models.lstm_lm import embed_inputs
+        from .ops.score_kernel import pack_score_weights, score_scan_pallas
+        rec1, kcat, ucat, bias, embT, v_real = pack_score_weights(
+            params, cfg)
+        lp0 = params['lstm'][0]
+
+        def body(carry, inp):
+            x, y, m = inp
+            xemb = embed_inputs(params, cfg, x, list(zs))
+            xp1 = (jnp.einsum('btd,df->btf', xemb, lp0['kernel'],
+                              preferred_element_type=jnp.float32)
+                   + lp0['bias'])
+            probs, nll, carry = score_scan_pallas(
+                xp1, y, m, carry[0], carry[1], rec1, kcat, ucat, bias,
+                embT, v_real)
+            return carry, (probs.astype(jnp.float16), nll)
+    else:
+        def body(carry, inp):
+            x, y, m = inp
+            logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                        use_pallas=use_pallas)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+            nll = -jnp.sum(tgt * m, axis=-1)
+            return carry, (jnp.exp(tgt).astype(jnp.float16) *
+                           m.astype(jnp.float16), nll)
     carry, (probs, nlls) = jax.lax.scan(body, carry, (xc, yc, maskc))
     return probs, jnp.sum(nlls, axis=0), carry
 
@@ -178,6 +235,9 @@ class Rater:
         # fused Pallas decode kernel: fastest on TPU (12us/edge vs 15
         # for the XLA scan); interpret mode is too slow on CPU
         self.fused_decode = jax.default_backend() == 'tpu'
+        # fused Pallas scoring kernel (all layers + tied softmax in one
+        # grid, ops/score_kernel.py); f32-only, interpret too slow on CPU
+        self.fused_score = jax.default_backend() == 'tpu'
         self.merge_runs = True     # merge single-alternative edge runs
         self.compute_dtype = 'float32'  # or 'bfloat16' (training speed)
         self._decode_cache: Dict[Any, Any] = {}
@@ -383,24 +443,20 @@ class Rater:
                                           want_probs=want_probs)
             return p1 + p2, n1 + n2, None
         T = SCORE_CHUNK
-        x = np.zeros((B, C * T), np.int32)
-        y = np.zeros((B, C * T), np.int32)
-        mask = np.zeros((B, C * T), np.float32)
+        # compact transfer layout: char ids only (uint16 when the vocab
+        # allows), plus per-stream lengths and final targets; shifted
+        # targets/mask are derived on device (_score_stream_jit)
+        xdt = np.uint16 if self.cfg.voc_size < (1 << 16) else np.int32
+        x = np.zeros((Bp, C * T), xdt)
+        lens_a = np.zeros((Bp,), np.int32)
+        last = np.zeros((Bp,), np.int32)
         for i, ids in enumerate(ids_list):
             n = lens[i]
             if n <= 0:
                 continue
             x[i, :n] = ids[:-1]
-            y[i, :n] = ids[1:]
-            mask[i, :n] = 1.0
-        # (B, C*T) -> (C, Bp, T)
-        def to_chunks(a, dtype):
-            out = np.zeros((C, Bp, T), dtype)
-            out[:, :B, :] = a.reshape(B, C, T).transpose(1, 0, 2)
-            return out
-        xc = to_chunks(x, np.int32)
-        yc = to_chunks(y, np.int32)
-        mc = to_chunks(mask, np.float32)
+            lens_a[i] = n
+            last[i] = ids[n]
         zs = []
         for k in range(len(self.contexts)):
             zrow = np.zeros((Bp,), np.int32)
@@ -410,16 +466,42 @@ class Rater:
             zs.append(zrow)
         if carry is None:
             carry = zero_carry(self.cfg, Bp)
-        probs, nlls, carry = _score_text_jit(
-            self.params, self.cfg, xc, tuple(zs), yc, mc, carry,
-            self.use_pallas)
-        nlls = np.asarray(nlls)
+        fused = (self.fused_score
+                 and self.cfg.compute_dtype == 'float32')
+        # The segmented-dispatch machinery below supports pipelining
+        # probs fetches against later segments' compute, but measured
+        # NET-NEGATIVE over the tunneled PJRT link (4 dispatches cost
+        # more than the hidden fetch), so a single segment is used.
+        seg_C = C
+        segs = []
+        for s in range(C // seg_C):
+            n0 = s * seg_C * T
+            lens_s = np.clip(lens_a - n0, 0, seg_C * T).astype(np.int32)
+            last_s = np.zeros((Bp,), np.int32)
+            for i, ids in enumerate(ids_list):
+                idx = n0 + int(lens_s[i])
+                if lens_s[i] > 0 and idx <= lens[i]:
+                    last_s[i] = ids[idx]
+            probs_s, nll_s, carry = _score_stream_jit(
+                self.params, self.cfg, x[:, n0:n0 + seg_C * T],
+                tuple(zs), lens_s, last_s, carry, seg_C,
+                self.use_pallas, fused)
+            segs.append((probs_s, nll_s))
         out_probs: List[Any] = [None] * B
+        nlls = np.zeros((Bp,), np.float64)
         if want_probs:  # device->host transfer dominates; skip if unused
-            probs = np.asarray(probs).astype(np.float32)  # (C, Bp, T)
+            parts = []
+            for probs_s, nll_s in segs:  # in-order fetch overlaps compute
+                p, n_ = jax.device_get((probs_s, nll_s))
+                parts.append(p.astype(np.float32))
+                nlls += n_
+            probs = np.concatenate(parts, axis=0)         # (C, Bp, T)
             for i in range(B):
                 flat = probs[:, i, :].reshape(-1)
                 out_probs[i] = flat[:lens[i]]
+        else:
+            for _, nll_s in segs:
+                nlls += np.asarray(nll_s)
         return out_probs, [float(nlls[i]) for i in range(B)], carry
 
     def _score_text(self, ids: np.ndarray, context, *,

@@ -134,6 +134,35 @@ def test_pallas_scan_matches_jnp(setup, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize('depth', [1, 2, 3])
+def test_fused_score_kernel_matches_layered(rng, depth):
+    """The fused whole-chunk scoring kernel (interpret mode on CPU)
+    must match the layered forward_seq + log_softmax path, including
+    carry threading across chunks and NLL sums."""
+    from ocrd_keraslm_tpu.rater import _score_text_jit
+    cfg = LMConfig(width=32, depth=depth, length=16, voc_size=40,
+                   contexts=((20, 4),))
+    params = init_params(cfg, jax.random.PRNGKey(depth))
+    C, B, T = 3, 2, 10
+    xc = jnp.asarray(rng.integers(0, cfg.voc_size, (C, B, T)), jnp.int32)
+    yc = jnp.asarray(rng.integers(0, cfg.voc_size, (C, B, T)), jnp.int32)
+    mc = jnp.asarray(rng.random((C, B, T)) < 0.8, jnp.float32)
+    zs = (jnp.asarray(rng.integers(0, 20, (B,)), jnp.int32),)
+    carry = zero_carry(cfg, B)
+    p_ref, n_ref, c_ref = _score_text_jit(params, cfg, xc, zs, yc, mc,
+                                          carry, False, False)
+    p_out, n_out, c_out = _score_text_jit(params, cfg, xc, zs, yc, mc,
+                                          carry, False, True)
+    np.testing.assert_allclose(np.asarray(p_ref, np.float32),
+                               np.asarray(p_out, np.float32),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(n_ref), np.asarray(n_out),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(c_ref, c_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_gradients_flow(setup, rng):
     cfg, params = setup
     B, T = 2, 8

@@ -240,6 +240,9 @@ class Rater:
         self.fused_score = jax.default_backend() == 'tpu'
         self.merge_runs = True     # merge single-alternative edge runs
         self.compute_dtype = 'float32'  # or 'bfloat16' (training speed)
+        # multi-chip training: set to parallel.make_mesh(...) to pjit
+        # the train step over a (data, model) mesh (SURVEY §5.8)
+        self.mesh = None
         self._decode_cache: Dict[Any, Any] = {}
         _enable_compilation_cache()
         # runtime variables

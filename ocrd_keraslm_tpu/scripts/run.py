@@ -138,11 +138,16 @@ def _load_rater(model, incremental=False):
 @click.option('--bf16', is_flag=True,
               help='bfloat16 matmul operands in the recurrent core '
                    '(float32 cell state/softmax; faster on TPU)')
+@click.option('--mesh', 'mesh_spec', default=None, metavar='DPxMP',
+              help='shard the train step over a device mesh, e.g. '
+                   '"4" (4-way data parallel) or "4x2" (4-way data x '
+                   '2-way model parallel); requires that many JAX '
+                   'devices and batch_size divisible by DP')
 @click.argument('data', nargs=-1,
                 type=click.Path(exists=True, dir_okay=True,
                                 file_okay=True))
 def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
-          data):
+          mesh_spec, data):
     """Train a language model from DATA files with parameters WIDTH,
     DEPTH, and LENGTH.
 
@@ -173,6 +178,13 @@ def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
     rater.length = length
     if bf16:
         rater.compute_dtype = 'bfloat16'
+
+    if mesh_spec:
+        from ..parallel import make_mesh
+        parts = mesh_spec.lower().split('x')
+        dp = int(parts[0])
+        mp = int(parts[1]) if len(parts) > 1 else 1
+        rater.mesh = make_mesh(n_devices=dp * mp, model_parallel=mp)
 
     rater.configure()
     if continuation:

@@ -148,6 +148,30 @@ def train_rater(rater, data, val_data=None) -> None:
     rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
     stopper = StopSignal(logger=rater.logger)
 
+    # ---- multi-chip: pjit the step over rater.mesh (dp/tp) ----
+    # New capability vs the single-process reference (SURVEY §5.8).
+    # Set ``rater.mesh = parallel.make_mesh()`` to shard batch+carry on
+    # the data axis and the tied embedding on the model axis; XLA
+    # inserts the gradient all-reduce over ICI.
+    mesh = getattr(rater, 'mesh', None)
+    batch_dim_pre = (1 if (rater.stateful and not rater.train_streams)
+                     else rater.batch_size)
+    sharded_step = None
+    if mesh is not None:
+        from .parallel.train import make_sharded_train_step
+        n_data = mesh.shape.get('data', 1)
+        if batch_dim_pre % n_data != 0:
+            raise ValueError(
+                'batch_size %d not divisible by mesh data axis %d'
+                % (batch_dim_pre, n_data))
+        _, shard_fn, jit_step = make_sharded_train_step(mesh, cfg)
+        params, opt_state, _ = shard_fn(params, opt_state)
+        # stateful streams train on (B, T) targets; stateless windowed
+        # predicts a single next char -> (B,) targets (data.py)
+        sharded_step = jit_step(params, opt_state,
+                                len(rater.contexts), rater.stateful)
+        rater.logger.info('training over mesh %s', dict(mesh.shape))
+
     def make_gen(file_list, train):
         n_ctx = len(rater.contexts)
         if rater.stateful and rater.train_streams:
@@ -202,9 +226,17 @@ def train_rater(rater, data, val_data=None) -> None:
                     carry = zero_carry(cfg, batch_dim)
                 rng, sub = jax.random.split(rng)
                 step_t0 = _time.perf_counter()
-                params, opt_state, carry, loss, nll, acc = train_step(
-                    params, opt_state, cfg, batch.x, tuple(batch.zs),
-                    batch.y, batch.mask, carry, sub)
+                if sharded_step is not None:
+                    (params, opt_state, carry, loss, nll,
+                     acc) = sharded_step(
+                        params, opt_state, batch.x, tuple(batch.zs),
+                        batch.y, batch.mask, carry, sub)
+                else:
+                    (params, opt_state, carry, loss, nll,
+                     acc) = train_step(
+                        params, opt_state, cfg, batch.x,
+                        tuple(batch.zs), batch.y, batch.mask, carry,
+                        sub)
                 if not first_step_logged:
                     # compile-vs-step observability (SURVEY §5.1/5.5)
                     float(loss)

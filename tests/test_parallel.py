@@ -59,3 +59,47 @@ def test_sharded_step_matches_single_device():
         sp, so, x, zs, y, mask, zero_carry(cfg, B), key)
     np.testing.assert_allclose(float(nll1), float(nll2), rtol=1e-4)
     np.testing.assert_allclose(float(acc1), float(acc2), rtol=1e-4)
+
+
+def test_train_rater_over_mesh(tmp_path):
+    """End-to-end: train_rater with rater.mesh set runs the pjit-ed
+    dp/tp step and converges on a tiny corpus."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    import ocrd_keraslm_tpu as K
+    from ocrd_keraslm_tpu import training
+    from ocrd_keraslm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    files = []
+    for name in ('a_b_1800', 'c_d_1810'):
+        p = tmp_path / (name + '.txt')
+        p.write_text(''.join(
+            'abcdefgh '[i] for i in rng.integers(0, 9, 4000)))
+        files.append(str(p))
+
+    old_epochs = training.EPOCHS
+    training.EPOCHS = 2
+    try:
+        r = K.Rater()
+        r.width, r.depth, r.length = 16, 2, 32
+        r.stateful = True
+        r.batch_size = 8
+        r.mesh = make_mesh(8, model_parallel=2,
+                           devices=jax.devices('cpu'))
+        r.configure()
+        r.train(files)
+    finally:
+        training.EPOCHS = old_epochs
+    assert r.status == 2
+    assert len(r.history['loss']) == 2
+    assert all(np.isfinite(v) for v in r.history['val_loss'])
+    # the model must actually train (below uniform ~ln(10))
+    assert r.history['loss'][-1] < r.history['loss'][0]
+    # params came back shardable/gatherable for saving
+    out = tmp_path / 'm.h5'
+    r.save(str(out))
+    r2 = K.Rater()
+    r2.load_config(str(out)); r2.configure(); r2.load_weights(str(out))
+    probs = r2.rate('abcde abc', None)
+    assert len(probs) == 9

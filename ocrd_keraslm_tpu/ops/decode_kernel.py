@@ -51,7 +51,7 @@ BIG = 1.0e30
 LANE = 128
 
 
-def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
+def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
     KA = K * A
     S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
 
@@ -70,14 +70,30 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
                rec_out_ref, stateF_ref, costF_ref,  # outputs
                state_ref, costf_ref               # scratch (persistent)
                ):
-        t = pl.program_id(0)
-        n_t = pl.num_programs(0)
+        pid = pl.program_id(0)
+        n_p = pl.num_programs(0)
 
-        @pl.when(t == 0)
+        @pl.when(pid == 0)
         def _():
             state_ref[:] = state0_ref[:]
             costf_ref[:] = cost0_ref[:]
 
+        # EU edges unrolled per grid step amortize the per-step
+        # pipeline/launch overhead (whole-resident arrays make this a
+        # pure index change)
+        for u in range(EU):
+            edge_body(pid * EU + u, chars_ref, mask_ref, conf_ref,
+                      valid_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
+                      rec_out_ref, state_ref, costf_ref)
+
+        @pl.when(pid == n_p - 1)
+        def _():
+            stateF_ref[:] = state_ref[:]
+            costF_ref[:] = costf_ref[:]
+
+    def edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                  emb_ref, embT_ref, wcat_ref, bias_ref,
+                  rec_out_ref, state_ref, costf_ref):
         # per-edge rows via dynamic indexing of VMEM-resident arrays:
         # per-step streamed blocks cost ~30-40us/step in pipeline DMA
         # sync (measured); whole-array residency costs nothing at these
@@ -219,16 +235,11 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
         costf_ref[:] = cost_lane
 
         # ---- gather: ONE matmul for the whole packed state ----
+        # (final carry outputs are written ONCE in the kernel epilogue:
+        # output refs with constant maps written per step forced a
+        # write-back each grid step; scratch refs persist for free)
         state_ref[:] = jnp.dot(Ssel, stateE, precision=EXACT,
                                preferred_element_type=jnp.float32)
-
-        # final carry outputs written ONCE (output refs with constant
-        # maps written per step forced a write-back each grid step;
-        # scratch refs persist for free)
-        @pl.when(t == n_t - 1)
-        def _():
-            stateF_ref[:] = state_ref[:]
-            costF_ref[:] = costf_ref[:]
 
     return kernel, S
 
@@ -236,14 +247,15 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight):
 @partial(jax.jit, static_argnames=('n_edges', 'n_alts', 'alt_len',
                                    'beam', 'depth', 'width', 'v_pad',
                                    'v_real', 'lm_weight',
-                                   'device_walk'))
+                                   'device_walk', 'edge_unroll'))
 def decode_lattice_pallas(emb, embT, wcat, bias,
                           alt_chars, alt_mask, alt_conf_bits,
                           alt_valid, state0, cost0,
                           n_edges: int, n_alts: int, alt_len: int,
                           beam: int, depth: int, width: int,
                           v_pad: int, v_real: int, lm_weight: float,
-                          device_walk: bool = False):
+                          device_walk: bool = False,
+                          edge_unroll: int = 1):
     """One-dispatch fused lattice decode.
 
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
@@ -258,13 +270,14 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     """
     E, A, L = n_edges, n_alts, alt_len
     D, W, K, V = depth, width, beam, v_pad
+    EU = edge_unroll if E % edge_unroll == 0 else 1
     interpret = jax.default_backend() != 'tpu'
-    kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight)
+    kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight, EU)
     smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     records, stateF, costF = pl.pallas_call(
         kernel,
-        grid=(E,),
+        grid=(E // EU,),
         in_specs=[
             vmem((E, A, L), lambda t: (0, 0, 0)),
             vmem((E, A, L), lambda t: (0, 0, 0)),

@@ -469,8 +469,12 @@ class Rater:
             zs.append(zrow)
         if carry is None:
             carry = zero_carry(self.cfg, Bp)
+        # f32-only; at large widths the layered path wins (the hoisted
+        # whole-chunk matmuls dominate and per-step MXU latency grows:
+        # w512 measured 140ms fused vs 128ms layered per 64k chars)
         fused = (self.fused_score
-                 and self.cfg.compute_dtype == 'float32')
+                 and self.cfg.compute_dtype == 'float32'
+                 and self.cfg.width <= 384)
         # The segmented-dispatch machinery below supports pipelining
         # probs fetches against later segments' compute, but measured
         # NET-NEGATIVE over the tunneled PJRT link (4 dispatches cost
@@ -1154,10 +1158,13 @@ class Rater:
 
         encode = self.vocab.encode_cached
         bits_cache: Dict[float, float] = {}
+        bits_get = bits_cache.get
+        merge = self.merge_runs
+        pappend = prepared.append
 
         def conf_bits(te):
             conf = te.conf if te.conf else 1.0
-            bits = bits_cache.get(conf)
+            bits = bits_get(conf)
             if bits is None:
                 bits = -log(max(conf, 1e-99), 2)
                 bits_cache[conf] = bits
@@ -1165,7 +1172,7 @@ class Rater:
 
         for edge in edges:
             alternatives = edge['alternatives']
-            if self.merge_runs and len(alternatives) == 1:
+            if merge and len(alternatives) == 1:
                 te = alternatives[0]
                 ids = encode(te.Unicode)
                 bits = conf_bits(te)
@@ -1186,13 +1193,18 @@ class Rater:
             else:
                 flush()
                 # alt_conf as per-alternative scalars (no tiny arrays)
-                pe = {'alt_ids': [encode(te.Unicode)
-                                  for te in alternatives[:4]],
-                      'alt_conf': [conf_bits(te)
-                                   for te in alternatives[:4]],
-                      'alts': alternatives, 'parts': None,
-                      'element': edge['element']}
-                prepared.append(pe)
+                alt_ids, alt_conf = [], []
+                for te in alternatives[:4]:
+                    alt_ids.append(encode(te.Unicode))
+                    conf = te.conf if te.conf else 1.0
+                    bits = bits_get(conf)
+                    if bits is None:
+                        bits = -log(max(conf, 1e-99), 2)
+                        bits_cache[conf] = bits
+                    alt_conf.append(bits)
+                pappend({'alt_ids': alt_ids, 'alt_conf': alt_conf,
+                         'alts': alternatives, 'parts': None,
+                         'element': edge['element']})
         flush()
         # materialize merged runs
         for pe in prepared:
@@ -1277,25 +1289,35 @@ class Rater:
     def _emit_path(self, edges, choices, path_costs, start_cost):
         """Build the (element, textequiv, score) path from per-edge
         choices + cumulative costs, expanding merged runs (uniform
-        per-char score within a run)."""
+        per-char score within a run).
+
+        Bulk-converts the fetched cost/choice arrays once (.tolist());
+        per-element numpy scalar indexing cost ~8.6 us/edge and
+        dominated whole-document decode (measured)."""
+        nE = len(edges)
+        costs = np.asarray(path_costs[:nE], np.float64).tolist()
+        chs = np.asarray(choices[:nE], np.int64).tolist()
         path = []
-        prev_cost = start_cost
-        for ei, pe in enumerate(edges):
-            cum = float(path_costs[ei])
-            diff = cum - prev_cost
-            if pe['parts'] is not None:
-                total_chars = sum(n for _, _, n in pe['parts'])
-                per_char = diff / max(total_chars, 1)
-                score = min(pow(2.0, -per_char), 1.0)
-                for element, te, _n in pe['parts']:
-                    path.append((element, te, score))
+        append = path.append
+        prev = start_cost
+        for pe, cum, ai in zip(edges, costs, chs):
+            diff = cum - prev
+            parts = pe['parts']
+            if parts is not None:
+                total_chars = sum(n for _, _, n in parts)
+                score = 2.0 ** (-diff / (total_chars or 1))
+                if score > 1.0:
+                    score = 1.0
+                for element, te, _n in parts:
+                    append((element, te, score))
             else:
-                ai = int(choices[ei])
-                te = pe['alts'][min(ai, len(pe['alts']) - 1)]
-                score = pow(2.0, -diff / max(len(te.Unicode), 1))
-                path.append((pe.get('element'), te, min(score, 1.0)))
-            prev_cost = cum
-        entropy = float(path_costs[len(edges) - 1]) - start_cost
+                alts = pe['alts']
+                te = alts[ai] if ai < len(alts) else alts[-1]
+                score = 2.0 ** (-diff / (len(te.Unicode) or 1))
+                append((pe.get('element'), te,
+                        score if score < 1.0 else 1.0))
+            prev = cum
+        entropy = costs[-1] - start_cost
         return path, entropy
 
     # -- training (delegates to trainer module) -----------------------

@@ -69,6 +69,85 @@ def load_library() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+_PREP_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native', 'decode_prep.cpp')
+_PREP_LIB = None
+_PREP_TRIED = False
+
+
+def load_decode_prep():
+    """Compile (once) and load the native lattice-prep library; None if
+    unavailable.  Loaded with PyDLL: the functions run CPython C API
+    code, so the GIL must stay held."""
+    global _PREP_LIB, _PREP_TRIED
+    if _PREP_LIB is not None or _PREP_TRIED:
+        return _PREP_LIB
+    _PREP_TRIED = True
+    if os.environ.get('KERASLM_NATIVE') == '0':
+        return None
+    if not os.path.exists(_PREP_SRC):
+        return None
+    so_path = os.path.join(_build_dir(), 'decode_prep.so')
+    try:
+        if (not os.path.exists(so_path) or
+                os.path.getmtime(so_path) < os.path.getmtime(_PREP_SRC)):
+            import sysconfig
+            inc = sysconfig.get_paths()['include']
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                 '-I' + inc, _PREP_SRC, '-o', so_path],
+                check=True, capture_output=True)
+        lib = ctypes.PyDLL(so_path)
+        lib.decode_scan.restype = ctypes.py_object
+        lib.decode_scan.argtypes = [ctypes.py_object, ctypes.c_int,
+                                    ctypes.c_int]
+        lib.decode_fill.restype = ctypes.py_object
+        lib.decode_fill.argtypes = [
+            ctypes.py_object, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        _PREP_LIB = lib
+    except (OSError, subprocess.CalledProcessError) as err:
+        LOG.debug('native decode prep unavailable: %s', err)
+        _PREP_LIB = None
+    return _PREP_LIB
+
+
+def decode_scan(edges: list, merge: bool, merge_max: int):
+    """(n_prepared, maxlen) after run merging; None if unavailable."""
+    lib = load_decode_prep()
+    if lib is None:
+        return None
+    return lib.decode_scan(edges, int(merge), merge_max)
+
+
+def decode_fill(edges: list, merge: bool, merge_max: int, E: int,
+                A: int, L: int, table: np.ndarray):
+    """Fill the (E, A, L) decode arrays natively; returns
+    (meta_edges, alt_chars, alt_mask, alt_conf, alt_valid) or None."""
+    lib = load_decode_prep()
+    if lib is None:
+        return None
+    table = np.ascontiguousarray(table, np.int32)
+    alt_chars = np.zeros((E, A, L), np.int32)
+    alt_mask = np.zeros((E, A, L), np.float32)
+    alt_conf = np.zeros((E, A, L), np.float32)
+    alt_valid = np.zeros((E, A), np.float32)
+    meta = lib.decode_fill(
+        edges, int(merge), merge_max, E, A, L,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(table)),
+        alt_chars.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        alt_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alt_conf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alt_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return meta, alt_chars, alt_mask, alt_conf, alt_valid
+
+
 def build_stream_batches(ids: np.ndarray, batch: int, length: int):
     """All (x, y, mask) stream windows for one file in one native call.
 

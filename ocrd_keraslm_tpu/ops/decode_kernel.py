@@ -120,28 +120,28 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
                         preferred_element_type=jnp.float32)
         costE = jnp.where(lane_iota < KA, costE, BIG)
 
-        validE = jnp.zeros((1, LANE), jnp.float32)
-        for a in range(A):
-            valid_a = valid_row[a, 0]
-            validE = jnp.where(lane_iota % A == a, valid_a, validE)
+        def tile_sub(col):
+            # (A, 1) per-alternative column -> (KA, 1) hypothesis rows
+            return jnp.tile(col, (K, 1))
+
+        def tile_lane(col, fill=0.0):
+            # (A, 1) -> (1, LANE) lane vector [rows repeat per beam]
+            v = jnp.tile(col, (K, 1)).reshape(1, KA)
+            return jnp.concatenate(
+                [v, jnp.full((1, LANE - KA), fill, jnp.float32)],
+                axis=1)
+
+        validE = tile_lane(valid_row)
 
         acc = jnp.zeros((1, LANE), jnp.float32)
 
         # ---- char steps (unrolled) ----
         for step_t in range(L):
-            char_sub = jnp.zeros((KA, 1), jnp.int32)
-            m_sub = jnp.zeros((KA, 1), jnp.float32)
-            m_lane = jnp.zeros((1, LANE), jnp.float32)
-            conf_lane = jnp.zeros((1, LANE), jnp.float32)
-            for a in range(A):
-                ca = chars_row[a, step_t]
-                ma = mask_row[a, step_t]
-                cfa = conf_row[a, step_t]
-                char_sub = jnp.where(row_iota % A == a, ca, char_sub)
-                m_sub = jnp.where(row_iota % A == a, ma, m_sub)
-                m_lane = jnp.where(lane_iota % A == a, ma, m_lane)
-                conf_lane = jnp.where(lane_iota % A == a, cfa,
-                                      conf_lane)
+            char_sub = tile_sub(chars_row[:, step_t:step_t + 1])
+            m_col = mask_row[:, step_t:step_t + 1]
+            m_sub = tile_sub(m_col)
+            m_lane = tile_lane(m_col)
+            conf_lane = tile_lane(conf_row[:, step_t:step_t + 1])
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
             new_h, new_c = [], []
@@ -210,18 +210,16 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
         s_row = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0)
         Ssel_full = (jnp.broadcast_to(ranks_i, (K, LANE)) ==
                      s_row).astype(jnp.float32)
-        # rank-ordered records: matmuls with the 0/1 selector (exact)
+        # rank-ordered records: ONE matmul with the 0/1 selector for
+        # all three record columns (exact)
         parentf = jnp.transpose((lane_iota // A).astype(jnp.float32))
         altf = jnp.transpose((lane_iota % A).astype(jnp.float32))
-        bp_lane = jnp.transpose(
-            jnp.dot(Ssel_full, parentf, precision=EXACT,
-                    preferred_element_type=jnp.float32))   # (1, K)
-        alt_lane = jnp.transpose(
-            jnp.dot(Ssel_full, altf, precision=EXACT,
-                    preferred_element_type=jnp.float32))
-        cost_lane = jnp.transpose(
-            jnp.dot(Ssel_full, total_col, precision=EXACT,
-                    preferred_element_type=jnp.float32))
+        feats = jnp.concatenate([parentf, altf, total_col], axis=1)
+        sel = jnp.dot(Ssel_full, feats, precision=EXACT,
+                      preferred_element_type=jnp.float32)   # (K, 3)
+        bp_lane = jnp.transpose(sel[:, 0:1])                # (1, K)
+        alt_lane = jnp.transpose(sel[:, 1:2])
+        cost_lane = jnp.transpose(sel[:, 2:3])
         pad = jnp.zeros((1, LANE - K), jnp.float32)
         bp_lane = jnp.concatenate([bp_lane, pad], axis=1)
         alt_lane = jnp.concatenate([alt_lane, pad], axis=1)

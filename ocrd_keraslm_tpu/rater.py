@@ -54,6 +54,10 @@ SCORE_CHUNK = 4096
 CHUNK_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 # batch-size buckets for the incremental beam step:
 STEP_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+# max chars per merged single-alternative decode run: keeps the shared
+# L bucket small (char steps at L<=8 are near-free; L=64 for all edges
+# was a net loss)
+DECODE_MERGE_MAX = 8
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -915,15 +919,16 @@ class Rater:
         """
         from .ops.beam_device import decode_lattice_device
 
-        edges = [graph.edges[e] for e in sorted(graph.edges)]
-        if not edges:
+        edges_raw = [graph.edges[e] for e in sorted(graph.edges)]
+        if not edges_raw:
             return ('done', [], 0.0), device_traceback
-        edges = self._prepare_decode_edges(edges)
         if self.fused_decode:
-            # fused Pallas kernel path (same deferred-fetch protocol)
-            return self._rate_best_pallas(edges, device_traceback,
+            # fused Pallas kernel path (same deferred-fetch protocol);
+            # edge prep runs natively (C++) when available
+            return self._rate_best_pallas(edges_raw, device_traceback,
                                           context, lm_weight,
                                           beam_width)
+        edges = self._prepare_decode_edges(edges_raw)
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
         A = 4
@@ -1092,7 +1097,10 @@ class Rater:
         same block chaining, pending format, and host traceback as the
         XLA path (finish happens in ``rate_best_device_finish``); the
         cross-page carry holds previous-char EMBEDDINGS instead of
-        char ids.  Returns (pending, traceback)."""
+        char ids.  ``edges`` are the RAW graph edge dicts; preparation
+        (run merging + array fill) runs in the native C++ builder when
+        available (native/decode_prep.cpp), else in Python.  Returns
+        (pending, traceback)."""
         from .ops.decode_kernel import decode_lattice_pallas
 
         D, W = self.depth, self.width
@@ -1100,9 +1108,30 @@ class Rater:
         A = 4
         E_BUCKETS = (64, 256, 1024)
         E_MAX = E_BUCKETS[-1]
-        maxlen = max(max((len(ids) for ids in pe['alt_ids']),
-                         default=1) for pe in edges)
-        L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+        arrays = None
+        if edges and isinstance(edges[0], dict) and \
+                'alternatives' in edges[0]:
+            from . import native
+            scan = native.decode_scan(edges, self.merge_runs,
+                                      DECODE_MERGE_MAX)
+            if scan is not None and 0 < scan[0] <= E_MAX:
+                n_prep, maxlen = scan
+                L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+                E = _bucket(n_prep, E_BUCKETS)
+                filled = native.decode_fill(
+                    edges, self.merge_runs, DECODE_MERGE_MAX, E, A, L,
+                    self.vocab._table())
+                if filled is not None:
+                    edges, alt_chars, alt_mask, alt_conf, alt_valid = \
+                        filled
+                    arrays = (E, alt_chars, alt_mask, alt_conf,
+                              alt_valid)
+            if arrays is None:  # native unavailable or blocks needed
+                edges = self._prepare_decode_edges(edges)
+        if arrays is None:
+            maxlen = max(max((len(ids) for ids in pe['alt_ids']),
+                             default=1) for pe in edges)
+            L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         wts = self._decode_weights(context, lm_weight)
         if device_traceback is None:
             # packed state [xemb | h_0.. | c_0..]
@@ -1118,9 +1147,12 @@ class Rater:
         packed_blocks = []
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
-            E = _bucket(len(block), E_BUCKETS)
-            alt_chars, alt_mask, alt_conf, alt_valid = \
-                self._fill_decode_arrays(block, E, A, L)
+            if arrays is not None:
+                E, alt_chars, alt_mask, alt_conf, alt_valid = arrays
+            else:
+                E = _bucket(len(block), E_BUCKETS)
+                alt_chars, alt_mask, alt_conf, alt_valid = \
+                    self._fill_decode_arrays(block, E, A, L)
             packed, state, cost = decode_lattice_pallas(
                 wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
                 alt_chars, alt_mask, alt_conf,
@@ -1146,7 +1178,7 @@ class Rater:
         dominates (measured), so merging directly multiplies decode
         throughput on realistic lattices.
         """
-        MERGE_MAX = 8  # keeps the shared L bucket small (char steps at L<=8 are near-free; L=64 for all edges was a net loss)
+        MERGE_MAX = DECODE_MERGE_MAX
         prepared = []
         run = None  # accumulating merged run
 

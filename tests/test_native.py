@@ -43,3 +43,131 @@ def test_prefetcher_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError):
         list(it)
+
+
+def test_native_decode_prep_matches_python():
+    """The C++ lattice prep (scan + fill) must reproduce the Python
+    _prepare_decode_edges + _fill_decode_arrays results exactly:
+    run merging, truncation, conf bits, unmapped chars, metadata."""
+    import numpy as np
+    import pytest
+    from ocrd_keraslm_tpu import native
+    from ocrd_keraslm_tpu.rater import DECODE_MERGE_MAX, Rater, _bucket
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    if native.load_decode_prep() is None:
+        pytest.skip('native decode prep unavailable')
+
+    r = Rater()
+    r.vocab.grow(list('abcdefgh '))
+
+    def te(u, conf):
+        return TextEquivType(Unicode=u, conf=conf)
+
+    edges = [
+        # run of single-alternative edges (merges up to 8 chars)
+        {'element': 'e0', 'alternatives': [te('ab', 0.9)]},
+        {'element': 'e1', 'alternatives': [te('cde', 0.5)]},
+        {'element': 'e2', 'alternatives': [te('fgh', None)]},
+        {'element': 'e3', 'alternatives': [te('a', 0.7)]},  # overflows
+        # multi-alternative edge with unmapped char + empty string
+        {'element': 'e4', 'alternatives': [
+            te('ab', 0.8), te('xq', 0.3), te('', 0.2)]},
+        # long alternative (truncation at L) + >4 alternatives
+        {'element': 'e5', 'alternatives': [
+            te('abcdefgh' * 3, 0.9), te('b', 0.6), te('c', 0.5),
+            te('d', 0.4), te('e', 0.3)]},
+        # another run after the multi-alt edges
+        {'element': 'e6', 'alternatives': [te(' ', 1.0)]},
+        {'element': 'e7', 'alternatives': [te('gh', 0.95)]},
+    ]
+
+    # python reference
+    prepared = r._prepare_decode_edges([dict(e) for e in edges])
+    maxlen_py = max(max((len(ids) for ids in pe['alt_ids']),
+                        default=1) for pe in prepared)
+    A, L = 4, _bucket(max(maxlen_py, 1), (1, 2, 4, 8, 16, 32, 64))
+    E = _bucket(len(prepared), (64, 256, 1024))
+    ref = r._fill_decode_arrays(prepared, E, A, L)
+
+    # native
+    n_prep, maxlen = native.decode_scan(edges, True, DECODE_MERGE_MAX)
+    assert n_prep == len(prepared)
+    assert maxlen == maxlen_py
+    meta, ac, am, acf, av = native.decode_fill(
+        edges, True, DECODE_MERGE_MAX, E, A, L, r.vocab._table())
+    np.testing.assert_array_equal(ac, ref[0])
+    np.testing.assert_array_equal(am, ref[1])
+    np.testing.assert_allclose(acf, ref[2], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(av, ref[3])
+    assert len(meta) == len(prepared)
+    for m, pe in zip(meta, prepared):
+        assert (m['parts'] is None) == (pe['parts'] is None)
+        assert m['alts'] is pe['alts'] or \
+            [t.Unicode for t in m['alts']] == \
+            [t.Unicode for t in pe['alts']]
+        if m['parts'] is not None:
+            assert [(p[0], p[1].Unicode, p[2]) for p in m['parts']] == \
+                [(p[0], p[1].Unicode, p[2]) for p in pe['parts']]
+        else:
+            assert m['element'] == pe['element']
+
+
+def test_native_decode_prep_end_to_end_parity():
+    """Whole-document device decode must give identical paths with the
+    native prep and the Python prep."""
+    import numpy as np
+    import pytest
+    import jax
+    import networkx as nx
+    from ocrd_keraslm_tpu import native
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    if native.load_decode_prep() is None:
+        pytest.skip('native decode prep unavailable')
+
+    r = Rater()
+    chars = list('abcdefgh ')
+    r.vocab.grow(chars)
+    r.width, r.depth, r.length = 16, 2, 32
+    r.voc_size = len(r.vocab)
+    r.cfg = LMConfig(width=16, depth=2, length=32,
+                     voc_size=len(r.vocab), stateful=True,
+                     variable_length=False)
+    r.params = init_params(r.cfg, jax.random.PRNGKey(1))
+    r.status = 2
+    r.fused_decode = True
+
+    rng = np.random.default_rng(5)
+    g = nx.DiGraph()
+    g.add_node(0)
+    for e in range(40):
+        if e % 3 == 0:  # single-alternative (merging) edges
+            tes = [TextEquivType(Unicode=chars[rng.integers(8)],
+                                 conf=0.9)]
+        else:
+            tes = [TextEquivType(Unicode=chars[rng.integers(8)],
+                                 conf=float(c), index=i)
+                   for i, c in enumerate(rng.uniform(0.2, 1, 3))]
+        g.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+
+    def run(disable_native):
+        import ocrd_keraslm_tpu.native as nat
+        saved = nat._PREP_LIB, nat._PREP_TRIED
+        if disable_native:
+            nat._PREP_LIB, nat._PREP_TRIED = None, True
+        try:
+            pending, tb = r.rate_best_device_begin(g, 0, 40,
+                                                   beam_width=8)
+            pending = r.fetch_pendings([pending])[0]
+            return r.rate_best_device_finish(pending)
+        finally:
+            nat._PREP_LIB, nat._PREP_TRIED = saved
+
+    path_n, ent_n = run(False)
+    path_p, ent_p = run(True)
+    assert abs(ent_n - ent_p) < 1e-4
+    assert [(e, t.Unicode, round(s, 5)) for e, t, s in path_n] == \
+        [(e, t.Unicode, round(s, 5)) for e, t, s in path_p]

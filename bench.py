@@ -217,9 +217,9 @@ def main():
         print('decode compile+warmup: %.1fs'
               % (time.perf_counter() - t0), file=sys.stderr)
         best = 1e30
-        # best-of-5: the tunneled service stalls ~120ms every few
-        # calls, which a best-of-3 sometimes never escapes
-        for _ in range(5):
+        # best-of-8: the tunneled service stalls ~120 ms every few
+        # calls; smaller rep counts often never escape a stall window
+        for _ in range(8):
             t0 = time.perf_counter()
             outs = decode_document()
             best = min(best, time.perf_counter() - t0)

@@ -310,9 +310,15 @@ def train_rater(rater, data, val_data=None) -> None:
                 best_epoch = epoch
                 bad_epochs = 0
                 # best-only weight checkpoint (reference
-                # rating.py:284-285)
+                # rating.py:284-285); directory configurable via
+                # rater.ckpt_dir or KERASLM_CKPT_DIR (default: CWD)
+                import os
                 from .utils import h5io
-                ckpt = 'ckpt.%02d-%.2f.h5' % (epoch + 1, ep_vloss)
+                ckpt_dir = (getattr(rater, 'ckpt_dir', None)
+                            or os.environ.get('KERASLM_CKPT_DIR') or '.')
+                os.makedirs(ckpt_dir, exist_ok=True)
+                ckpt = os.path.join(
+                    ckpt_dir, 'ckpt.%02d-%.2f.h5' % (epoch + 1, ep_vloss))
                 try:
                     h5io.save_weights(ckpt, params, cfg)
                     rater.logger.info('saved checkpoint %s', ckpt)

@@ -145,8 +145,16 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     reconstruction from backpointers."""
     if not context:
         context = rater.underspecify_contexts()
+    ids = rater.vocab.encode(prefix)
+    # condition on the FULL prefix (host parity); bucket the scan
+    # length so prompt sizes share compilations
     P = 64
-    ids = rater.vocab.encode(prefix)[-P:]
+    for b in (64, 256, 1024, 4096):
+        if len(ids) <= b:
+            P = b
+            break
+    else:
+        P = 1 << max(len(ids) - 1, 1).bit_length()
     prefix_ids = np.zeros((P,), np.int32)
     prefix_mask = np.zeros((P,), np.float32)
     prefix_ids[:len(ids)] = ids
@@ -258,10 +266,12 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
             xx = jnp.where(keep, cur, xx)
             return (hh, cc, xx, acc), None
         # full unroll: a nested scan per edge costs ~800us/edge in
-        # dispatch overhead; unrolled it is ~40us/edge (measured)
+        # dispatch overhead; unrolled it is ~40us/edge (measured).
+        # Long alternatives (line/region level, L unbounded) bound the
+        # program size with a partially-unrolled scan instead.
         (hE, cE, xE, delta), _ = jax.lax.scan(
             char_step, (hE, cE, xE, jnp.zeros((KA,))),
-            jnp.arange(L), unroll=True)
+            jnp.arange(L), unroll=True if L <= 64 else 8)
         total = costE + delta
         total = jnp.where(validE > 0.5, total, NEG_INF)
         total = jnp.where(costE >= NEG_INF / 2, NEG_INF, total)

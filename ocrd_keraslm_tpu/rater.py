@@ -54,10 +54,18 @@ SCORE_CHUNK = 4096
 CHUNK_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 # batch-size buckets for the incremental beam step:
 STEP_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+# scoring batches above this many padded elements split in half
+# (bounds activation/fetch memory):
+SCORE_SPLIT_LIMIT = 1 << 26
 # max chars per merged single-alternative decode run: keeps the shared
 # L bucket small (char steps at L<=8 are near-free; L=64 for all edges
 # was a net loss)
 DECODE_MERGE_MAX = 8
+# fused Pallas decode limits: K*A must fit the 128-lane layout and the
+# kernel fully unrolls the per-edge char steps (ops/decode_kernel.py);
+# beyond these the XLA scan path decodes exactly (any K, any length)
+FUSED_MAX_BEAM = 32
+FUSED_MAX_ALT_LEN = 64
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -65,6 +73,16 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     return buckets[-1]
+
+
+def _bucket_unbounded(n: int, buckets: Sequence[int]) -> int:
+    """Like ``_bucket`` but NEVER truncates: above the largest bucket,
+    round up to the next power of two (one extra compilation per new
+    size instead of silently wrong results)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return 1 << max(int(n) - 1, 1).bit_length()
 
 
 _CACHE_ENABLED = False
@@ -267,6 +285,8 @@ class Rater:
     @mapping.setter
     def mapping(self, value):
         self.vocab.c2i, self.vocab.i2c = dict(value[0]), dict(value[1])
+        # invalidate encode caches keyed on the mapping version
+        self.vocab._version += 1
 
     # -- configuration -------------------------------------------------
 
@@ -437,18 +457,53 @@ class Rater:
         Bp = _bucket(B, STEP_BUCKETS)
         lens = [max(len(ids) - 1, 0) for ids in ids_list]
         Nmax = max(lens + [1])
+        BLOCK = SCORE_CHUNK * CHUNK_COUNT_BUCKETS[-1]
+        if Nmax > BLOCK:
+            # book-length texts: chain fixed-size super-blocks through
+            # the carry (each block slice overlaps one char so targets
+            # line up across the boundary)
+            parts: List[List[np.ndarray]] = [[] for _ in range(B)]
+            nll_tot = [0.0] * B
+            cur = carry
+            for o in range(0, Nmax, BLOCK):
+                sub = [ids[o:o + BLOCK + 1] for ids in ids_list]
+                p, n_, cur = self._score_batch(
+                    sub, contexts, carry=cur, want_probs=want_probs)
+                for i in range(B):
+                    nll_tot[i] += n_[i]
+                    if want_probs:
+                        parts[i].append(p[i])
+            return ([np.concatenate(parts[i]) if want_probs else None
+                     for i in range(B)], nll_tot, cur)
         C = _bucket((Nmax + SCORE_CHUNK - 1) // SCORE_CHUNK,
                     CHUNK_COUNT_BUCKETS)
-        if B > 1 and C * Bp * SCORE_CHUNK > (1 << 26):
-            # bound activation/fetch memory: halve the batch
+        if B > 1 and C * Bp * SCORE_CHUNK > SCORE_SPLIT_LIMIT:
+            # bound activation/fetch memory: halve the batch (each
+            # half gets its carry rows and hands its final rows back)
             mid = B // 2
-            p1, n1, _ = self._score_batch(ids_list[:mid],
-                                          contexts[:mid],
-                                          want_probs=want_probs)
-            p2, n2, _ = self._score_batch(ids_list[mid:],
-                                          contexts[mid:],
-                                          want_probs=want_probs)
-            return p1 + p2, n1 + n2, None
+
+            def _rows(lo, hi):
+                if carry is None:
+                    return None
+                return (np.asarray(carry[0])[:, lo:hi],
+                        np.asarray(carry[1])[:, lo:hi])
+
+            p1, n1, c1 = self._score_batch(
+                ids_list[:mid], contexts[:mid], carry=_rows(0, mid),
+                want_probs=want_probs)
+            p2, n2, c2 = self._score_batch(
+                ids_list[mid:], contexts[mid:], carry=_rows(mid, B),
+                want_probs=want_probs)
+            out_carry = None
+            if carry is not None:
+                h = np.concatenate([np.asarray(c1[0])[:, :mid],
+                                    np.asarray(c2[0])[:, :B - mid]],
+                                   axis=1)
+                c = np.concatenate([np.asarray(c1[1])[:, :mid],
+                                    np.asarray(c2[1])[:, :B - mid]],
+                                   axis=1)
+                out_carry = (h, c)
+            return p1 + p2, n1 + n2, out_carry
         T = SCORE_CHUNK
         # compact transfer layout: char ids only (uint16 when the vocab
         # allows), plus per-stream lengths and final targets; shifted
@@ -473,6 +528,15 @@ class Rater:
             zs.append(zrow)
         if carry is None:
             carry = zero_carry(self.cfg, Bp)
+        elif carry[0].shape[1] != Bp:
+            # batch-row normalization (splitting/chaining callers)
+            ch, cc = np.asarray(carry[0]), np.asarray(carry[1])
+            if ch.shape[1] > Bp:
+                carry = (ch[:, :Bp], cc[:, :Bp])
+            else:
+                padn = Bp - ch.shape[1]
+                carry = (np.pad(ch, ((0, 0), (0, padn), (0, 0))),
+                         np.pad(cc, ((0, 0), (0, padn), (0, 0))))
         # f32-only; at large widths the layered path wins (the hoisted
         # whole-chunk matmuls dominate and per-step MXU latency grows:
         # w512 measured 140ms fused vs 128ms layered per 64k chars)
@@ -924,10 +988,25 @@ class Rater:
             return ('done', [], 0.0), device_traceback
         if self.fused_decode:
             # fused Pallas kernel path (same deferred-fetch protocol);
-            # edge prep runs natively (C++) when available
-            return self._rate_best_pallas(edges_raw, device_traceback,
-                                          context, lm_weight,
-                                          beam_width)
+            # edge prep runs natively (C++) when available.  The fused
+            # kernel's 128-lane layout bounds K*A <= 128 and it fully
+            # unrolls the char steps, so it only serves
+            # beam_width <= 32 and alternatives <= 64 chars — anything
+            # larger decodes through the (exact, unbounded) XLA path.
+            maxlen_raw = max(
+                (len(te.Unicode) for pe in edges_raw
+                 for te in pe['alternatives'][:4]), default=1)
+            if beam_width <= FUSED_MAX_BEAM and \
+                    maxlen_raw <= FUSED_MAX_ALT_LEN:
+                return self._rate_best_pallas(edges_raw,
+                                              device_traceback,
+                                              context, lm_weight,
+                                              beam_width)
+            self.logger.info(
+                'fused decode unavailable (beam_width %d > %d or '
+                'alternative length %d > %d chars): using XLA path',
+                beam_width, FUSED_MAX_BEAM, maxlen_raw,
+                FUSED_MAX_ALT_LEN)
         edges = self._prepare_decode_edges(edges_raw)
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
@@ -939,27 +1018,10 @@ class Rater:
         E_MAX = E_BUCKETS[-1]
         maxlen = max(max((len(ids) for ids in pe['alt_ids']),
                          default=1) for pe in edges)
-        L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
-        # initial beam (kept device-resident across pages)
-        if device_traceback is None:
-            h0 = np.zeros((D, K, W), np.float32)
-            c0 = np.zeros((D, K, W), np.float32)
-            x0 = np.full((K,), self.vocab.get('\n'), np.int32)
-            cost0 = np.full((K,), 3.0e38, np.float32)
-            cost0[0] = 0.0
-        else:
-            h0, c0, x0, cost0 = device_traceback
-            if h0.shape[1] != K:  # beam width changed between pages
-                if h0.shape[1] > K:
-                    h0, c0 = h0[:, :K], c0[:, :K]
-                    x0, cost0 = x0[:K], cost0[:K]
-                else:
-                    padn = K - h0.shape[1]
-                    h0 = jnp.pad(h0, ((0, 0), (0, padn), (0, 0)))
-                    c0 = jnp.pad(c0, ((0, 0), (0, padn), (0, 0)))
-                    x0 = jnp.pad(x0, (0, padn))
-                    cost0 = jnp.pad(cost0, (0, padn),
-                                    constant_values=3.0e38)
+        # unbounded: line/region-level alternatives can run to
+        # thousands of chars; truncation would silently corrupt scores
+        L = _bucket_unbounded(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+        h0, c0, x0, cost0 = self._xla_traceback(device_traceback, K)
         zs = self._context_arrays(context, 1)
         nE = len(edges)
         start_cost = None
@@ -994,6 +1056,92 @@ class Rater:
 
     # block buckets shared by begin/finish
     _E_BUCKETS = (64, 256, 1024)
+
+    # -- cross-page device traceback normalization --------------------
+    # The two device decode engines carry different beam-state layouts
+    # across pages: the XLA scan uses (h (D,K,W), c, x_prev ids (K,),
+    # cost (K,) with 3e38 empties); the fused kernel uses a packed
+    # (K, (2D+1)W) state [xemb | h.. | c..] plus a (1, 128) cost lane
+    # with 1e30 empties.  A document can legitimately mix engines (a
+    # page with a long alternative or wide beam falls back to XLA), so
+    # each path normalizes whatever traceback it receives.  The no-op
+    # case (same format, same K) returns the arrays untouched so the
+    # carry stays device-resident.
+
+    def _xla_traceback(self, tb, K):
+        """Normalize a device traceback to the XLA-path format with
+        beam dimension ``K``."""
+        D, W = self.depth, self.width
+        if tb is None:
+            h = np.zeros((D, K, W), np.float32)
+            c = np.zeros((D, K, W), np.float32)
+            x = np.full((K,), self.vocab.get('\n'), np.int32)
+            cost = np.full((K,), 3.0e38, np.float32)
+            cost[0] = 0.0
+            return h, c, x, cost
+        if len(tb) == 2:  # fused packed format -> unpack (host-side)
+            state = np.asarray(tb[0])
+            cost_l = np.asarray(tb[1])
+            K0 = state.shape[0]
+            h = np.stack([state[:, (1 + d) * W:(2 + d) * W]
+                          for d in range(D)])
+            c = np.stack([state[:, (1 + D + d) * W:(2 + D + d) * W]
+                          for d in range(D)])
+            # xemb rows are exact embedding rows (written by one-hot
+            # matmuls), so nearest-neighbour recovery of the char id
+            # is exact
+            xemb = state[:, :W]
+            emb = np.asarray(self.params['char_embedding'])
+            d2 = np.sum(emb * emb, axis=1)[None, :] - 2.0 * (xemb @ emb.T)
+            x = np.argmin(d2, axis=1).astype(np.int32)
+            cost = cost_l[0, :K0].astype(np.float32)
+            cost = np.where(cost >= 1.0e29, 3.0e38, cost)
+            tb = (h, c, x, cost)
+        h0, c0, x0, cost0 = tb
+        K0 = h0.shape[1]
+        if K0 == K:
+            return h0, c0, x0, cost0
+        if K0 > K:  # beam narrowed between pages: keep the best slots
+            return h0[:, :K], c0[:, :K], x0[:K], cost0[:K]
+        padn = K - K0
+        return (jnp.pad(h0, ((0, 0), (0, padn), (0, 0))),
+                jnp.pad(c0, ((0, 0), (0, padn), (0, 0))),
+                jnp.pad(x0, (0, padn)),
+                jnp.pad(cost0, (0, padn), constant_values=3.0e38))
+
+    def _fused_traceback(self, tb, K, emb):
+        """Normalize a device traceback to the fused-kernel format
+        (packed state (K, S), cost lane (1, 128)) given the padded
+        embedding matrix ``emb``."""
+        D, W = self.depth, self.width
+        from .ops.decode_kernel import BIG, LANE
+        if tb is None:
+            state = jnp.zeros((K, (2 * D + 1) * W), jnp.float32)
+            state = state.at[:, :W].set(jnp.broadcast_to(
+                emb[self.vocab.get('\n')], (K, W)))
+            cost = jnp.where(jnp.arange(LANE) == 0, 0.0,
+                             BIG)[None, :].astype(jnp.float32)
+            return state, cost
+        if len(tb) == 4:  # XLA format -> pack (host-side)
+            h, c, x, cost4 = (np.asarray(a) for a in tb)
+            K0 = h.shape[1]
+            state = np.concatenate(
+                [np.asarray(emb)[x]]
+                + [h[d] for d in range(D)] + [c[d] for d in range(D)],
+                axis=1).astype(np.float32)
+            cost = np.full((1, LANE), BIG, np.float32)
+            cost[0, :K0] = np.where(cost4 >= 1.0e37, BIG, cost4)
+            tb = (state, cost)
+        state, cost = tb
+        K0 = state.shape[0]
+        if K0 == K:
+            return state, cost
+        if K0 > K:
+            cost = jnp.asarray(cost)
+            lane = jnp.arange(LANE)
+            return state[:K], jnp.where(lane[None, :] < K, cost, BIG)
+        return (jnp.pad(state, ((0, K - K0), (0, 0))),
+                jnp.asarray(cost))
 
     def fetch_pendings(self, pendings):
         """Fetch the device arrays of MANY pending decodes in as few
@@ -1104,7 +1252,8 @@ class Rater:
         from .ops.decode_kernel import decode_lattice_pallas
 
         D, W = self.depth, self.width
-        K = _bucket(beam_width, (8, 16, 32, 64))
+        # K*A <= 128 lanes (callers gate beam_width <= FUSED_MAX_BEAM)
+        K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
         A = 4
         E_BUCKETS = (64, 256, 1024)
         E_MAX = E_BUCKETS[-1]
@@ -1133,15 +1282,8 @@ class Rater:
                              default=1) for pe in edges)
             L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
         wts = self._decode_weights(context, lm_weight)
-        if device_traceback is None:
-            # packed state [xemb | h_0.. | c_0..]
-            state = jnp.zeros((K, (2 * D + 1) * W), jnp.float32)
-            state = state.at[:, :W].set(jnp.broadcast_to(
-                wts['emb'][self.vocab.get('\n')], (K, W)))
-            cost = jnp.where(jnp.arange(128) == 0, 0.0,
-                             1.0e30)[None, :].astype(jnp.float32)
-        else:
-            state, cost = device_traceback
+        state, cost = self._fused_traceback(device_traceback, K,
+                                            wts['emb'])
         nE = len(edges)
         single = nE <= E_MAX
         packed_blocks = []

@@ -184,11 +184,6 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
             context = context_from_filename(name)
             ids = vocab.encode(text)
             size = len(ids)
-            xs, ys = [], []
-
-            def flush(xs=None, ys=None, force=False):
-                pass  # placeholder; real flush below via closure lists
-
             buf_x: List[np.ndarray] = []
             buf_y: List[int] = []
             for i in range(length, size, step):

@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-from bisect import insort_left
 from functools import partial
 from math import ceil, exp, log
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -35,7 +34,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .beam import Node
 from .models.lstm_lm import (
     DEFAULT_CONTEXTS, LMConfig, Params, forward_seq, forward_step,
     init_params, zero_carry,
@@ -757,41 +755,10 @@ class Rater:
 
     def _generate_host(self, prefix: str, length: int, context=None,
                        variants: int = 1) -> List[str]:
-        """Host-loop generation (reference-parity semantics; one device
-        step per character round)."""
+        """Host/array generation fallback (see host_beam.generate_host)."""
         assert self.status > 1
-        if not context:
-            context = self.underspecify_contexts()
-        prefix_states: List[Any] = [None]
-        for char in prefix[:-1]:
-            _, prefix_states = self.predict([char], prefix_states,
-                                            context=context)
-        next_fringe = [Node(state=prefix_states[0], value=prefix[-1],
-                            cost=0.0)]
-        for _ in range(length):
-            fringe = next_fringe
-            preds, states = self.predict([n.value for n in fringe],
-                                         [n.state for n in fringe],
-                                         context=context)
-            next_fringe = []
-            for j, n in enumerate(fringe):
-                pred = preds[j]
-                pred_best = np.argsort(pred)[-10:]
-                pred_best = pred_best[
-                    np.searchsorted(pred[pred_best], 0.004):]
-                costs = -np.log(np.maximum(pred[pred_best], 1e-99))
-                state = states[j]
-                for best, cost in zip(pred_best, costs):
-                    if int(best) not in self.vocab.i2c:
-                        continue  # zero/unmapped
-                    n_new = Node(parent=n, state=state,
-                                 value=self.vocab.i2c[int(best)],
-                                 cost=float(cost))
-                    insort_left(next_fringe, n_new)
-            next_fringe = next_fringe[:256]
-        best = next_fringe[0:variants]
-        return [''.join(n.value for n in res.to_sequence())
-                for res in best]
+        from .host_beam import generate_host
+        return generate_host(self, prefix, length, context, variants)
 
     # -- lattice decoding ---------------------------------------------
 
@@ -799,150 +766,27 @@ class Rater:
                   start_traceback=None, context=None, lm_weight=0.5,
                   beam_width=10, beam_clustering_dist=0):
         """Best-path beam decode over a lattice of string alternatives
-        (reference rating.py:712-858).  Hypothesis batches run as single
-        jitted device steps via ``predict``; beam bookkeeping stays on
-        host (PAGE graph traversal is inherently host-side).
+        on the host (capability of reference rating.py:712-858; see
+        host_beam.decode_lattice_host for the redesigned engine).
+        Hypothesis batches run as single jitted device steps; beam
+        bookkeeping stays on host (PAGE graph traversal is inherently
+        host-side).
 
         Returns ([(element, textequiv, score), ...], entropy, traceback).
         """
-        import networkx as nx
-
-        if not start_traceback:
-            alternative = Node(state=None, value='\n', cost=0.0)
-            start_traceback = ([alternative], alternative)
-
-        def bfs_edges(G, start):
-            order = nx.topological_sort(G)
-            nodes = [start]
-            for out in order:
-                for in_, _ in G.in_edges([out]):
-                    if in_ in nodes:
-                        yield in_, out
-                        nodes.append(out)
-
-        graph.nodes[start_node]['traceback'] = start_traceback[0]
-        out = start_node
-        out_node = graph.nodes[start_node]
-        for in_, out in bfs_edges(graph, start_node):
-            edge = graph.edges[in_, out]
-            element = edge['element']
-            textequivs = edge['alternatives']
-            in_node = graph.nodes[in_]
-            out_node = graph.nodes[out]
-            assert 'traceback' in in_node, \
-                'breadth-first search should have visited %s first' % in_
-            beam = in_node['traceback']
-            final_beam = out_node.get('traceback', [])
-            next_beam = [Node(parent=alternative,
-                              state=alternative.state,
-                              value='', cost=0.0,
-                              extras=(element, textequiv))
-                         for alternative in beam
-                         for textequiv in textequivs]
-            unmapped_seen: Dict[Any, List[str]] = {}
-            max_batches = max(len(te.Unicode) for te in textequivs) * 3
-            for _ in range(max_batches):
-                beam = []
-                while next_beam:
-                    candidate = next_beam.pop()
-                    if candidate.value == candidate.extras[1].Unicode:
-                        if (beam_clustering_dist and
-                                self._history_clustering(
-                                    candidate, final_beam,
-                                    beam_clustering_dist)):
-                            continue
-                        insort_left(final_beam, candidate)
-                    else:
-                        insort_left(beam, candidate)
-                    if len(beam) >= self.batch_size:
-                        break
-                if not beam:
-                    break
-                if final_beam and \
-                        beam[0].cum_cost >= final_beam[0].cum_cost + 15:
-                    break  # cardinality pruning
-                preds, states = self.predict(
-                    [cand.value[-1] if cand.value
-                     else cand.parent.value[-1] for cand in beam],
-                    [cand.state for cand in beam], context)
-                for i, candidate in enumerate(beam):
-                    conf = candidate.extras[1].conf
-                    char = candidate.extras[1].Unicode[
-                        len(candidate.value)]
-                    if char not in self.vocab:
-                        key = getattr(candidate.extras[1], 'index', None)
-                        if char not in unmapped_seen.setdefault(key, []):
-                            self.logger.error(
-                                'unmapped character "%s" at input '
-                                'alternative %d of element %s',
-                                char, key or i,
-                                element.id if element else 'space')
-                            unmapped_seen[key].append(char)
-                        idx = 0
-                    else:
-                        idx = self.vocab.c2i[char]
-                    cost = (-log(max(float(preds[i][idx]), 1e-99), 2)
-                            * lm_weight +
-                            -log(max(conf, 1e-99), 2) * (1. - lm_weight))
-                    candidate.cum_cost += cost
-                    candidate.value += char
-                    candidate.state = states[i]
-                    if next_beam and candidate.cum_cost >= \
-                            next_beam[0].cum_cost + 2.5:
-                        continue  # beam threshold
-                    insort_left(next_beam, candidate)
-                next_beam = next_beam[:max_batches * self.batch_size]
-            out_node['traceback'] = final_beam[:beam_width]
-        assert out == end_node, \
-            'breadth-first search failed to reach true end node ' \
-            '(%s instead of %s)' % (out, end_node)
-        assert 'traceback' in out_node, \
-            'breadth-first search failed to reach end node with any result'
-        return self.next_path(out_node['traceback'], start_traceback)
+        from .host_beam import decode_lattice_host
+        return decode_lattice_host(
+            self, graph, start_node, end_node,
+            start_traceback=start_traceback, context=context,
+            lm_weight=lm_weight, beam_width=beam_width,
+            clustering_dist=beam_clustering_dist)
 
     def next_path(self, beam, traceback):
-        """Lock into the previous graph's best path and advance the
-        traceback (reference rating.py:860-885)."""
-        prev_beam, prev_start_node = traceback
-        best_node = beam[0]
-        best_path = best_node.to_sequence(stop_at=prev_beam)
-        start_node = best_path[-1]
-        result = []
-        for node in best_path:
-            if node.extras:
-                element, textequiv = node.extras
-                parent_cost = (node.parent.cum_cost if node.parent
-                               else prev_start_node.cum_cost)
-                score = pow(2.0, -(node.cum_cost - parent_cost)
-                            / len(textequiv.Unicode))
-                result.append((element, textequiv, score))
-        next_beam = []
-        for alternative in beam:
-            other_path = alternative.to_sequence(stop_at=[start_node])
-            if not other_path:
-                continue
-            alternative.cut_at(start_node)
-            insort_left(next_beam, alternative)
-        return (result, start_node.cum_cost - prev_start_node.cum_cost,
-                (next_beam, start_node))
-
-    def _history_clustering(self, candidate, beam, distance=5):
-        """Prune hypotheses with redundant history: same value and all
-        per-layer state vectors within ``distance`` (reference
-        rating.py:887-916)."""
-        for alternative in beam:
-            if (candidate.value == alternative.value and
-                    candidate.state is not None and
-                    alternative.state is not None and
-                    all(np.linalg.norm(np.asarray(candidate.state[layer])
-                                       - np.asarray(alternative.state[layer]))
-                        < distance
-                        for layer in range(self.depth))):
-                if alternative.cum_cost < candidate.cum_cost:
-                    return True
-                beam.remove(alternative)
-                break
-        return False
+        """Lock into the previous page's best path and advance the
+        traceback (capability of reference rating.py:860-885; see
+        host_beam.advance_traceback)."""
+        from .host_beam import advance_traceback
+        return advance_traceback(beam, traceback)
 
     # -- device lattice decoding --------------------------------------
 

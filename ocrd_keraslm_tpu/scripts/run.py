@@ -148,11 +148,10 @@ def _load_rater(model, incremental=False):
                                 file_okay=True))
 def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
           mesh_spec, data):
-    """Train a language model from DATA files with parameters WIDTH,
-    DEPTH, and LENGTH.
+    """Fit a char-LM of the given WIDTH/DEPTH/LENGTH on the DATA
+    text files.
 
-    The files will be randomly split into training and validation data,
-    except if VAL_DATA is given.
+    Without VAL_DATA, a random train/validation split is made.
     """
     from .. import training
     training.EPOCHS = epochs
@@ -203,11 +202,10 @@ def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
               help='constant meta-data input')
 @click.argument('text', type=click.STRING)
 def apply(model, text, context):
-    """Apply a language model to TEXT string and compute its individual
-    probabilities.
+    """Rate TEXT with the model: per-character probabilities plus the
+    overall perplexity.
 
-    If TEXT is the symbol '-', the string will be read from standard
-    input.
+    Pass '-' as TEXT to rate standard input instead.
     """
     rater = _load_rater(model)
     if text and text[0] == u'-':
@@ -224,7 +222,7 @@ def apply(model, text, context):
                 type=click.Path(exists=True, dir_okay=True,
                                 file_okay=True))
 def test(model, data):
-    """Apply a language model to DATA files and compute its overall
+    """Evaluate the model on the DATA text files and print the corpus
     perplexity."""
     rater = _load_rater(model)
     perplexity = rater.test(_expand_paths(data))
@@ -244,8 +242,8 @@ def test(model, data):
               help='constant meta-data input')
 @click.argument('prefix', type=click.STRING)
 def generate(model, number, variants, context, prefix):
-    """Apply a language model, generating the most probable characters
-    (starting with PREFIX string)."""
+    """Sample the most probable continuations of PREFIX from the
+    model (beam search)."""
     rater = _load_rater(model, incremental=True)
     context = _parse_context(context) or rater.underspecify_contexts()
     result = rater.generate(prefix, number, context, variants)

@@ -83,8 +83,10 @@ def _config_env(name, default):
 @dataclass
 class RateState:
     """Cross-page decoder state: the traceback is one page ahead of the
-    written output (decisions for page N lock in at page N+1)."""
-    traceback: Tuple[List[lib.rating.Node], lib.rating.Node]
+    written output (decisions for page N lock in at page N+1).
+    ``traceback`` is ``(hypotheses, anchor)`` as produced by
+    ``host_beam.advance_traceback``."""
+    traceback: Tuple[List[Any], Any]
     pcgts: PcGts
     file_id: str
     page_id: str

@@ -51,21 +51,34 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, carry, loss, nll, acc
 
+    def opt_shardings(opt_state, pspec):
+        """Sharding tree for the optimizer state: Adam moments get
+        their params' shardings (the vocab-sharded tied embedding's
+        moments must NOT be replicated — that would forfeit the TP
+        memory scaling), every other leaf replicated."""
+        repl = NamedSharding(mesh, P())
+
+        def rec(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                return optax.ScaleByAdamState(count=repl, mu=pspec,
+                                              nu=pspec)
+            if isinstance(node, tuple) and hasattr(node, '_fields'):
+                return type(node)(*(rec(x) for x in node))
+            if isinstance(node, (tuple, list)):
+                return type(node)(rec(x) for x in node)
+            return jax.tree_util.tree_map(lambda _: repl, node)
+        return rec(opt_state)
+
     def shard_fn(params, opt_state):
         pspec = param_shardings(mesh, params)
         params = jax.device_put(params, pspec)
-        # optimizer state mirrors the param tree structure per-leaf;
-        # shard adam moments like their params, scalars replicated
-        def opt_shard(leaf):
-            return NamedSharding(mesh, P())
-        opt_state = jax.device_put(
-            opt_state, jax.tree_util.tree_map(opt_shard, opt_state))
+        opt_state = jax.device_put(opt_state,
+                                   opt_shardings(opt_state, pspec))
         return params, opt_state, pspec
 
     def jit_step(params, opt_state, n_contexts, stateful_targets):
         pspec = param_shardings(mesh, params)
-        ospec = jax.tree_util.tree_map(
-            lambda _: NamedSharding(mesh, P()), opt_state)
+        ospec = opt_shardings(opt_state, pspec)
         bx, bzs, by, bm = batch_shardings(mesh, n_contexts,
                                           stateful_targets)
         cs = carry_sharding(mesh)

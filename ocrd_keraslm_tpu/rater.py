@@ -155,11 +155,9 @@ def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
                               use_pallas, fused)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'n_chunks', 'use_pallas',
-                                   'fused'))
-def _score_stream_jit(params, cfg: LMConfig, xflat, zs, lens, last,
-                      carry, n_chunks: int, use_pallas: bool = False,
-                      fused: bool = False):
+def _score_stream(params, cfg: LMConfig, xflat, zs, lens, last,
+                  carry, n_chunks: int, use_pallas: bool = False,
+                  fused: bool = False):
     """Like ``_score_text_jit`` but taking the COMPACT input stream:
     only the (B, C*T) char ids (uint16 when the vocab allows),
     per-stream lengths and final targets travel host->device — the
@@ -181,6 +179,10 @@ def _score_stream_jit(params, cfg: LMConfig, xflat, zs, lens, last,
     return _score_chunks_scan(params, cfg, chunk(xflat), zs,
                               chunk(yflat), chunk(mask), carry,
                               use_pallas, fused)
+
+
+_score_stream_jit = partial(jax.jit, static_argnames=(
+    'cfg', 'n_chunks', 'use_pallas', 'fused'))(_score_stream)
 
 
 def _score_chunks_scan(params, cfg, xc, zs, yc, maskc, carry,
@@ -264,6 +266,7 @@ class Rater:
         # the train step over a (data, model) mesh (SURVEY §5.8)
         self.mesh = None
         self._decode_cache: Dict[Any, Any] = {}
+        self._sharded_score = None  # (mesh, jitted fn) cache
         _enable_compilation_cache()
         # runtime variables
         self.logger = logger or logging.getLogger(__name__)
@@ -541,6 +544,19 @@ class Rater:
         fused = (self.fused_score
                  and self.cfg.compute_dtype == 'float32'
                  and self.cfg.width <= 384)
+        # multi-chip: data-parallel scoring over the mesh (stream rows
+        # sharded on the data axis, params replicated) — the inference
+        # side of SURVEY §5.8
+        score_fn = _score_stream_jit
+        mesh = self.mesh
+        if mesh is not None and mesh.shape.get('data', 1) > 1 \
+                and Bp % mesh.shape['data'] == 0:
+            cached = self._sharded_score
+            if cached is None or cached[0] is not mesh:
+                from .parallel.score import make_sharded_score_step
+                cached = (mesh, make_sharded_score_step(mesh))
+                self._sharded_score = cached
+            score_fn = cached[1]
         # The segmented-dispatch machinery below supports pipelining
         # probs fetches against later segments' compute, but measured
         # NET-NEGATIVE over the tunneled PJRT link (4 dispatches cost
@@ -555,7 +571,7 @@ class Rater:
                 idx = n0 + int(lens_s[i])
                 if lens_s[i] > 0 and idx <= lens[i]:
                     last_s[i] = ids[idx]
-            probs_s, nll_s, carry = _score_stream_jit(
+            probs_s, nll_s, carry = score_fn(
                 self.params, self.cfg, x[:, n0:n0 + seg_C * T],
                 tuple(zs), lens_s, last_s, carry, seg_C,
                 self.use_pallas, fused)

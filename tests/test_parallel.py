@@ -103,3 +103,61 @@ def test_train_rater_over_mesh(tmp_path):
     r2.load_config(str(out)); r2.configure(); r2.load_weights(str(out))
     probs = r2.rate('abcde abc', None)
     assert len(probs) == 9
+
+
+def test_adam_moments_sharded_like_params():
+    """The vocab-sharded tied embedding's Adam moments must carry the
+    same (model, None) sharding as the param (TP memory scaling)."""
+    if len(jax.devices('cpu')) < 4:
+        pytest.skip('needs 4 virtual CPU devices')
+    from jax.sharding import PartitionSpec as P
+
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.parallel.train import make_sharded_train_step
+    from ocrd_keraslm_tpu.training import _OPT
+
+    cfg = LMConfig(width=16, depth=2, length=8, voc_size=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(4, model_parallel=2, devices=jax.devices('cpu'))
+    _, shard_fn, _ = make_sharded_train_step(mesh, cfg)
+    sp, so, _ = shard_fn(params, _OPT.init(params))
+    import optax
+    adam_states = [s for s in jax.tree_util.tree_leaves(
+        so, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_states, 'no ScaleByAdamState found in optimizer state'
+    st = adam_states[0]
+    assert st.mu['char_embedding'].sharding.spec == P('model', None)
+    assert st.nu['char_embedding'].sharding.spec == P('model', None)
+    assert sp['char_embedding'].sharding.spec == P('model', None)
+    # replicated leaves stay replicated
+    assert st.mu['lstm'][0]['kernel'].sharding.spec == P()
+
+
+def test_sharded_scoring_matches_single_device():
+    """rate_batch over a data-parallel mesh must match the unsharded
+    results exactly (params replicated, batch rows sharded)."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.rater import Rater
+
+    rng = np.random.default_rng(5)
+    r = Rater()
+    r.width, r.depth, r.length = 16, 2, 16
+    r.stateful = True
+    r.vocab.assign('abcdefgh ')
+    r.voc_size = r.vocab.size
+    r.configure()
+    r.status = 2
+    texts = [''.join('abcdefgh '[i]
+                     for i in rng.integers(0, 9, 50 + 7 * k))
+             for k in range(8)]
+    ref = r.rate_batch(texts)
+    r.mesh = make_mesh(8, model_parallel=1, devices=jax.devices('cpu'))
+    r._sharded_score = None
+    sharded = r.rate_batch(texts)
+    for a, b in zip(ref, sharded):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=2e-3)

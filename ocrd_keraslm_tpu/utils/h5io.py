@@ -151,32 +151,63 @@ def save_weights(filename: str, params: Params, cfg: LMConfig) -> None:
 def load_weights(filename: str, cfg: LMConfig) -> Params:
     """Read weights from a Keras-2.3-layout h5 file into a param pytree.
 
-    Handles both plain-LSTM (bias (4W,)) and CuDNNLSTM-trained
-    (bias (8W,), summed) files; gate order i, f, c, o in both.
+    Handles the byte-level variation genuine TF-1.15/Keras-2.3 files
+    exhibit: fixed- or variable-length string attributes, chunked
+    attributes (``layer_names0``, ``layer_names1``, ...), weightless
+    layer groups (inputs, dropout, lambdas), ``model_weights/``
+    nesting (full ``model.save`` files as opposed to ``save_weights``),
+    CuDNNLSTM-trained files (layers auto-named ``cu_dnnlstm_<i>``, bias
+    doubled to (8W,) — halves summed, the conversion Keras applies),
+    and name-scope suffixes.  Like Keras' own ``load_weights``, layer
+    matching is ultimately POSITIONAL over the layers that carry
+    weights; exact names are only a fast path.  Gate order i, f, c, o
+    throughout.
     """
     with h5py.File(filename, 'r') as f:
-        layers = _collect_layer_weights(f)
+        root = f['model_weights'] if 'model_weights' in f else f
+        layers = _collect_layer_weights(root)
         params: Params = {'context_embeddings': [], 'lstm': []}
-        emb = _find_weight(layers, 'char_embedding', 'embeddings')
+        # classify by weight structure (Keras matches positionally, so
+        # layer names may differ: lstm_1 vs cu_dnnlstm_1 vs scoped)
+        embeddings = [(name, lw) for name, lw in layers
+                      if set(lw) == {'embeddings'}]
+        lstms = [(name, lw) for name, lw in layers
+                 if 'kernel' in lw and 'recurrent_kernel' in lw]
+        emb = _named(embeddings, 'char_embedding')
+        if emb is None and embeddings:
+            # positional: the char embedding is built first (reference
+            # rating.py:104-114) and is the one with width columns
+            wide = [lw['embeddings'] for _, lw in embeddings
+                    if lw['embeddings'].shape[1] == cfg.width]
+            emb = wide[0] if len(wide) == 1 \
+                else embeddings[0][1]['embeddings']
         if emb is None:
             raise ValueError(
-                '%s: no char_embedding/embeddings weight found' % filename)
+                '%s: no char embedding weight found' % filename)
         params['char_embedding'] = emb
+        ctx_pos = [lw for name, lw in embeddings
+                   if lw['embeddings'] is not emb]
         for i in range(cfg.n_contexts):
-            cemb = _find_weight(layers, 'context%d_embedding' % (i + 1),
-                                'embeddings')
+            cemb = _named(embeddings, 'context%d_embedding' % (i + 1))
+            if cemb is None and i < len(ctx_pos):
+                cemb = ctx_pos[i]['embeddings']
             if cemb is None:
                 raise ValueError('%s: missing context%d_embedding'
                                  % (filename, i + 1))
             params['context_embeddings'].append(cemb)
+        if len(lstms) < cfg.depth:
+            raise ValueError('%s: found %d recurrent layers, need %d'
+                             % (filename, len(lstms), cfg.depth))
         for i in range(cfg.depth):
-            lname = 'lstm_%d' % (i + 1)
-            kernel = _find_weight(layers, lname, 'kernel')
-            rec = _find_weight(layers, lname, 'recurrent_kernel')
-            bias = _find_weight(layers, lname, 'bias')
+            lw = (_layer(lstms, 'lstm_%d' % (i + 1)) or
+                  _layer(lstms, 'cu_dnnlstm_%d' % (i + 1)) or
+                  lstms[i][1])
+            kernel = lw.get('kernel')
+            rec = lw.get('recurrent_kernel')
+            bias = lw.get('bias')
             if kernel is None or rec is None or bias is None:
-                raise ValueError('%s: missing %s weights'
-                                 % (filename, lname))
+                raise ValueError('%s: incomplete LSTM layer %d weights'
+                                 % (filename, i + 1))
             W = rec.shape[0]
             if bias.shape[0] == 8 * W:  # CuDNN double bias
                 bias = bias[:4 * W] + bias[4 * W:]
@@ -185,42 +216,65 @@ def load_weights(filename: str, cfg: LMConfig) -> Params:
     return params
 
 
-def _collect_layer_weights(f: h5py.File) -> Dict[str, Dict[str, np.ndarray]]:
-    """Map layer name -> {short weight name -> array}."""
-    out: Dict[str, Dict[str, np.ndarray]] = {}
-    if 'layer_names' in f.attrs:
-        layer_names = [n.decode('utf8') if isinstance(n, bytes) else n
-                       for n in f.attrs['layer_names']]
-    else:  # fall back to top-level groups (skip our config group)
+def _matches(name: str, target: str) -> bool:
+    """Layer-name match tolerating name scopes ('model_1/lstm_1') and
+    TF graph-uniquification suffixes ('lstm_1_1')."""
+    tail = name.rsplit('/', 1)[-1]
+    return tail == target or tail.startswith(target + '_')
+
+
+def _named(layers, target) -> Optional[np.ndarray]:
+    for name, lw in layers:
+        if _matches(name, target) and 'embeddings' in lw:
+            return lw['embeddings']
+    return None
+
+
+def _layer(layers, target) -> Optional[Dict[str, np.ndarray]]:
+    for name, lw in layers:
+        if _matches(name, target):
+            return lw
+    return None
+
+
+def _read_attr_list(group, name) -> Optional[list]:
+    """A Keras-written string-list attribute: plain, or chunked into
+    ``<name>0``, ``<name>1``, ... when over 64KB (Keras
+    ``load_attributes_from_hdf5_group``)."""
+    if name in group.attrs:
+        items = list(group.attrs[name])
+    elif name + '0' in group.attrs:
+        items = []
+        chunk = 0
+        while name + str(chunk) in group.attrs:
+            items.extend(group.attrs[name + str(chunk)])
+            chunk += 1
+    else:
+        return None
+    return [n.decode('utf8') if isinstance(n, bytes) else str(n)
+            for n in items]
+
+
+def _collect_layer_weights(f) -> list:
+    """Ordered [(layer name, {short weight name -> array})], only
+    layers that carry weights (Keras' positional-matching set)."""
+    out = []
+    layer_names = _read_attr_list(f, 'layer_names')
+    if layer_names is None:  # fall back to groups (skip config group)
         layer_names = [k for k in f.keys() if k != 'config']
     for name in layer_names:
         if name not in f:
             continue
         g = f[name]
         weights: Dict[str, np.ndarray] = {}
-        wnames = g.attrs.get('weight_names', [])
-        for wname in wnames:
-            if isinstance(wname, bytes):
-                wname = wname.decode('utf8')
+        for wname in _read_attr_list(g, 'weight_names') or []:
             if wname not in g:
                 continue
             short = wname.split('/')[-1].split(':')[0]
             weights[short] = np.asarray(g[wname], dtype=np.float32)
-        out[name] = weights
+        if weights:
+            out.append((name, weights))
     return out
-
-
-def _find_weight(layers, layer_name, short) -> Optional[np.ndarray]:
-    lw = layers.get(layer_name)
-    if lw is None:
-        # Keras sometimes nests (e.g. 'model_1/lstm_1'); search suffixes
-        for k, v in layers.items():
-            if k.endswith('/' + layer_name) or k == layer_name:
-                lw = v
-                break
-    if lw is None:
-        return None
-    return lw.get(short)
 
 
 # ----------------------------------------------------------------------

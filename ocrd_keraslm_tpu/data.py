@@ -51,6 +51,9 @@ class Batch:
     mask: np.ndarray       # same shape as y, float32
     reset_carry: bool = False   # stateful: zero the carry before this batch
     file_name: str = ''
+    # variable-length mode: (B, T) input-validity mask (left-padded
+    # short windows; masked positions leave the LSTM state untouched)
+    x_mask: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -169,6 +172,7 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
                   first_window: float = 0.1,
                   repeat: bool = False,
                   n_contexts: int = 1,
+                  variable_length: bool = False,
                   rng: Optional[np.random.Generator] = None
                   ) -> Iterator[Batch]:
     """Yield fixed-shape windowed batches: x (B, L), y (B,) next char.
@@ -176,8 +180,23 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
     Mirrors the reference stateless path of ``_gen_data``
     (rating.py:1005-1102) including the three augmentations, but pads
     the remainder batch instead of shrinking it.
+
+    With ``variable_length``, short windows near the file start are
+    included as left-padded rows with an ``x_mask`` marking the valid
+    region (the static-shape equivalent of the reference's genuinely
+    dynamic window shapes, rating.py:1039-1047), and the first-window
+    augmentation shortens windows via the mask instead of zero-erasing
+    their left part (rating.py:1082-1091).
     """
     rng = rng or np.random.default_rng()
+
+    def _contexts(context):
+        zs = [np.full((batch_size,), c, np.int32)
+              for c in context[:n_contexts]]
+        while len(zs) < n_contexts:
+            zs.append(np.zeros((batch_size,), np.int32))
+        return zs
+
     while True:
         for name in files:
             text = read_normalized(name)
@@ -186,7 +205,8 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
             size = len(ids)
             buf_x: List[np.ndarray] = []
             buf_y: List[int] = []
-            for i in range(length, size, step):
+            start = step if variable_length else length
+            for i in range(start, size, step):
                 if window_split is not None:
                     r = window_split[i // step]
                     if (r < validation_split) == train:
@@ -194,62 +214,78 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
                     rand = (r - validation_split) / (1 - validation_split)
                 else:
                     rand = rng.uniform()
-                buf_x.append(ids[i - length:i])
+                buf_x.append(ids[max(i - length, 0):i])
                 buf_y.append(int(ids[i]))
                 if len(buf_x) == batch_size:
-                    x = np.stack(buf_x).astype(np.int32)
+                    x = np.zeros((batch_size, length), np.int32)
+                    xm = np.zeros((batch_size, length), np.float32)
+                    for bi, w in enumerate(buf_x):  # right-aligned
+                        x[bi, length - len(w):] = w
+                        xm[bi, length - len(w):] = 1.0
                     y = np.asarray(buf_y, np.int32)
-                    zs = [np.full((batch_size,), c, np.int32)
-                          for c in context[:n_contexts]]
-                    while len(zs) < n_contexts:
-                        zs.append(np.zeros((batch_size,), np.int32))
+                    zs = _contexts(context)
                     mask = np.ones((batch_size,), np.float32)
-                    yield Batch(x, zs, y, mask, file_name=name)
+                    yield Batch(x, zs, y, mask, file_name=name,
+                                x_mask=xm if variable_length else None)
                     buf_x, buf_y = [], []
                     if train:
-                        yield from _augment(x, zs, y, mask, rand,
-                                            char_degradation,
-                                            context_degradation,
-                                            first_window, length, rng,
-                                            name)
+                        yield from _augment(
+                            x, zs, y, mask, rand, char_degradation,
+                            context_degradation, first_window, length,
+                            rng, name,
+                            xm if variable_length else None)
             if buf_x:  # padded remainder
                 n = len(buf_x)
                 x = np.zeros((batch_size, length), np.int32)
-                x[:n] = np.stack(buf_x)
+                xm = np.zeros((batch_size, length), np.float32)
+                for bi, w in enumerate(buf_x):
+                    x[bi, length - len(w):] = w
+                    xm[bi, length - len(w):] = 1.0
                 y = np.zeros((batch_size,), np.int32)
                 y[:n] = buf_y
-                zs = [np.full((batch_size,), c, np.int32)
-                      for c in context[:n_contexts]]
-                while len(zs) < n_contexts:
-                    zs.append(np.zeros((batch_size,), np.int32))
+                zs = _contexts(context)
                 mask = np.zeros((batch_size,), np.float32)
                 mask[:n] = 1.0
-                yield Batch(x, zs, y, mask, file_name=name)
+                yield Batch(x, zs, y, mask, file_name=name,
+                            x_mask=xm if variable_length else None)
         if not repeat:
             break
 
 
 def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
-             length, rng, name) -> Iterator[Batch]:
+             length, rng, name, x_mask=None) -> Iterator[Batch]:
     """The reference's 3 train-time degradations (rating.py:1060-1092),
     each occasionally yielding one extra modified batch."""
     if 0 < rand < char_deg:
         j = int((length - 1) * rand / char_deg)
         xa = x.copy()
         xa[:, j] = 0
-        yield Batch(xa, [z.copy() for z in zs], y, mask, file_name=name)
+        yield Batch(xa, [z.copy() for z in zs], y, mask, file_name=name,
+                    x_mask=x_mask)
     rand = (rand - char_deg) / (1 - char_deg)
     if 0 < rand < ctx_deg and zs:
         j = int((len(zs) - 1) * rand / ctx_deg) if len(zs) > 1 else 0
         za = [z.copy() for z in zs]
         za[j][:] = 0
-        yield Batch(x.copy(), za, y, mask, file_name=name)
+        yield Batch(x.copy(), za, y, mask, file_name=name,
+                    x_mask=x_mask)
     rand = (rand - ctx_deg) / (1 - ctx_deg)
     if 0 < rand < first_window:
         j = int((length - 1) * rand / first_window) + 1
-        xa = x.copy()
-        xa[:, 0:j] = 0  # simulate zero-padded run-in
-        yield Batch(xa, [z.copy() for z in zs], y, mask, file_name=name)
+        if x_mask is not None:
+            # variable-length: genuinely shorten the window via the
+            # mask (reference slices the batch to z[:, -j:])
+            xa = x.copy()
+            xma = x_mask.copy()
+            xa[:, 0:length - j] = 0
+            xma[:, 0:length - j] = 0.0
+            yield Batch(xa, [z.copy() for z in zs], y, mask,
+                        file_name=name, x_mask=xma)
+        else:
+            xa = x.copy()
+            xa[:, 0:j] = 0  # simulate zero-padded run-in
+            yield Batch(xa, [z.copy() for z in zs], y, mask,
+                        file_name=name)
 
 
 # ----------------------------------------------------------------------

@@ -176,6 +176,26 @@ def _layer_scan(x_proj, h0, c0, recurrent, *, use_pallas: bool):
     return _layer_scan_jnp(x_proj, h0, c0, recurrent)
 
 
+def _layer_scan_masked(x_proj, h0, c0, recurrent, mask):
+    """Like ``_layer_scan_jnp`` but with a per-position validity mask
+    (B, T): masked positions pass the carry through unchanged, so a
+    left-padded window behaves exactly like the shorter window — the
+    static-shape equivalent of the reference's variable-length windows
+    (rating.py:95-99, 1082-1087)."""
+    def step(carry, inp):
+        xp_t, m_t = inp
+        h, c = carry
+        h2, c2 = lstm_gates(xp_t, h, c, recurrent)
+        h2 = jnp.where(m_t > 0, h2, h)
+        c2 = jnp.where(m_t > 0, c2, c)
+        return (h2, c2), h2
+    (hT, cT), h_all = jax.lax.scan(
+        step, (h0, c0),
+        (jnp.swapaxes(x_proj, 0, 1),
+         jnp.swapaxes(mask[..., None], 0, 1)))
+    return jnp.swapaxes(h_all, 0, 1), hT, cT
+
+
 # ----------------------------------------------------------------------
 # forward passes
 # ----------------------------------------------------------------------
@@ -196,12 +216,16 @@ def embed_inputs(params: Params, cfg: LMConfig, x: jnp.ndarray,
 def forward_seq(params: Params, cfg: LMConfig, x: jnp.ndarray,
                 zs: Sequence[jnp.ndarray], carry: Optional[Carry] = None,
                 *, train: bool = False, rng: Optional[jax.Array] = None,
-                use_pallas: bool = False
+                use_pallas: bool = False,
+                x_mask: Optional[jnp.ndarray] = None
                 ) -> Tuple[jnp.ndarray, Carry]:
     """Full-sequence forward.
 
     x: (B, T) int32 char indices; zs: context index arrays (B,) or (B,T).
     carry: explicit (h, c) or None for zeros.
+    x_mask: optional (B, T) validity mask — masked positions leave the
+    recurrent state untouched, making a left-padded window equivalent
+    to the shorter window (variable-length mode).
     Returns (logits (B, T, V), final carry).
 
     Covers reference "stateful contiguous" mode (carry threaded by
@@ -224,9 +248,14 @@ def forward_seq(params: Params, cfg: LMConfig, x: jnp.ndarray,
         rec = lp['recurrent']
         if cdt != jnp.float32:
             rec = rec.astype(cdt)
-        h_all, hT, cT = _layer_scan(
-            x_proj, h0[layer], c0[layer], rec,
-            use_pallas=use_pallas and cdt == jnp.float32)
+        if x_mask is not None:
+            h_all, hT, cT = _layer_scan_masked(
+                x_proj, h0[layer], c0[layer],
+                rec.astype(jnp.float32), x_mask)
+        else:
+            h_all, hT, cT = _layer_scan(
+                x_proj, h0[layer], c0[layer], rec,
+                use_pallas=use_pallas and cdt == jnp.float32)
         hs.append(hT)
         cs.append(cT)
         inp = h_all

@@ -51,9 +51,9 @@ def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
 
 
 def _loss_fn(params, cfg: LMConfig, x, zs, y, mask, carry, rng,
-             train: bool):
+             train: bool, x_mask=None):
     logits, carry = forward_seq(params, cfg, x, list(zs), carry,
-                                train=train, rng=rng)
+                                train=train, rng=rng, x_mask=x_mask)
     if y.ndim == 1:  # stateless windowed: predict only the next char
         logits = logits[:, -1, :]
     nll, acc = sequence_xent(logits, y, mask)
@@ -68,21 +68,22 @@ _OPT = make_optimizer()
 
 @partial(jax.jit, static_argnames='cfg', donate_argnums=(0, 1, 7))
 def train_step(params, opt_state, cfg: LMConfig, x, zs, y, mask, carry,
-               rng):
+               rng, x_mask=None):
     # the optimizer transform _OPT is closed over (optax transforms are
     # not hashable for static jit args)
     (loss, (nll, acc, carry)), grads = jax.value_and_grad(
         _loss_fn, has_aux=True)(params, cfg, x, zs, y, mask, carry, rng,
-                                True)
+                                True, x_mask)
     updates, opt_state = _OPT.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, carry, loss, nll, acc
 
 
 @partial(jax.jit, static_argnames='cfg')
-def eval_step(params, cfg: LMConfig, x, zs, y, mask, carry):
+def eval_step(params, cfg: LMConfig, x, zs, y, mask, carry,
+              x_mask=None):
     _, (nll, acc, carry) = _loss_fn(params, cfg, x, zs, y, mask, carry,
-                                    None, False)
+                                    None, False, x_mask)
     return nll, acc, carry
 
 
@@ -192,7 +193,8 @@ def train_rater(rater, data, val_data=None) -> None:
             validation_split=rater.validation_split,
             char_degradation=rater.char_degradation,
             context_degradation=rater.context_degradation,
-            first_window=rater.first_window, n_contexts=n_ctx)
+            first_window=rater.first_window, n_contexts=n_ctx,
+            variable_length=rater.variable_length)
 
     history: Dict[str, List[float]] = {
         'loss': [], 'accuracy': [], 'val_loss': [], 'val_accuracy': []}
@@ -227,6 +229,11 @@ def train_rater(rater, data, val_data=None) -> None:
                 rng, sub = jax.random.split(rng)
                 step_t0 = _time.perf_counter()
                 if sharded_step is not None:
+                    if batch.x_mask is not None:
+                        raise ValueError(
+                            'variable-length training over a mesh is '
+                            'not supported; unset rater.mesh or '
+                            'variable_length')
                     (params, opt_state, carry, loss, nll,
                      acc) = sharded_step(
                         params, opt_state, batch.x, tuple(batch.zs),
@@ -236,7 +243,7 @@ def train_rater(rater, data, val_data=None) -> None:
                      acc) = train_step(
                         params, opt_state, cfg, batch.x,
                         tuple(batch.zs), batch.y, batch.mask, carry,
-                        sub)
+                        sub, batch.x_mask)
                 if not first_step_logged:
                     # compile-vs-step observability (SURVEY §5.1/5.5)
                     float(loss)
@@ -278,7 +285,7 @@ def train_rater(rater, data, val_data=None) -> None:
                     carry = zero_carry(cfg, batch_dim)
                 nll, acc, carry = eval_step(
                     params, cfg, batch.x, tuple(batch.zs), batch.y,
-                    batch.mask, carry)
+                    batch.mask, carry, batch.x_mask)
                 w = float(np.sum(batch.mask))
                 va_nll_acc = va_nll_acc + nll * w
                 va_acc_acc = va_acc_acc + acc * w

@@ -111,3 +111,44 @@ def test_vocab_growth_continuation(corpus, tmp_path):
         training.EPOCHS = old_epochs
     assert r.voc_size > old_voc
     assert r.params['char_embedding'].shape[0] == r.voc_size
+
+
+def test_variable_length_training(corpus, tmp_path):
+    """Stateless variable-length mode (reference default,
+    rating.py:42,95-99): short file-start windows train as left-padded
+    masked rows; the model still rates/generates afterwards."""
+    r = _train(corpus, tmp_path, stateful=False, variable_length=True)
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])
+    probs = r.rate('die vernunft', [179])
+    assert len(probs) == 12
+    result, ppl = r.rate2('die vernunft', [179])
+    assert np.isfinite(ppl) and ppl > 0
+
+
+def test_masked_window_equals_short_window():
+    """The x_mask semantics: a left-padded window with mask must give
+    the same final logits and carry as the unpadded short window."""
+    import jax
+    import jax.numpy as jnp
+    from ocrd_keraslm_tpu.models.lstm_lm import (LMConfig, forward_seq,
+                                                 init_params)
+    cfg = LMConfig(width=8, depth=2, length=16, voc_size=12)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    short = rng.integers(1, 12, (1, 5)).astype(np.int32)
+    padded = np.zeros((1, 16), np.int32)
+    padded[0, 11:] = short[0]
+    x_mask = np.zeros((1, 16), np.float32)
+    x_mask[0, 11:] = 1.0
+    zs = [np.zeros((1,), np.int32)]
+    logits_s, (h_s, c_s) = forward_seq(params, cfg, jnp.asarray(short),
+                                       zs)
+    logits_p, (h_p, c_p) = forward_seq(params, cfg, jnp.asarray(padded),
+                                       zs, x_mask=jnp.asarray(x_mask))
+    np.testing.assert_allclose(np.asarray(logits_p[0, -1]),
+                               np.asarray(logits_s[0, -1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                               atol=1e-5)

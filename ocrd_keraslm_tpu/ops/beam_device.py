@@ -206,6 +206,77 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     return results
 
 
+def generate_streams(rater, prefixes: List[str], length: int,
+                     context=None) -> List[str]:
+    """Generate continuations for MANY prefixes in one device dispatch.
+
+    Serving-style batched sampling: the whole beam search
+    (``generate_device_best``) is ``vmap``-ed over a leading stream
+    axis, so S prompts × ``length`` chars cost one dispatch whose
+    per-step matmuls are (S*fringe, width) — near-free extra MXU rows
+    compared to a single stream.  Each stream returns the same string
+    single-stream ``generate`` would (same beam, same ordering).
+
+    The reference has no such API — its ``generate``
+    (/root/reference/ocrd_keraslm/lib/rating.py:642-709) handles one
+    prefix per call with one device round-trip per character.
+    """
+    if not context:
+        context = rater.underspecify_contexts()
+    S = len(prefixes)
+    if S == 0:
+        return []
+    enc = [rater.vocab.encode(p) for p in prefixes]
+    maxp = max(len(e) for e in enc)
+    P = 64
+    for b in (64, 256, 1024, 4096):
+        if maxp <= b:
+            P = b
+            break
+    else:
+        P = 1 << max(maxp - 1, 1).bit_length()
+    prefix_ids = np.zeros((S, P), np.int32)
+    prefix_mask = np.zeros((S, P), np.float32)
+    for s, ids in enumerate(enc):
+        prefix_ids[s, :len(ids)] = ids
+        prefix_mask[s, :max(len(ids) - 1, 0)] = 1.0
+    zs = tuple(np.asarray([context[i] if i < len(context) else 0],
+                          np.int32)
+               for i in range(len(rater.contexts)))
+    length = int(length)
+    for bucket in (16, 64, 256, 1024, 4096, 10000):
+        if length <= bucket:
+            run_length = bucket
+            break
+    else:
+        run_length = length
+    fn = _STREAMS_CACHE.get((rater.cfg, run_length, length))
+    if fn is None:
+        cfg, rl, ol = rater.cfg, run_length, length
+
+        def _one(params, pids, pmask, zsx):
+            return generate_device_best(params, cfg, pids, pmask, zsx,
+                                        rl, ol)
+        fn = jax.jit(jax.vmap(_one, in_axes=(None, 0, 0, None)))
+        _STREAMS_CACHE[(rater.cfg, run_length, length)] = fn
+    seqs, costs = fn(rater.params, jnp.asarray(prefix_ids),
+                     jnp.asarray(prefix_mask), zs)
+    seqs = np.asarray(seqs)          # (S, length)
+    costs = np.asarray(costs)        # (S,)
+    out = []
+    for s in range(S):
+        if costs[s] >= 1e38:
+            out.append('')
+            continue
+        out.append(prefixes[s][-1:] +
+                   ''.join(rater.vocab.i2c.get(int(i), '')
+                           for i in seqs[s]))
+    return out
+
+
+_STREAMS_CACHE: dict = {}
+
+
 # ----------------------------------------------------------------------
 # lattice decoding
 # ----------------------------------------------------------------------

@@ -769,6 +769,26 @@ class Rater:
                 return result
         return self._generate_host(prefix, length, context, variants)
 
+    def generate_batch(self, prefixes: List[str], length: int,
+                       context=None) -> List[str]:
+        """Generate continuations for many prefixes in ONE device
+        dispatch (vmapped beam over a stream axis) — a serving-oriented
+        API with no reference counterpart (its ``generate``,
+        rating.py:642-709, is one prefix per call with a device
+        round-trip per character).  Each stream returns the same string
+        as ``generate(prefix, length)``."""
+        assert self.status > 1
+        if self.device_beam and all(prefixes):
+            from .ops.beam_device import generate_streams
+            result = generate_streams(self, prefixes, length, context)
+            if result and all(result):
+                return result
+        out = []
+        for p in prefixes:
+            r = self._generate_host(p, length, context, 1)
+            out.append(r[0] if r else '')
+        return out
+
     def _generate_host(self, prefix: str, length: int, context=None,
                        variants: int = 1) -> List[str]:
         """Host/array generation fallback (see host_beam.generate_host)."""

@@ -59,6 +59,16 @@ def test_device_generate_matches_host(overfit_rater):
     assert dev[0] == 'bcd abc'[:len(dev[0])]
 
 
+def test_generate_batch_matches_single(overfit_rater):
+    """Multi-stream generation (one vmapped dispatch) must return the
+    same string per prompt as the single-prompt path."""
+    r = overfit_rater
+    prompts = ['abcd ab', 'ab', 'abcd abcd a']
+    singles = [r.generate(p, 6)[0] for p in prompts]
+    batch = r.generate_batch(prompts, 6)
+    assert batch == singles
+
+
 def test_device_decode_picks_lm_path(overfit_rater):
     r = overfit_rater
     graph, start, end = _toy_graph(

@@ -103,11 +103,13 @@ class KerasRate:
                  parameter: Optional[Dict[str, Any]] = None,
                  logger: Optional[logging.Logger] = None,
                  download: bool = False):
+        import threading
         self.workspace = workspace
         self.input_file_grp = input_file_grp
         self.output_file_grp = output_file_grp
         self.logger = logger or LOG
         self._base_logger = self.logger
+        self._ws_lock = threading.Lock()
         self.download = download
         self.parameter = dict(parameter or {})
         for name, schema in OCRD_TOOL['parameters'].items():
@@ -191,34 +193,46 @@ class KerasRate:
         mode, realized as batching instead of multiprocessing."""
         self.workspace = workspace
         self.verify()
-        pages = []   # (input_file, page_id, pcgts, file_id, text-parts)
-        for input_file in self.input_files:
+        # OCRD_MAX_PARALLEL_PAGES (OCR-D core env contract, exercised
+        # by the reference's pageparallel test config,
+        # /root/reference/test/conftest.py:49-65): parallelize the
+        # host-side page work (PAGE-XML parse, graph build, write-back)
+        # across threads.  The device work stays ONE batched dispatch
+        # regardless — on TPU that is the page-parallel execution.
+        n_par = int(os.environ.get('OCRD_MAX_PARALLEL_PAGES', '1') or 1)
+        level = self.parameter['textequiv_level']
+        context = mets_get_context(self.workspace.mets)
+
+        def prep(input_file):
             page_id = input_file.pageId
             pcgts = self._load_page(input_file, page_id)
             if pcgts is None:
-                continue
+                return None
             file_id = self._make_file_id(input_file)
             if self._output_exists(file_id):
-                continue
-            pages.append((pcgts, file_id, page_id))
-        if not pages:
-            return
-        level = self.parameter['textequiv_level']
-        context = mets_get_context(self.workspace.mets)
-        page_texts = []
-        page_elements = []
-        for pcgts, _, _ in pages:
+                return None
             graph, _, _ = page_get_linear_graph_at(level, pcgts,
                                                    logger=self.logger)
             text = [(edge['element'], edge['alternatives'])
                     for edge in _get_edges(graph, 0)]
-            page_elements.append(text)
-            page_texts.append(''.join(tes[0].Unicode
-                                      for _, tes in text))
+            return (pcgts, file_id, page_id, text,
+                    ''.join(tes[0].Unicode for _, tes in text))
+
+        inputs = self.input_files
+        if n_par > 1 and len(inputs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=n_par) as pool:
+                prepped = list(pool.map(prep, inputs))
+        else:
+            prepped = [prep(f) for f in inputs]
+        pages = [p for p in prepped if p is not None]
+        if not pages:
+            return
         all_confidences = self.rater.rate_batch(
-            page_texts, [context] * len(pages))
-        for (pcgts, file_id, page_id), text, confidences in zip(
-                pages, page_elements, all_confidences):
+            [p[4] for p in pages], [context] * len(pages))
+
+        def finish(args):
+            (pcgts, file_id, page_id, text, _), confidences = args
             try:
                 self._apply_confidences(pcgts, text, confidences, level)
                 self._write_page(pcgts, file_id, page_id)
@@ -226,6 +240,15 @@ class KerasRate:
                 raise
             except Exception as err:
                 self._handle_page_error(err, page_id)
+
+        work = list(zip(pages, all_confidences))
+        if n_par > 1 and len(work) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=n_par) as pool:
+                list(pool.map(finish, work))
+        else:
+            for item in work:
+                finish(item)
 
     def _apply_confidences(self, pcgts, text, confidences, level):
         lm_weight = self.parameter['lm_weight']
@@ -494,6 +517,13 @@ class KerasRate:
     def _write_page(self, pcgts: PcGts, file_id: str, page_id: str):
         pcgts.set_pcGtsId(file_id)
         self.add_metadata(pcgts)
+        # page-parallel finishers share the workspace: serialize METS
+        # mutation (a RemoteWorkspace additionally serializes at the
+        # METS server across *processes*)
+        with self._ws_lock:
+            self._write_page_locked(pcgts, file_id, page_id)
+
+    def _write_page_locked(self, pcgts, file_id, page_id):
         self.workspace.add_file(
             file_grp=self.output_file_grp,
             ID=file_id,

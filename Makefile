@@ -11,7 +11,12 @@ help:
 	@echo "  deps          install runtime dependencies"
 	@echo "  install       install this package (editable)"
 	@echo "  test          run the test suite (CPU backend)"
-	@echo "  test-training train a tiny model end-to-end via the CLI"
+	@echo "  test-training train a tiny model end-to-end via the CLI,"
+	@echo "                then the flagship config to an absolute val"
+	@echo "                char-ppl bound (reference-style quality gate)"
+	@echo "  german-model  train pretrained/model_german.h5 (flagship"
+	@echo "                w128 d2 l256 stateful on the synthetic-German"
+	@echo "                corpus; used by tests/test_quality.py)"
 	@echo "  bench         run the TPU benchmark (prints one JSON line)"
 	@echo "  multichip     dry-run the sharded train step on 8 virtual devices"
 	@echo "  docker        build the docker image"
@@ -34,6 +39,16 @@ test-training:
 	KERASLM_PLATFORM=cpu keraslm-rate test -m /tmp/keraslm_gt/model.h5 /tmp/keraslm_gt/kant_kritik_1781.txt
 	KERASLM_PLATFORM=cpu keraslm-rate apply -m /tmp/keraslm_gt/model.h5 "die vernunft"
 	KERASLM_PLATFORM=cpu keraslm-rate generate -m /tmp/keraslm_gt/model.h5 -n 10 "die "
+	KERASLM_TEST_TRAINING=1 $(PYTHON) -m pytest $(TESTDIR)/test_quality.py::test_train_to_reference_quality -q
+
+# flagship German model for the quality-parity tests (fast on TPU,
+# ~15 min on CPU with KERASLM_PLATFORM=cpu)
+german-model:
+	mkdir -p /tmp/german_corpus pretrained
+	$(PYTHON) -m ocrd_keraslm_tpu.utils.textgen --chars 3600000 --out /tmp/german_corpus
+	cd /tmp && KERASLM_CKPT_DIR=/tmp/german_ckpt $(PYTHON) -m ocrd_keraslm_tpu.scripts.run train \
+		-m $(abspath pretrained/model_german.h5) -C /tmp/german_ckpt/ckpt.h5 \
+		-w 128 -d 2 -l 256 -e 400 /tmp/german_corpus/*.txt
 
 bench:
 	$(PYTHON) bench.py

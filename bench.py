@@ -288,7 +288,7 @@ def main():
         print('decode bench failed: %r' % err, file=sys.stderr)
 
     # ---- incremental generation (explicit-state beam sampling) ----
-    gen_cps = gen_stream_cps = base_gen = None
+    gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
     try:
         base_gen = max(numpy_baseline_generate_chars_per_sec(
             params_np, width, depth) for _ in range(3))
@@ -305,6 +305,19 @@ def main():
         gen_cps = GEN_N / best
         print('tpu generation (fringe 256): %.0f chars/s (%.3fs for '
               '%d chars)' % (gen_cps, best, GEN_N), file=sys.stderr)
+        # device-side marginal cost (separating the tunneled dispatch
+        # RTT, ~30-110 ms/call here, from the ~20 us/char the chip
+        # actually spends): slope between two scan lengths
+        t_short = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rater.generate('abc', 256)
+            t_short = min(t_short, time.perf_counter() - t0)
+        slope = max((best - t_short) / (GEN_N - 256), 1e-9)
+        gen_dev_cps = 1.0 / slope
+        print('tpu generation device-side: %.0f chars/s '
+              '(%.1f us/char marginal)' % (gen_dev_cps, slope * 1e6),
+              file=sys.stderr)
         # serving-style: 32 prompts generated in ONE vmapped dispatch
         S = 32
         prompts = ['abc%d' % s for s in range(S)]
@@ -369,6 +382,9 @@ def main():
             'train_vs_baseline_est': round(train_cps / base_train, 2)})
     if gen_cps is not None:
         extra['generate_chars_per_sec'] = round(gen_cps, 1)
+        if gen_dev_cps is not None:
+            extra['generate_device_chars_per_sec'] = \
+                round(gen_dev_cps, 1)
         if base_gen:
             extra['numpy_baseline_generate_chars_per_sec'] = \
                 round(base_gen, 1)

@@ -840,6 +840,85 @@ class Rater:
         path, entropy = self.rate_best_device_finish(pending)
         return path, entropy, tb
 
+    def rate_best_batch(self, graphs, context=None, lm_weight=0.5,
+                        beam_width=10):
+        """Beam-decode N INDEPENDENT documents in ONE dispatch.
+
+        Serving-oriented batch decoding with no reference counterpart
+        (its ``rate_best`` handles one lattice per call): all lattices
+        pad to shared buckets and run through a vmapped
+        ``decode_lattice_device``; when ``self.mesh`` is set the
+        document axis is sharded over the mesh ``data`` axis, so each
+        chip decodes its own documents (multi-chip inference,
+        SURVEY §5.8).  Every document starts from a fresh beam (use
+        ``rate_best_device_begin`` for cross-page carry *within* a
+        document).
+
+        Returns a list of (path, entropy) like
+        ``rate_best_device_finish``.
+        """
+        assert self.status > 1
+        from .parallel.decode import make_batch_decode
+        mesh = getattr(self, 'mesh', None)
+        edges_list = []
+        for graph in graphs:
+            edges_raw = [graph.edges[e] for e in sorted(graph.edges)]
+            edges_list.append(self._prepare_decode_edges(edges_raw)
+                              if edges_raw else [])
+        sizes = [len(e) for e in edges_list]
+        if max(sizes, default=0) > self._E_BUCKETS[-1]:
+            # block chaining is per-document sequential; huge pages
+            # decode via the single-document pipeline
+            out = []
+            for graph in graphs:
+                path, ent, _ = self.rate_best_device(
+                    graph, 0, 0, context=context,
+                    lm_weight=lm_weight, beam_width=beam_width)
+                out.append((path, ent))
+            return out
+        live = [i for i, e in enumerate(edges_list) if e]
+        results: List[Any] = [([], 0.0)] * len(graphs)
+        if not live:
+            return results
+        D, W = self.depth, self.width
+        K = _bucket(beam_width, STEP_BUCKETS)
+        A = 4
+        E = _bucket(max(sizes[i] for i in live), self._E_BUCKETS)
+        maxlen = max(max((len(ids) for ids in pe['alt_ids']),
+                         default=1)
+                     for i in live for pe in edges_list[i])
+        L = _bucket_unbounded(max(maxlen, 1),
+                              (1, 2, 4, 8, 16, 32, 64))
+        # pad the doc axis to the mesh data-parallel width (dummy
+        # repeats of the first live doc, discarded after)
+        n_live = len(live)
+        N = n_live
+        if mesh is not None:
+            n_data = mesh.shape.get('data', 1)
+            N = -(-n_live // n_data) * n_data
+        fill = [edges_list[live[i % n_live]] for i in range(N)]
+        chars = np.zeros((N, E, A, L), np.int32)
+        mask = np.zeros((N, E, A, L), np.float32)
+        conf = np.zeros((N, E, A, L), np.float32)
+        valid = np.zeros((N, E, A), np.float32)
+        for i, edges in enumerate(fill):
+            (chars[i], mask[i], conf[i],
+             valid[i]) = self._fill_decode_arrays(edges, E, A, L)
+        h0, c0, x0, cost0 = self._xla_traceback(None, K)
+        h0 = np.broadcast_to(h0, (N,) + h0.shape).copy()
+        c0 = np.broadcast_to(c0, (N,) + c0.shape).copy()
+        x0 = np.broadcast_to(x0, (N,) + x0.shape).copy()
+        cost0 = np.broadcast_to(cost0, (N,) + cost0.shape).copy()
+        zs = tuple(self._context_arrays(context, 1))
+        fn = make_batch_decode(self.cfg, E, A, L, K,
+                               float(lm_weight), mesh)
+        packed = np.asarray(fn(self.params, chars, mask, conf, valid,
+                               zs, h0, c0, x0, cost0))
+        for row, i in enumerate(live):
+            pending = ('single', edges_list[i], [packed[row]], K)
+            results[i] = self.rate_best_device_finish(pending)
+        return results
+
     def rate_best_device_begin(self, graph, start_node, end_node,
                                device_traceback=None, context=None,
                                lm_weight=0.5, beam_width=10):

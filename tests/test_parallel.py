@@ -161,3 +161,64 @@ def test_sharded_scoring_matches_single_device():
     for a, b in zip(ref, sharded):
         assert len(a) == len(b)
         np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_sharded_batch_decode_matches_sequential():
+    """rate_best_batch over a data-parallel mesh must pick the same
+    paths (and entropies) as per-document device decodes."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    import networkx as nx
+
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import train_tiny_model
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        model, _ = train_tiny_model(os.path.join(d, 'm.h5'),
+                                    'abcd ' * 400, steps=300)
+        r = Rater()
+        r.load_config(model)
+        r.stateful, r.incremental = False, True
+        r.configure()
+        r.load_weights(model)
+
+    rng = np.random.default_rng(9)
+    chars = 'abcd '
+
+    def make_graph(n_edges, seed_row):
+        g = nx.DiGraph()
+        g.add_node(0)
+        text = ('abcd ' * 40)[:n_edges]
+        for e in range(n_edges):
+            true = text[e]
+            wrong = chars[(chars.index(true) + 1 + seed_row) % 5]
+            tes = [TextEquivType(Unicode=true, conf=0.8, index=0),
+                   TextEquivType(Unicode=wrong, conf=0.75, index=1)]
+            g.add_edge(e, e + 1, element='e%d' % e, alternatives=tes)
+        return g
+
+    graphs = [make_graph(20 + 3 * k, k % 3) for k in range(5)]
+    graphs.append(nx.DiGraph())  # empty doc must pass through
+
+    seq = []
+    for g in graphs:
+        if not g.edges:
+            seq.append(([], 0.0))
+            continue
+        path, ent, _ = r.rate_best_device(g, 0, 0, beam_width=4)
+        seq.append((path, ent))
+
+    r.mesh = make_mesh(4, model_parallel=1,
+                       devices=jax.devices('cpu')[:4])
+    batch = r.rate_best_batch(graphs, beam_width=4)
+    assert len(batch) == len(graphs)
+    for (p1, e1), (p2, e2) in zip(seq, batch):
+        assert [te.Unicode for _, te, _ in p1] == \
+            [te.Unicode for _, te, _ in p2]
+        np.testing.assert_allclose(e1, e2, atol=1e-4)

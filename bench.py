@@ -287,6 +287,29 @@ def main():
     except Exception as err:
         print('decode bench failed: %r' % err, file=sys.stderr)
 
+    # ---- document-batched decode (serving shape) ----
+    # N INDEPENDENT documents through the doc-batched fused kernel
+    # (rate_best_batch): documents stack in the MXU row dimension, so
+    # a serving batch decodes ~3x faster than the same documents
+    # sequentially through the single-document (latency) kernel.
+    decode_batch = None
+    try:
+        if pages:
+            rater.rate_best_batch(pages, beam_width=16)  # warm/compile
+            times = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                rater.rate_best_batch(pages, beam_width=16)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            med = sorted(times)[len(times) // 2]
+            decode_batch = n_pages * n_edges / best
+            print('tpu decode (%d-doc batch, beam 16, 4 alts): '
+                  '%.0f chars/s (best %.3fs, median %.3fs)'
+                  % (n_pages, decode_batch, best, med), file=sys.stderr)
+    except Exception as err:
+        print('batch decode bench failed: %r' % err, file=sys.stderr)
+
     # ---- incremental generation (explicit-state beam sampling) ----
     gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
     try:
@@ -376,6 +399,11 @@ def main():
             'decode_chars_per_sec_median': round(decode_med, 1),
             'decode_vs_baseline': round(decode / base_dec, 2),
             'numpy_baseline_decode_chars_per_sec': round(base_dec, 1)})
+    if decode_batch is not None and base_dec is not None:
+        extra.update({
+            'decode_batch_chars_per_sec': round(decode_batch, 1),
+            'decode_batch_vs_baseline':
+                round(decode_batch / base_dec, 2)})
     if train_cps is not None:
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),

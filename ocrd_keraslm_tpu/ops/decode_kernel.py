@@ -328,3 +328,285 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     packed = jnp.concatenate(
         [header, jnp.concatenate([bp, alt, costs], axis=1)], axis=0)
     return packed, stateF, costF
+
+
+# ----------------------------------------------------------------------
+# document-batched fused decode
+# ----------------------------------------------------------------------
+#
+# N INDEPENDENT documents decode in ONE kernel by stacking their beams
+# in the MXU *row* (sublane) dimension: the packed state becomes
+# (N*K, S), candidate costs travel as (N*KA, 1) COLUMNS instead of the
+# single-document kernel's 128-lane vectors, and every gather-type
+# matmul gets a block-diagonal doc term in its iota-built selector.
+# MXU rows are nearly free at these sizes (a K=16 beam uses 64 of the
+# 128 rows of one tile), so decoding 8 documents costs far less than
+# 8x one document — this is the serving-throughput shape the
+# single-document kernel (latency shape) cannot reach.
+#
+# Layout invariants: N*K <= 128 (records pack into one 128-lane row
+# per field) and N*K*A <= 512 (bounds the per-edge compare matrix and
+# intermediate state at (512, S)).  Per-doc semantics are IDENTICAL to
+# the single-document kernel: same cost model, same exact per-edge
+# top-K with (cost, candidate-index) lexicographic ties, verified by
+# the batch-vs-sequential parity tests.
+
+
+def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
+    KA = K * A
+    NK = N * K
+    NKA = N * KA
+    NA = N * A
+    S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
+
+    def h_sl(m, d):
+        return m[:, (1 + d) * W:(2 + d) * W]
+
+    def c_sl(m, d):
+        return m[:, (1 + D + d) * W:(2 + D + d) * W]
+
+    # iota-built selector matrices (constants folded at compile time):
+    # Rexp expands each doc's K beam rows into its K*A candidate rows;
+    # Texp tiles each doc's A alternative rows into its K*A candidate
+    # rows (both block-diagonal over docs).
+    def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
+               emb_ref, embT_ref, wcat_ref, bias_ref,   # VMEM weights
+               state0_ref, cost0_ref,                   # init
+               rec_out_ref, stateF_ref, costF_ref,      # outputs
+               state_ref, cost_ref):                    # scratch
+        pid = pl.program_id(0)
+        n_p = pl.num_programs(0)
+
+        @pl.when(pid == 0)
+        def _():
+            state_ref[:] = state0_ref[:]
+            cost_ref[:] = cost0_ref[:]
+
+        t = pid
+        chars_row = chars_ref[t].astype(jnp.float32)  # (NA, L)
+        mask_row = mask_ref[t]                        # (NA, L)
+        conf_row = conf_ref[t]                        # (NA, L)
+        valid_row = valid_ref[t]                      # (NA, 1)
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (NKA, 1), 0)
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, NKA), 1)
+        lane_iota_v = jax.lax.broadcasted_iota(jnp.int32, (NKA, V), 1)
+
+        # ---- expansion: block-diag one-hot matmuls (EXACT) ----
+        colK = jax.lax.broadcasted_iota(jnp.int32, (NKA, NK), 1)
+        Rexp = ((row_i // KA == colK // K) &
+                ((row_i % KA) // A == colK % K)).astype(jnp.float32)
+        stateE = jnp.dot(Rexp, state_ref[:], precision=EXACT,
+                         preferred_element_type=jnp.float32)  # (NKA, S)
+        costE = jnp.dot(Rexp, cost_ref[:], precision=EXACT,
+                        preferred_element_type=jnp.float32)   # (NKA, 1)
+        colA = jax.lax.broadcasted_iota(jnp.int32, (NKA, NA), 1)
+        Texp = ((row_i // KA == colA // A) &
+                (row_i % A == colA % A)).astype(jnp.float32)
+
+        validE = jnp.dot(Texp, valid_row, precision=EXACT,
+                         preferred_element_type=jnp.float32)  # (NKA, 1)
+
+        acc = jnp.zeros((NKA, 1), jnp.float32)
+
+        # ---- char steps (unrolled), costs in COLUMN space ----
+        for step_t in range(L):
+            col3 = jnp.concatenate(
+                [chars_row[:, step_t:step_t + 1],
+                 mask_row[:, step_t:step_t + 1],
+                 conf_row[:, step_t:step_t + 1]], axis=1)   # (NA, 3)
+            sub3 = jnp.dot(Texp, col3, precision=EXACT,
+                           preferred_element_type=jnp.float32)
+            # float char ids are exact (< 2^24) -> int for the one-hot
+            char_sub = sub3[:, 0:1].astype(jnp.int32)
+            m_sub = sub3[:, 1:2]
+            conf_sub = sub3[:, 2:3]
+            onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
+
+            new_h, new_c = [], []
+            inp = None
+            for d in range(D):
+                if d == 0:
+                    operand = stateE[:, 0:2 * W]
+                else:
+                    operand = jnp.concatenate([inp, h_sl(stateE, d)],
+                                              axis=1)
+                z = (jnp.dot(operand, wcat_ref[d],
+                             preferred_element_type=jnp.float32)
+                     + bias_ref[d])
+                i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+                f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+                g = jnp.tanh(z[:, 2 * W:3 * W])
+                o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+                c2 = f * c_sl(stateE, d) + i * g
+                h2 = o * jnp.tanh(c2)
+                new_h.append(h2)
+                new_c.append(c2)
+                inp = h2
+
+            logits = jnp.dot(inp, embT_ref[:],
+                             preferred_element_type=jnp.float32)
+            logits = jnp.where(lane_iota_v < V_real, logits, -BIG)
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            lse = mx + jnp.log(
+                jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
+            logit_cur = jnp.sum(onehot_cur * logits, axis=-1,
+                                keepdims=True)
+            nll2 = (lse - logit_cur) * INV_LN2            # (NKA, 1)
+            acc = acc + m_sub * (lm_weight * nll2 +
+                                 (1.0 - lm_weight) * conf_sub)
+
+            xemb_new = jnp.dot(onehot_cur, emb_ref[:],
+                               precision=EXACT,
+                               preferred_element_type=jnp.float32)
+            stateE_new = jnp.concatenate(
+                [xemb_new] + new_h + new_c, axis=1)
+            keep = m_sub > 0
+            stateE = jnp.where(keep, stateE_new, stateE)
+
+        # ---- totals + per-doc top-K via rank matmul ----
+        total_col = jnp.where(validE > 0.5, costE + acc, BIG)
+        total_col = jnp.minimum(total_col, BIG)          # (NKA, 1)
+        total_row = jnp.transpose(total_col)             # (1, NKA)
+        # prec[j, i] = 1 iff candidate j precedes i within i's doc
+        # under the exact lexicographic (cost, index) order
+        same_doc = (row_i // KA) == (iota_row // KA)     # (NKA, NKA)
+        prec = (same_doc &
+                ((total_col < total_row) |
+                 ((total_col == total_row) &
+                  (row_i % KA < iota_row % KA)))).astype(jnp.float32)
+        ranks_row = jnp.dot(jnp.ones((1, NKA), jnp.float32), prec,
+                            preferred_element_type=jnp.float32)
+        ranks_i = ranks_row.astype(jnp.int32)            # (1, NKA)
+
+        # selection matrices from ranks (block-diag over docs)
+        rowK = jax.lax.broadcasted_iota(jnp.int32, (NK, 1), 0)
+        colKA = jax.lax.broadcasted_iota(jnp.int32, (NK, NKA), 1)
+        Sbig = ((jnp.broadcast_to(ranks_i, (NK, NKA)) == rowK % K) &
+                (rowK // K == colKA // KA)).astype(jnp.float32)
+
+        state_ref[:] = jnp.dot(Sbig, stateE, precision=EXACT,
+                               preferred_element_type=jnp.float32)
+        cost_sel = jnp.dot(Sbig, total_col, precision=EXACT,
+                           preferred_element_type=jnp.float32)
+        cost_ref[:] = cost_sel
+
+        # ---- records: [bp | alt | cost] rows over NK lanes ----
+        ranks_col = jnp.transpose(ranks_i)               # (NKA, 1)
+        rowKA = jax.lax.broadcasted_iota(jnp.int32, (NKA, 1), 0)
+        colNK = jax.lax.broadcasted_iota(jnp.int32, (NKA, NK), 1)
+        SbigT = ((jnp.broadcast_to(ranks_col, (NKA, NK)) == colNK % K) &
+                 (rowKA // KA == colNK // K)).astype(jnp.float32)
+        parent_row = ((iota_row % KA) // A).astype(jnp.float32)
+        alt_row = (iota_row % A).astype(jnp.float32)
+        featsT = jnp.concatenate([parent_row, alt_row, total_row],
+                                 axis=0)                 # (3, NKA)
+        selT = jnp.dot(featsT, SbigT, precision=EXACT,
+                       preferred_element_type=jnp.float32)  # (3, NK)
+        pad_cols = LANE - NK
+        if pad_cols:
+            selT = jnp.concatenate(
+                [selT, jnp.zeros((3, pad_cols), jnp.float32)], axis=1)
+        rec = jnp.concatenate(
+            [selT, jnp.zeros((5, LANE), jnp.float32)], axis=0)
+        rec_out_ref[t] = rec
+
+        @pl.when(pid == n_p - 1)
+        def _():
+            stateF_ref[:] = state_ref[:]
+            costF_ref[:] = cost_ref[:]
+
+    return kernel, S
+
+
+@partial(jax.jit, static_argnames=('n_docs', 'n_edges', 'n_alts',
+                                   'alt_len', 'beam', 'depth', 'width',
+                                   'v_pad', 'v_real', 'lm_weight'))
+def decode_lattice_pallas_batch(emb, embT, wcat, bias,
+                                alt_chars, alt_mask, alt_conf_bits,
+                                alt_valid, state0, cost0,
+                                n_docs: int, n_edges: int, n_alts: int,
+                                alt_len: int, beam: int, depth: int,
+                                width: int, v_pad: int, v_real: int,
+                                lm_weight: float):
+    """One-dispatch fused decode of N INDEPENDENT documents.
+
+    alt_chars/mask/conf_bits: (E, N*A, L) doc-major per-edge rows;
+    alt_valid: (E, N*A, 1); state0: (N*K, S) packed per-doc beams;
+    cost0: (N*K, 1) column costs (BIG = dead slot).
+
+    Returns (records (E, 8, 128) with rows [bp | alt | cost] over
+    doc-major NK lanes, stateF (N*K, S), costF (N*K, 1)).
+    """
+    N, E, A, L = n_docs, n_edges, n_alts, alt_len
+    D, W, K, V = depth, width, beam, v_pad
+    if N * K > LANE or N * K * A > 512:
+        raise ValueError('batched fused decode: N*K must be <= 128 '
+                         'and N*K*A <= 512 (got N=%d K=%d A=%d)'
+                         % (N, K, A))
+    interpret = jax.default_backend() != 'tpu'
+    kernel, S = _make_batch_kernel(N, D, K, A, L, W, V, v_real,
+                                   lm_weight)
+    vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    records, stateF, costF = pl.pallas_call(
+        kernel,
+        grid=(E,),
+        in_specs=[
+            vmem((E, N * A, L), lambda t: (0, 0, 0)),
+            vmem((E, N * A, L), lambda t: (0, 0, 0)),
+            vmem((E, N * A, L), lambda t: (0, 0, 0)),
+            vmem((E, N * A, 1), lambda t: (0, 0, 0)),
+            vmem((V, W), lambda t: (0, 0)),
+            vmem((W, V), lambda t: (0, 0)),
+            vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
+            vmem((D, 1, 4 * W), lambda t: (0, 0, 0)),
+            vmem((N * K, S), lambda t: (0, 0)),
+            vmem((N * K, 1), lambda t: (0, 0)),
+        ],
+        out_specs=(
+            vmem((E, 8, LANE), lambda t: (0, 0, 0)),
+            vmem((N * K, S), lambda t: (0, 0)),
+            vmem((N * K, 1), lambda t: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((E, 8, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((N * K, S), jnp.float32),
+            jax.ShapeDtypeStruct((N * K, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((N * K, S), jnp.float32),
+            pltpu.VMEM((N * K, 1), jnp.float32),
+        ],
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, emb, embT, wcat,
+      bias, state0, cost0)
+    return records, stateF, costF
+
+
+@partial(jax.jit, static_argnames=('n_docs', 'beam'))
+def walk_records_batch(records, k_in, n_docs: int, beam: int):
+    """Reverse backpointer walk of a batched record block ON DEVICE.
+
+    The records array is (E, 8, 128) and would cost a multi-MB fetch
+    per block over the host link; the winning path per document is
+    (E, 2).  ``k_in`` (N,) is the starting slot per document (rank 0 =
+    best final hypothesis; for chained blocks pass the previous walk's
+    ``k_out``).  Returns (k_out (N,), walks (N, E, 2) [alt | cost]).
+    """
+    E = records.shape[0]
+    K, N = beam, n_docs
+    bp = records[:, 0, :N * K].reshape(E, N, K)
+    alt = records[:, 1, :N * K].reshape(E, N, K)
+    cost = records[:, 2, :N * K].reshape(E, N, K)
+
+    def one(bp_d, alt_d, co_d, k0):
+        def back_step(k, rec_):
+            b, a, c = rec_
+            return b[k].astype(jnp.int32), (a[k], c[k])
+        k_fin, (choices, costs) = jax.lax.scan(
+            back_step, k0, (bp_d, alt_d, co_d), reverse=True)
+        return k_fin, choices, costs
+
+    k_out, choices, costs = jax.vmap(one, in_axes=(1, 1, 1, 0))(
+        bp, alt, cost, k_in)
+    return k_out, jnp.stack([choices, costs], axis=-1)

@@ -858,14 +858,33 @@ class Rater:
         ``rate_best_device_finish``.
         """
         assert self.status > 1
+        from . import native
         from .parallel.decode import make_batch_decode
         mesh = getattr(self, 'mesh', None)
-        edges_list = []
-        for graph in graphs:
-            edges_raw = [graph.edges[e] for e in sorted(graph.edges)]
-            edges_list.append(self._prepare_decode_edges(edges_raw)
-                              if edges_raw else [])
-        sizes = [len(e) for e in edges_list]
+        raw_list = [[g.edges[e] for e in sorted(g.edges)]
+                    for g in graphs]
+        # sizes/maxlen via the native C++ scan when available: the
+        # fused path can then skip the Python edge prep entirely
+        # (native decode_fill does merge + vectorize + fill in C++)
+        prepared: List[Any] = [None] * len(graphs)
+        sizes = []
+        maxlens = []
+        for i, raw in enumerate(raw_list):
+            if not raw:
+                sizes.append(0)
+                maxlens.append(0)
+                continue
+            scan = native.decode_scan(raw, self.merge_runs,
+                                      DECODE_MERGE_MAX)
+            if scan is None:
+                prepared[i] = self._prepare_decode_edges(raw)
+                sizes.append(len(prepared[i]))
+                maxlens.append(max(
+                    (len(ids) for pe in prepared[i]
+                     for ids in pe['alt_ids']), default=1))
+            else:
+                sizes.append(scan[0])
+                maxlens.append(scan[1])
         if max(sizes, default=0) > self._E_BUCKETS[-1]:
             # block chaining is per-document sequential; huge pages
             # decode via the single-document pipeline
@@ -876,10 +895,22 @@ class Rater:
                     lm_weight=lm_weight, beam_width=beam_width)
                 out.append((path, ent))
             return out
-        live = [i for i, e in enumerate(edges_list) if e]
+        live = [i for i, n in enumerate(sizes) if n]
         results: List[Any] = [([], 0.0)] * len(graphs)
         if not live:
             return results
+        if self.fused_decode and mesh is None and \
+                beam_width <= FUSED_MAX_BEAM and len(live) > 1 and \
+                max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN:
+            self._rate_best_batch_fused(raw_list, prepared, sizes,
+                                        maxlens, live, results,
+                                        context, lm_weight,
+                                        beam_width)
+            return results
+        edges_list = [prepared[i] if prepared[i] is not None
+                      else (self._prepare_decode_edges(raw_list[i])
+                            if raw_list[i] else [])
+                      for i in range(len(graphs))]
         D, W = self.depth, self.width
         K = _bucket(beam_width, STEP_BUCKETS)
         A = 4
@@ -1265,6 +1296,138 @@ class Rater:
             packed_blocks.append(packed)
         return (('single' if single else 'blocks'), edges,
                 packed_blocks, K), (state, cost)
+
+    def _rate_best_batch_fused(self, raw_list, prepared, sizes,
+                               maxlens, live, results, context,
+                               lm_weight, beam_width):
+        """Document-batched fused decode (ops/decode_kernel.py
+        ``decode_lattice_pallas_batch``): N = 128/K independent
+        documents stack in the MXU row dimension of ONE kernel, so a
+        serving batch decodes at a fraction of N sequential kernel
+        runs.  Per-doc semantics identical to the single-document
+        fused path; every document starts from a fresh beam.
+
+        Edge prep runs in the native C++ builder when available
+        (merge + vectorize + array fill, native/decode_prep.cpp);
+        ``prepared[i]`` caches the Python fallback / native metadata.
+        Fills ``results[i] = (path, entropy)`` for each ``i`` in
+        ``live``.
+        """
+        from . import native
+        from .ops.decode_kernel import (BIG, LANE,
+                                        decode_lattice_pallas_batch,
+                                        walk_records_batch)
+        D, W = self.depth, self.width
+        K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
+        A = 4
+        N = LANE // K  # documents per kernel call (N*K = 128)
+        wts = self._decode_weights(context, lm_weight)
+        emb = wts['emb']
+        nl_emb = emb[self.vocab.get('\n')]
+
+        def doc_prepared(i):
+            if prepared[i] is None:
+                prepared[i] = self._prepare_decode_edges(raw_list[i])
+            return prepared[i]
+
+        # pass 1: dispatch every group's kernels + device walks (no
+        # host sync anywhere — fetches happen once, in pass 2)
+        pending = []  # (group, E_blk, [device walk per block])
+        for glo in range(0, len(live), N):
+            group = live[glo:glo + N]
+            n_live = len(group)
+            # pad the doc axis by repeating group docs (discarded)
+            fill = [group[i % n_live] for i in range(N)]
+            maxlen = max(maxlens[i] for i in group)
+            L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+            # block size bounds VMEM residency of the per-edge arrays
+            # (3 * E * N*A * L * 4 bytes) + records (E * 4 KB)
+            E_blk = 1024 if L <= 8 else 256
+            nE = max(sizes[i] for i in group)
+            state = jnp.zeros((N * K, (2 * D + 1) * W), jnp.float32)
+            state = state.at[:, :W].set(
+                jnp.broadcast_to(nl_emb, (N * K, W)))
+            cost_np = np.full((N * K, 1), BIG, np.float32)
+            cost_np[::K] = 0.0  # slot 0 of every doc = live root
+            cost = jnp.asarray(cost_np)
+            recs = []          # device records per block
+            for lo in range(0, nE, E_blk):
+                E = _bucket(max(min(max(sizes[i] - lo, 0), E_blk)
+                                for i in group), self._E_BUCKETS)
+                per = []
+                done: Dict[int, Any] = {}
+                for i in fill:
+                    arrays = done.get(i)
+                    if arrays is None:
+                        if lo == 0 and sizes[i] <= E and \
+                                prepared[i] is None:
+                            filled = native.decode_fill(
+                                raw_list[i], self.merge_runs,
+                                DECODE_MERGE_MAX, E, A, L,
+                                self.vocab._table())
+                            if filled is not None:
+                                prepared[i] = filled[0]
+                                arrays = filled[1:]
+                        if arrays is None:
+                            block = doc_prepared(i)[lo:lo + E_blk]
+                            arrays = self._fill_decode_arrays(
+                                block, E, A, L)
+                        done[i] = arrays
+                    per.append(arrays)
+                chars = np.stack([p[0] for p in per],
+                                 axis=1).reshape(E, N * A, L)
+                mask = np.stack([p[1] for p in per],
+                                axis=1).reshape(E, N * A, L)
+                conf = np.stack([p[2] for p in per],
+                                axis=1).reshape(E, N * A, L)
+                valid = np.stack([p[3] for p in per],
+                                 axis=1).reshape(E, N * A)[..., None]
+                rec, state, cost = decode_lattice_pallas_batch(
+                    emb, wts['embT'], wts['wcat'], wts['bias'],
+                    chars, mask, conf, valid, state, cost,
+                    n_docs=N, n_edges=E, n_alts=A, alt_len=L,
+                    beam=K, depth=D, width=W, v_pad=wts['v_pad'],
+                    v_real=wts['v_real'], lm_weight=float(lm_weight))
+                recs.append(rec)
+            # walk the backpointers ON DEVICE (blocks in reverse,
+            # starting slot chained between them); the fetch is then
+            # (N, E, 2) per block instead of multi-MB record arrays
+            k_in = jnp.zeros((N,), jnp.int32)  # rank 0 = best final
+            walks_rev = []
+            for rec in reversed(recs):
+                k_in, walk = walk_records_batch(rec, k_in,
+                                                n_docs=N, beam=K)
+                walks_rev.append(walk)
+            pending.append((group, E_blk, list(reversed(walks_rev))))
+        # pass 2: ONE stacked fetch per distinct walk shape
+        flat = [(gi, bi, w) for gi, (_, _, ws) in enumerate(pending)
+                for bi, w in enumerate(ws)]
+        fetched: Dict[Tuple[int, int], np.ndarray] = {}
+        by_shape: Dict[Any, List[Tuple[int, int, Any]]] = {}
+        for gi, bi, w in flat:
+            by_shape.setdefault(tuple(w.shape), []).append((gi, bi, w))
+        for shape, items in by_shape.items():
+            if len(items) == 1:
+                gi, bi, w = items[0]
+                fetched[(gi, bi)] = np.asarray(w)
+                continue
+            stacked = np.asarray(jnp.stack([w for _, _, w in items]))
+            for row, (gi, bi, _) in enumerate(items):
+                fetched[(gi, bi)] = stacked[row]
+        for gi, (group, E_blk, ws) in enumerate(pending):
+            for di, i in enumerate(group):
+                edges = prepared[i]
+                nE_d = len(edges)
+                choices: List[int] = []
+                pcosts: List[float] = []
+                for bi in range(len(ws)):
+                    walk = fetched[(gi, bi)]
+                    real = min(max(nE_d - bi * E_blk, 0), E_blk)
+                    choices.extend(
+                        walk[di, :real, 0].astype(np.int64))
+                    pcosts.extend(walk[di, :real, 1])
+                results[i] = self._emit_path(edges, choices, pcosts,
+                                             0.0)
 
     def _prepare_decode_edges(self, edges):
         """Convert graph edges into decode-edge dicts, merging runs of

@@ -82,3 +82,33 @@ def test_pallas_decode_cross_page(rater):
         rater.fused_decode = False
     assert ''.join(te.Unicode for _, te, _ in path2) == 'abcd'
     assert np.isfinite(ent2) and ent2 > 0
+
+
+def test_pallas_batch_decode_matches_sequential(rater):
+    """Document-batched fused decode (decode_lattice_pallas_batch) must
+    reproduce the sequential per-document fused results exactly."""
+    specs = [
+        (['abcd'], {(0, 2): [('x', 0.92), ('c', 0.90)]}),
+        (['abcd', 'abcd'], {(1, 1): [('y', 0.92), ('b', 0.90)]}),
+        (['ab'], None),
+    ]
+    graphs = [_toy_graph(w, alternatives=a)[0] for w, a in specs]
+    rater.fused_decode = True
+    try:
+        seq = []
+        for w, a in specs:
+            g, s, e = _toy_graph(w, alternatives=a)
+            path, ent, _ = rater.rate_best_device(
+                g, s, e, lm_weight=0.7, beam_width=4)
+            seq.append((path, ent))
+        batch = rater.rate_best_batch(graphs, lm_weight=0.7,
+                                      beam_width=4)
+    finally:
+        rater.fused_decode = False
+    assert len(batch) == len(seq)
+    for (p_b, e_b), (p_s, e_s) in zip(batch, seq):
+        assert ''.join(te.Unicode for _, te, _ in p_b) == \
+            ''.join(te.Unicode for _, te, _ in p_s)
+        assert abs(e_b - e_s) < 1e-3, (e_b, e_s)
+        for (_, _, sb), (_, _, ss) in zip(p_b, p_s):
+            assert abs(sb - ss) < 1e-3

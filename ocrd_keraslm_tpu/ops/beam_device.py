@@ -175,20 +175,28 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         run_length = length
     if variants == 1:
         # common case: traceback on device, fetch only (length,) chars
+        # + cost in ONE packed transfer (each separate fetch costs a
+        # full host<->device round-trip — ~30 ms on tunneled links)
         seq, cost = generate_device_best(
             rater.params, rater.cfg, jnp.asarray(prefix_ids),
             jnp.asarray(prefix_mask), zs, run_length, int(length))
-        if float(cost) >= 1e38:
+        packed = np.asarray(jnp.concatenate(
+            [seq.astype(jnp.float32), cost[None]]))
+        if packed[-1] >= 1e38:
             return []
-        seq = np.asarray(seq)
+        seq = packed[:-1].astype(np.int64)
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
     chars, backptrs, costs = generate_device(
         rater.params, rater.cfg, jnp.asarray(prefix_ids),
         jnp.asarray(prefix_mask), zs, run_length)
-    chars = np.asarray(chars)        # (run_length, K)
-    backptrs = np.asarray(backptrs)
-    costs = np.asarray(costs)        # (run_length, K) per-step costs
+    # ONE packed fetch (ids/backptrs are < 2^24, exact as float32)
+    packed = np.asarray(jnp.stack([chars.astype(jnp.float32),
+                                   backptrs.astype(jnp.float32),
+                                   costs]))
+    chars = packed[0].astype(np.int64)    # (run_length, K)
+    backptrs = packed[1].astype(np.int64)
+    costs = packed[2]                     # (run_length, K) per-step
     final_costs = costs[length - 1]
     order = np.argsort(final_costs)[:variants]
     results = []

@@ -55,3 +55,74 @@ def make_batch_decode(cfg, E: int, A: int, L: int, K: int,
             out_shardings=d1)
     _CACHE[key] = fn
     return fn
+
+
+def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
+                            K: int, D: int, W: int, v_pad: int,
+                            v_real: int, lm_weight: float):
+    """Shard-mapped document-batched FUSED decode: every chip runs
+    ``decode_lattice_pallas_batch`` on its own N = 128/K documents
+    (weights replicated, no collectives on the search path), so a
+    serving batch of n_data * N documents decodes in one dispatch at
+    full fused-kernel speed per chip.
+
+    Returns ``fn(emb, embT, wcat, bias, chars (S, E, N*A, L), mask,
+    conf, valid (S, E, N*A, 1), state (S, N*K, Sd), cost (S, N*K, 1))
+    -> (records (S, E, 8, 128), stateF, costF)`` with S = mesh data
+    size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.decode_kernel import decode_lattice_pallas_batch
+
+    key = ('fused', id(mesh), N, E, A, L, K, D, W, v_pad, v_real,
+           round(float(lm_weight), 6))
+    fn = _CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def body(emb, embT, wcat, bias, chars, mask, conf, valid,
+             state, cost):
+        rec, stateF, costF = decode_lattice_pallas_batch(
+            emb, embT, wcat, bias, chars[0], mask[0], conf[0],
+            valid[0], state[0], cost[0],
+            n_docs=N, n_edges=E, n_alts=A, alt_len=L, beam=K,
+            depth=D, width=W, v_pad=v_pad, v_real=v_real,
+            lm_weight=lm_weight)
+        return rec[None], stateF[None], costF[None]
+
+    d1 = P(DATA_AXIS)
+    repl = P()
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(repl, repl, repl, repl, d1, d1, d1, d1, d1, d1),
+        out_specs=(d1, d1, d1),
+        check_rep=False))
+    _CACHE[key] = fn
+    return fn
+
+
+def make_fused_batch_walk(mesh: Mesh, N: int, K: int):
+    """Shard-mapped on-device backpointer walk for the sharded fused
+    decode: per chip, ``walk_records_batch`` over its own records.
+    ``fn(records (S, E, 8, 128), k_in (S, N)) -> (k_out (S, N),
+    walks (S, N, E, 2))``."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.decode_kernel import walk_records_batch
+
+    key = ('walk', id(mesh), N, K)
+    fn = _CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def body(records, k_in):
+        k_out, walks = walk_records_batch(records[0], k_in[0],
+                                          n_docs=N, beam=K)
+        return k_out[None], walks[None]
+
+    d1 = P(DATA_AXIS)
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(d1, d1),
+                           out_specs=(d1, d1), check_rep=False))
+    _CACHE[key] = fn
+    return fn

@@ -899,13 +899,13 @@ class Rater:
         results: List[Any] = [([], 0.0)] * len(graphs)
         if not live:
             return results
-        if self.fused_decode and mesh is None and \
+        if self.fused_decode and \
                 beam_width <= FUSED_MAX_BEAM and len(live) > 1 and \
                 max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN:
             self._rate_best_batch_fused(raw_list, prepared, sizes,
                                         maxlens, live, results,
                                         context, lm_weight,
-                                        beam_width)
+                                        beam_width, mesh)
             return results
         edges_list = [prepared[i] if prepared[i] is not None
                       else (self._prepare_decode_edges(raw_list[i])
@@ -1299,13 +1299,17 @@ class Rater:
 
     def _rate_best_batch_fused(self, raw_list, prepared, sizes,
                                maxlens, live, results, context,
-                               lm_weight, beam_width):
+                               lm_weight, beam_width, mesh=None):
         """Document-batched fused decode (ops/decode_kernel.py
         ``decode_lattice_pallas_batch``): N = 128/K independent
         documents stack in the MXU row dimension of ONE kernel, so a
         serving batch decodes at a fraction of N sequential kernel
-        runs.  Per-doc semantics identical to the single-document
-        fused path; every document starts from a fresh beam.
+        runs.  With a mesh, the kernel is additionally ``shard_map``-ed
+        over the ``data`` axis (S chips x N documents per dispatch,
+        weights replicated, no collectives — multi-chip inference,
+        SURVEY §5.8).  Per-doc semantics identical to the
+        single-document fused path; every document starts from a fresh
+        beam.
 
         Edge prep runs in the native C++ builder when available
         (merge + vectorize + array fill, native/decode_prep.cpp);
@@ -1321,83 +1325,114 @@ class Rater:
         K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
         A = 4
         N = LANE // K  # documents per kernel call (N*K = 128)
+        S_sh = mesh.shape.get('data', 1) if mesh is not None else 1
+        G = N * S_sh   # documents per dispatch
         wts = self._decode_weights(context, lm_weight)
         emb = wts['emb']
-        nl_emb = emb[self.vocab.get('\n')]
+        nl_emb = np.asarray(emb[self.vocab.get('\n')])
 
         def doc_prepared(i):
             if prepared[i] is None:
                 prepared[i] = self._prepare_decode_edges(raw_list[i])
             return prepared[i]
 
+        def doc_arrays(i, lo, E, L, cache):
+            arrays = cache.get(i)
+            if arrays is None:
+                if lo == 0 and sizes[i] <= E and prepared[i] is None:
+                    filled = native.decode_fill(
+                        raw_list[i], self.merge_runs,
+                        DECODE_MERGE_MAX, E, A, L,
+                        self.vocab._table())
+                    if filled is not None:
+                        prepared[i] = filled[0]
+                        arrays = filled[1:]
+                if arrays is None:
+                    block = doc_prepared(i)[lo:lo + E_blk]
+                    arrays = self._fill_decode_arrays(block, E, A, L)
+                cache[i] = arrays
+            return arrays
+
         # pass 1: dispatch every group's kernels + device walks (no
         # host sync anywhere — fetches happen once, in pass 2)
         pending = []  # (group, E_blk, [device walk per block])
-        for glo in range(0, len(live), N):
-            group = live[glo:glo + N]
+        for glo in range(0, len(live), G):
+            group = live[glo:glo + G]
             n_live = len(group)
             # pad the doc axis by repeating group docs (discarded)
-            fill = [group[i % n_live] for i in range(N)]
+            fill = [group[i % n_live] for i in range(G)]
             maxlen = max(maxlens[i] for i in group)
             L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
             # block size bounds VMEM residency of the per-edge arrays
             # (3 * E * N*A * L * 4 bytes) + records (E * 4 KB)
             E_blk = 1024 if L <= 8 else 256
             nE = max(sizes[i] for i in group)
-            state = jnp.zeros((N * K, (2 * D + 1) * W), jnp.float32)
-            state = state.at[:, :W].set(
-                jnp.broadcast_to(nl_emb, (N * K, W)))
-            cost_np = np.full((N * K, 1), BIG, np.float32)
-            cost_np[::K] = 0.0  # slot 0 of every doc = live root
-            cost = jnp.asarray(cost_np)
+            state_np = np.zeros((S_sh, N * K, (2 * D + 1) * W),
+                                np.float32)
+            state_np[:, :, :W] = nl_emb
+            cost_np = np.full((S_sh, N * K, 1), BIG, np.float32)
+            cost_np[:, ::K] = 0.0  # slot 0 of every doc = live root
+            state = jnp.asarray(state_np if S_sh > 1 else state_np[0])
+            cost = jnp.asarray(cost_np if S_sh > 1 else cost_np[0])
             recs = []          # device records per block
             for lo in range(0, nE, E_blk):
                 E = _bucket(max(min(max(sizes[i] - lo, 0), E_blk)
                                 for i in group), self._E_BUCKETS)
-                per = []
-                done: Dict[int, Any] = {}
-                for i in fill:
-                    arrays = done.get(i)
-                    if arrays is None:
-                        if lo == 0 and sizes[i] <= E and \
-                                prepared[i] is None:
-                            filled = native.decode_fill(
-                                raw_list[i], self.merge_runs,
-                                DECODE_MERGE_MAX, E, A, L,
-                                self.vocab._table())
-                            if filled is not None:
-                                prepared[i] = filled[0]
-                                arrays = filled[1:]
-                        if arrays is None:
-                            block = doc_prepared(i)[lo:lo + E_blk]
-                            arrays = self._fill_decode_arrays(
-                                block, E, A, L)
-                        done[i] = arrays
-                    per.append(arrays)
+                cache: Dict[int, Any] = {}
+                per = [doc_arrays(i, lo, E, L, cache) for i in fill]
                 chars = np.stack([p[0] for p in per],
-                                 axis=1).reshape(E, N * A, L)
+                                 axis=1).reshape(E, G * A, L)
                 mask = np.stack([p[1] for p in per],
-                                axis=1).reshape(E, N * A, L)
+                                axis=1).reshape(E, G * A, L)
                 conf = np.stack([p[2] for p in per],
-                                axis=1).reshape(E, N * A, L)
+                                axis=1).reshape(E, G * A, L)
                 valid = np.stack([p[3] for p in per],
-                                 axis=1).reshape(E, N * A)[..., None]
-                rec, state, cost = decode_lattice_pallas_batch(
-                    emb, wts['embT'], wts['wcat'], wts['bias'],
-                    chars, mask, conf, valid, state, cost,
-                    n_docs=N, n_edges=E, n_alts=A, alt_len=L,
-                    beam=K, depth=D, width=W, v_pad=wts['v_pad'],
-                    v_real=wts['v_real'], lm_weight=float(lm_weight))
+                                 axis=1).reshape(E, G * A)[..., None]
+                if S_sh == 1:
+                    rec, state, cost = decode_lattice_pallas_batch(
+                        emb, wts['embT'], wts['wcat'], wts['bias'],
+                        chars, mask, conf, valid, state, cost,
+                        n_docs=N, n_edges=E, n_alts=A, alt_len=L,
+                        beam=K, depth=D, width=W, v_pad=wts['v_pad'],
+                        v_real=wts['v_real'],
+                        lm_weight=float(lm_weight))
+                else:
+                    # docs doc-major: shard s takes docs [s*N, (s+1)*N)
+                    from .parallel.decode import make_fused_batch_decode
+                    fn = make_fused_batch_decode(
+                        mesh, N, E, A, L, K, D, W, wts['v_pad'],
+                        wts['v_real'], float(lm_weight))
+                    rec, state, cost = fn(
+                        emb, wts['embT'], wts['wcat'], wts['bias'],
+                        chars.reshape(E, S_sh, N * A, L)
+                             .transpose(1, 0, 2, 3).copy(),
+                        mask.reshape(E, S_sh, N * A, L)
+                            .transpose(1, 0, 2, 3).copy(),
+                        conf.reshape(E, S_sh, N * A, L)
+                            .transpose(1, 0, 2, 3).copy(),
+                        valid.reshape(E, S_sh, N * A, 1)
+                             .transpose(1, 0, 2, 3).copy(),
+                        state, cost)
                 recs.append(rec)
             # walk the backpointers ON DEVICE (blocks in reverse,
             # starting slot chained between them); the fetch is then
             # (N, E, 2) per block instead of multi-MB record arrays
-            k_in = jnp.zeros((N,), jnp.int32)  # rank 0 = best final
             walks_rev = []
-            for rec in reversed(recs):
-                k_in, walk = walk_records_batch(rec, k_in,
-                                                n_docs=N, beam=K)
-                walks_rev.append(walk)
+            if S_sh == 1:
+                k_in = jnp.zeros((N,), jnp.int32)  # rank 0 = best
+                for rec in reversed(recs):
+                    k_in, walk = walk_records_batch(rec, k_in,
+                                                    n_docs=N, beam=K)
+                    walks_rev.append(walk)
+            else:
+                from .parallel.decode import make_fused_batch_walk
+                k_in = jnp.zeros((S_sh, N), jnp.int32)
+                for rec in reversed(recs):
+                    wfn = make_fused_batch_walk(mesh, N, K)
+                    k_in, walk = wfn(rec, k_in)
+                    # (S, N, E, 2) -> (G, E, 2) doc-major
+                    walks_rev.append(walk.reshape(
+                        G, walk.shape[2], 2))
             pending.append((group, E_blk, list(reversed(walks_rev))))
         # pass 2: ONE stacked fetch per distinct walk shape
         flat = [(gi, bi, w) for gi, (_, _, ws) in enumerate(pending)
@@ -1411,7 +1446,7 @@ class Rater:
                 gi, bi, w = items[0]
                 fetched[(gi, bi)] = np.asarray(w)
                 continue
-            stacked = np.asarray(jnp.stack([w for _, _, w in items]))
+            stacked = np.asarray(jnp.stack([a for _, _, a in items]))
             for row, (gi, bi, _) in enumerate(items):
                 fetched[(gi, bi)] = stacked[row]
         for gi, (group, E_blk, ws) in enumerate(pending):

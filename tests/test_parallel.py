@@ -222,3 +222,64 @@ def test_sharded_batch_decode_matches_sequential():
         assert [te.Unicode for _, te, _ in p1] == \
             [te.Unicode for _, te, _ in p2]
         np.testing.assert_allclose(e1, e2, atol=1e-4)
+
+
+def test_sharded_fused_batch_decode_matches_sequential():
+    """The shard_map-ed FUSED batch decode (every chip runs the
+    document-batched Pallas kernel on its own docs) must match
+    per-document fused decodes."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    import networkx as nx
+
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import train_tiny_model
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        model, _ = train_tiny_model(os.path.join(d, 'm.h5'),
+                                    'abcd ' * 400, steps=300)
+        r = Rater()
+        r.load_config(model)
+        r.stateful, r.incremental = False, True
+        r.configure()
+        r.load_weights(model)
+
+    chars = 'abcd '
+
+    def make_graph(n_edges, seed_row):
+        g = nx.DiGraph()
+        g.add_node(0)
+        text = ('abcd ' * 40)[:n_edges]
+        for e in range(n_edges):
+            true = text[e]
+            wrong = chars[(chars.index(true) + 1 + seed_row) % 5]
+            tes = [TextEquivType(Unicode=true, conf=0.8, index=0),
+                   TextEquivType(Unicode=wrong, conf=0.75, index=1)]
+            g.add_edge(e, e + 1, element='e%d' % e, alternatives=tes)
+        return g
+
+    graphs = [make_graph(12 + 2 * k, k % 3) for k in range(3)]
+
+    r.fused_decode = True
+    try:
+        seq = []
+        for g in graphs:
+            path, ent, _ = r.rate_best_device(g, 0, 0, beam_width=4)
+            seq.append((path, ent))
+        r.mesh = make_mesh(2, model_parallel=1,
+                           devices=jax.devices('cpu')[:2])
+        batch = r.rate_best_batch(graphs, beam_width=4)
+    finally:
+        r.fused_decode = False
+        r.mesh = None
+    assert len(batch) == len(graphs)
+    for (p1, e1), (p2, e2) in zip(seq, batch):
+        assert [te.Unicode for _, te, _ in p1] == \
+            [te.Unicode for _, te, _ in p2]
+        np.testing.assert_allclose(e1, e2, atol=1e-3)

@@ -47,56 +47,109 @@ def _gather_states(h, c, idx):
 # generation
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('cfg', 'length', 'topk', 'fringe'))
-def generate_device(params, cfg: LMConfig, prefix, prefix_mask, zs,
-                    length: int, topk: int = 10, fringe: int = 256,
-                    threshold: float = 0.004):
+def _gen_weights(rater, context):
+    """Device-resident generation weight set: vocab-padded (transposed)
+    embedding and fused per-layer [input; recurrent] kernels with the
+    context embedding folded into the layer-0 bias (shared with the
+    fused decode path via Rater._decode_weights)."""
+    wts = rater._decode_weights(context, 0.5)
+    return (wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+            wts['v_real'])
+
+
+def _gen_layers(emb, embT, wcat, bias, v_real, state):
+    """One LSTM stack step over packed rows [xemb | h_0.. | c_0..]:
+    returns (new [h..|c..] rows, masked logits).  Layer matmuls run on
+    the fused [input; recurrent] kernels; everything stays (B, *)
+    matrices so XLA keeps the whole step on the MXU (no gathers)."""
+    V, W = emb.shape
+    D = wcat.shape[0]
+    viota = jnp.arange(V)
+    new_h, new_c = [], []
+    inp = None
+    for d in range(D):
+        operand = state[:, 0:2 * W] if d == 0 else \
+            jnp.concatenate([inp, state[:, (1 + d) * W:(2 + d) * W]],
+                            axis=1)
+        z = jnp.dot(operand, wcat[d]) + bias[d]
+        i = jax.nn.sigmoid(z[:, :W])
+        f = jax.nn.sigmoid(z[:, W:2 * W])
+        g = jnp.tanh(z[:, 2 * W:3 * W])
+        o = jax.nn.sigmoid(z[:, 3 * W:])
+        c2 = f * state[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
+        h2 = o * jnp.tanh(c2)
+        new_h.append(h2)
+        new_c.append(c2)
+        inp = h2
+    hs = jnp.concatenate(new_h + new_c, axis=1)
+    logits = jnp.dot(inp, embT)
+    logits = jnp.where(viota[None, :] < v_real, logits, -NEG_INF)
+    return hs, logits
+
+
+@partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
+                                   'fringe'))
+def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
+                    length: int, v_real: int, topk: int = 10,
+                    fringe: int = 256, threshold: float = 0.004):
     """Beam-search sampling entirely on device.
 
-    prefix: (P,) int32 (right-aligned ids, 0-padded left);
-    prefix_mask: (P,) float32; zs: per-context (1,) ids broadcast to the
-    fringe.  Returns (chars (length, K), backptr (length, K),
-    costs (K,)) — the host reconstructs strings from the backpointers.
-    """
-    D, W = cfg.depth, cfg.width
+    emb: (V_pad, W) char embedding (context folded into bias);
+    prefix: (P,) int32 (ids, 0-padded right); prefix_mask: (P,)
+    float32 over prefix[:-1].  Returns (chars (length, K), backptr
+    (length, K), costs (length, K)).
+
+    The step works on ONE packed (K, (2D+1)W) state matrix
+    ``[xemb | h.. | c..]``; beam reordering and the next-char embedding
+    lookup are one-hot MXU matmuls (XLA gathers measured ~4x slower
+    for this shape), and candidates are scored in log space so the
+    softmax normalization is a single logsumexp."""
+    V, W = emb.shape
+    D = wcat.shape[0]
     K = fringe
-    topk = min(topk, cfg.voc_size)
-    zs1 = [jnp.broadcast_to(z[:1], (1,)) for z in zs]
-    zsK = [jnp.broadcast_to(z[:1], (K,)) for z in zs]
+    S = (2 * D + 1) * W
+    topk = min(topk, v_real)
+    viota = jnp.arange(V)
+    kiota = jnp.arange(K)
+    EX = jax.lax.Precision.HIGHEST
 
     # 1. consume the prefix (batch 1), masking padded positions
-    def prefix_step(carry, inp):
+    def prefix_step(st, inp):
         x, m = inp
-        _, (h2, c2) = forward_step(params, cfg, x[None], zs1, carry)
-        h, c = carry
-        h = jnp.where(m > 0, h2, h)
-        c = jnp.where(m > 0, c2, c)
-        return (h, c), None
-    carry0 = (jnp.zeros((D, 1, W)), jnp.zeros((D, 1, W)))
-    (h1, c1), _ = jax.lax.scan(prefix_step, carry0,
-                               (prefix, prefix_mask))
+        onehot = (x == viota)[None, :].astype(jnp.float32)
+        xemb = jnp.dot(onehot, emb, precision=EX)
+        st_in = jnp.concatenate([xemb, st[:, W:]], axis=1)
+        hs, _ = _gen_layers(emb, embT, wcat, bias, v_real, st_in)
+        new = jnp.concatenate([xemb, hs], axis=1)
+        return jnp.where(m > 0, new, st), None
+    st1, _ = jax.lax.scan(prefix_step, jnp.zeros((1, S)),
+                          (prefix, prefix_mask))
 
     # 2. init fringe: slot 0 = prefix state, rest invalid.
     # prefix_mask covers prefix[:-1] (consumed); the final prefix char
     # sits at position sum(mask) and is fed as the first step input
     # (host parity: the root node holds prefix[-1]).
-    h = jnp.broadcast_to(h1, (D, K, W)).copy()
-    c = jnp.broadcast_to(c1, (D, K, W)).copy()
     n_prefix = jnp.sum(prefix_mask).astype(jnp.int32)
     last_char = prefix[n_prefix]
-    x_prev = jnp.full((K,), last_char, jnp.int32)
-    cost = jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)
+    onehot_last = (last_char == viota)[None, :].astype(jnp.float32)
+    xemb_last = jnp.dot(onehot_last, emb, precision=EX)
+    state = jnp.broadcast_to(
+        jnp.concatenate([xemb_last, st1[:, W:]], axis=1), (K, S))
+    cost = jnp.where(kiota == 0, 0.0, NEG_INF)
+    log_thresh = jnp.log(jnp.float32(threshold))
 
     # 3. beam steps
-    def step(state, _):
-        h, c, x_prev, cost = state
-        probs, (h2, c2) = forward_step(params, cfg, x_prev, zsK, (h, c))
+    def step(carry, _):
+        state, cost = carry
+        hs, logits = _gen_layers(emb, embT, wcat, bias, v_real, state)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1,
+                                          keepdims=True)
         # top-k candidates per hypothesis (reference: 10-best)
-        p_top, idx_top = jax.lax.top_k(probs, topk)   # (K, topk)
-        nll = -jnp.log(jnp.maximum(p_top, 1e-99))
+        l_top, idx_top = jax.lax.top_k(logits - lse, topk)
+        nll = -l_top                      # nats
         cand = cost[:, None] + nll
         # absolute threshold + unmapped-char exclusion
-        cand = jnp.where(p_top < threshold, NEG_INF, cand)
+        cand = jnp.where(l_top < log_thresh, NEG_INF, cand)
         cand = jnp.where(idx_top == 0, NEG_INF, cand)
         cand = jnp.where(cost[:, None] >= NEG_INF / 2, NEG_INF, cand)
         flat = cand.reshape(-1)
@@ -104,28 +157,33 @@ def generate_device(params, cfg: LMConfig, prefix, prefix_mask, zs,
         new_cost = -neg_cost
         backptr = flat_idx // topk
         new_char = idx_top.reshape(-1)[flat_idx]
-        h2, c2 = _gather_states(h2, c2, backptr)
-        return ((h2, c2, new_char, new_cost),
-                (new_char, backptr, new_cost))
-    (h, c, x_prev, cost), (chars, backptrs, costs) = jax.lax.scan(
-        step, (h, c, x_prev, cost), None, length=length, unroll=2)
+        # beam reorder + next-char embedding as one-hot matmuls
+        Pg = (backptr[:, None] == kiota[None, :]).astype(jnp.float32)
+        hs2 = jnp.dot(Pg, hs, precision=EX)
+        onehot = (new_char[:, None] == viota[None, :]) \
+            .astype(jnp.float32)
+        xemb = jnp.dot(onehot, emb, precision=EX)
+        state2 = jnp.concatenate([xemb, hs2], axis=1)
+        return ((state2, new_cost), (new_char, backptr, new_cost))
+    (state, cost), (chars, backptrs, costs) = jax.lax.scan(
+        step, (state, cost), None, length=length, unroll=2)
     # per-step cost records allow ranking at ANY step <= length, so the
     # host can bucket `length` to a few compiled sizes
     return chars, backptrs, costs
 
 
-@partial(jax.jit, static_argnames=('cfg', 'length', 'topk', 'fringe',
-                                   'out_length'))
-def generate_device_best(params, cfg: LMConfig, prefix, prefix_mask,
-                         zs, length: int, out_length: int,
+@partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
+                                   'fringe', 'out_length'))
+def generate_device_best(emb, embT, wcat, bias, prefix, prefix_mask,
+                         length: int, out_length: int, v_real: int,
                          topk: int = 10, fringe: int = 256,
                          threshold: float = 0.004):
     """generate_device + on-device traceback of the single best path at
     step ``out_length`` — the host fetches only (out_length,) chars and
     one cost instead of three (length, K) matrices."""
     chars, backptrs, costs = generate_device(
-        params, cfg, prefix, prefix_mask, zs, length, topk, fringe,
-        threshold)
+        emb, embT, wcat, bias, prefix, prefix_mask, length, v_real,
+        topk, fringe, threshold)
     best = jnp.argmin(costs[out_length - 1])
 
     def back_step(k, rec):
@@ -160,9 +218,6 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     prefix_ids[:len(ids)] = ids
     # consume all but the last char; the last char is the first input
     prefix_mask[:max(len(ids) - 1, 0)] = 1.0
-    zs = tuple(np.asarray([context[i] if i < len(context) else 0],
-                          np.int32)
-               for i in range(len(rater.contexts)))
     # bucket the scan length so each -n value does not compile its own
     # program (compiles are minutes in tunneled environments); surplus
     # steps are computed and discarded
@@ -173,13 +228,15 @@ def generate_beam(rater, prefix: str, length: int, context=None,
             break
     else:
         run_length = length
+    emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
     if variants == 1:
         # common case: traceback on device, fetch only (length,) chars
         # + cost in ONE packed transfer (each separate fetch costs a
         # full host<->device round-trip — ~30 ms on tunneled links)
         seq, cost = generate_device_best(
-            rater.params, rater.cfg, jnp.asarray(prefix_ids),
-            jnp.asarray(prefix_mask), zs, run_length, int(length))
+            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), run_length, int(length),
+            int(v_real))
         packed = np.asarray(jnp.concatenate(
             [seq.astype(jnp.float32), cost[None]]))
         if packed[-1] >= 1e38:
@@ -188,8 +245,8 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
     chars, backptrs, costs = generate_device(
-        rater.params, rater.cfg, jnp.asarray(prefix_ids),
-        jnp.asarray(prefix_mask), zs, run_length)
+        emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+        jnp.asarray(prefix_mask), run_length, int(v_real))
     # ONE packed fetch (ids/backptrs are < 2^24, exact as float32)
     packed = np.asarray(jnp.stack([chars.astype(jnp.float32),
                                    backptrs.astype(jnp.float32),
@@ -248,9 +305,6 @@ def generate_streams(rater, prefixes: List[str], length: int,
     for s, ids in enumerate(enc):
         prefix_ids[s, :len(ids)] = ids
         prefix_mask[s, :max(len(ids) - 1, 0)] = 1.0
-    zs = tuple(np.asarray([context[i] if i < len(context) else 0],
-                          np.int32)
-               for i in range(len(rater.contexts)))
     length = int(length)
     for bucket in (16, 64, 256, 1024, 4096, 10000):
         if length <= bucket:
@@ -258,17 +312,20 @@ def generate_streams(rater, prefixes: List[str], length: int,
             break
     else:
         run_length = length
-    fn = _STREAMS_CACHE.get((rater.cfg, run_length, length))
+    emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
+    key = (emb.shape, wcat.shape[0], int(v_real), run_length, length)
+    fn = _STREAMS_CACHE.get(key)
     if fn is None:
-        cfg, rl, ol = rater.cfg, run_length, length
+        rl, ol, vr = run_length, length, int(v_real)
 
-        def _one(params, pids, pmask, zsx):
-            return generate_device_best(params, cfg, pids, pmask, zsx,
-                                        rl, ol)
-        fn = jax.jit(jax.vmap(_one, in_axes=(None, 0, 0, None)))
-        _STREAMS_CACHE[(rater.cfg, run_length, length)] = fn
-    seqs, costs = fn(rater.params, jnp.asarray(prefix_ids),
-                     jnp.asarray(prefix_mask), zs)
+        def _one(emb_, embT_, wcat_, bias_, pids, pmask):
+            return generate_device_best(emb_, embT_, wcat_, bias_,
+                                        pids, pmask, rl, ol, vr)
+        fn = jax.jit(jax.vmap(_one,
+                              in_axes=(None, None, None, None, 0, 0)))
+        _STREAMS_CACHE[key] = fn
+    seqs, costs = fn(emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+                     jnp.asarray(prefix_mask))
     seqs = np.asarray(seqs)          # (S, length)
     costs = np.asarray(costs)        # (S,)
     out = []

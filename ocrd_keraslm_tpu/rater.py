@@ -1339,7 +1339,11 @@ class Rater:
         def doc_arrays(i, lo, E, L, cache):
             arrays = cache.get(i)
             if arrays is None:
-                if lo == 0 and sizes[i] <= E and prepared[i] is None:
+                # native fill only when the WHOLE doc fits this (first)
+                # block: later blocks slice prepared[i], and native
+                # meta lacks alt_ids
+                if lo == 0 and sizes[i] <= E_blk and \
+                        prepared[i] is None:
                     filled = native.decode_fill(
                         raw_list[i], self.merge_runs,
                         DECODE_MERGE_MAX, E, A, L,
@@ -1364,8 +1368,10 @@ class Rater:
             maxlen = max(maxlens[i] for i in group)
             L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
             # block size bounds VMEM residency of the per-edge arrays
-            # (3 * E * N*A * L * 4 bytes) + records (E * 4 KB)
-            E_blk = 1024 if L <= 8 else 256
+            # (3 * E * N*A * L * 4 bytes) + records (E * 4 KB);
+            # fused_batch_E_blk overrides (tests force small blocks)
+            E_blk = getattr(self, 'fused_batch_E_blk', None) or \
+                (1024 if L <= 8 else 256)
             nE = max(sizes[i] for i in group)
             state_np = np.zeros((S_sh, N * K, (2 * D + 1) * W),
                                 np.float32)

@@ -112,3 +112,39 @@ def test_pallas_batch_decode_matches_sequential(rater):
         assert abs(e_b - e_s) < 1e-3, (e_b, e_s)
         for (_, _, sb), (_, _, ss) in zip(p_b, p_s):
             assert abs(sb - ss) < 1e-3
+
+
+def test_pallas_batch_decode_blocks_and_groups(rater):
+    """Batch-fused decode with documents spanning multiple kernel
+    groups (> 128/K docs) and multiple chained edge blocks per group
+    (fused_batch_E_blk override) must match sequential decodes."""
+    # beam 4 -> K=8 -> 16 docs/group: 18 docs = 2 groups; alternatives
+    # at every char defeat run merging, so the 5-word docs (~24 edges)
+    # chain across the forced 16-edge blocks
+    specs = []
+    for k in range(18):
+        n_words = 1 + k % 5
+        words = ['abcd'] * n_words
+        alts = {(wi, ci): [('abcd '[(ci + 1 + k) % 5], 0.85),
+                           ('abcd'[ci], 0.90)]
+                for wi in range(n_words) for ci in range(4)}
+        specs.append((words, alts))
+    graphs = [_toy_graph(w, alternatives=a)[0] for w, a in specs]
+    rater.fused_decode = True
+    rater.fused_batch_E_blk = 16   # force block chaining
+    try:
+        seq = []
+        for w, a in specs:
+            g, s, e = _toy_graph(w, alternatives=a)
+            path, ent, _ = rater.rate_best_device(
+                g, s, e, lm_weight=0.6, beam_width=4)
+            seq.append((path, ent))
+        batch = rater.rate_best_batch(graphs, lm_weight=0.6,
+                                      beam_width=4)
+    finally:
+        rater.fused_decode = False
+        rater.fused_batch_E_blk = None
+    for (p_b, e_b), (p_s, e_s) in zip(batch, seq):
+        assert ''.join(te.Unicode for _, te, _ in p_b) == \
+            ''.join(te.Unicode for _, te, _ in p_s)
+        assert abs(e_b - e_s) < 1e-3, (e_b, e_s)

@@ -148,3 +148,33 @@ def test_pallas_batch_decode_blocks_and_groups(rater):
         assert ''.join(te.Unicode for _, te, _ in p_b) == \
             ''.join(te.Unicode for _, te, _ in p_s)
         assert abs(e_b - e_s) < 1e-3, (e_b, e_s)
+
+
+def test_batch_decode_xla_and_wide_beam_fallbacks(rater):
+    """rate_best_batch without the fused engine (CPU default) and with
+    beam_width beyond the fused lane layout must both produce the
+    sequential results through the vmapped XLA engine."""
+    specs = [(['abcd'], {(0, 2): [('x', 0.92), ('c', 0.90)]}),
+             (['abcd', 'ab'], None)]
+    graphs = [_toy_graph(w, alternatives=a)[0] for w, a in specs]
+    rater.fused_decode = False
+    seq = []
+    for w, a in specs:
+        g, s, e = _toy_graph(w, alternatives=a)
+        path, ent, _ = rater.rate_best_device(g, s, e, beam_width=4)
+        seq.append((path, ent))
+    # plain XLA batch (fused off)
+    batch = rater.rate_best_batch(graphs, beam_width=4)
+    for (p_b, e_b), (p_s, e_s) in zip(batch, seq):
+        assert ''.join(te.Unicode for _, te, _ in p_b) == \
+            ''.join(te.Unicode for _, te, _ in p_s)
+        assert abs(e_b - e_s) < 1e-4
+    # fused on but beam_width > 32: falls back to the XLA batch path
+    rater.fused_decode = True
+    try:
+        batch_wide = rater.rate_best_batch(graphs, beam_width=40)
+    finally:
+        rater.fused_decode = False
+    for (p_b, _), (p_s, _) in zip(batch_wide, seq):
+        assert ''.join(te.Unicode for _, te, _ in p_b) == \
+            ''.join(te.Unicode for _, te, _ in p_s)

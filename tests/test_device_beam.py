@@ -136,3 +136,15 @@ def test_device_decode_cross_page_carry(overfit_rater):
     assert ''.join(te.Unicode for _, te, _ in path2) == 'abcd'
     # entropy of page 2 should reflect conditioning (finite, positive)
     assert np.isfinite(ent2) and ent2 > 0
+
+
+def test_device_generate_context_matches_host(overfit_rater):
+    """Non-zero context variables are folded into the layer-0 bias on
+    the device path; the host path feeds them per step — both must
+    condition identically."""
+    r = overfit_rater
+    from ocrd_keraslm_tpu.ops.beam_device import generate_beam
+    host = r._generate_host('abcd ab', 6, context=[3], variants=1)
+    dev = generate_beam(r, 'abcd ab', 6, [3], 1)
+    assert dev and host
+    assert dev[0] == host[0]

@@ -840,6 +840,28 @@ class Rater:
         path, entropy = self.rate_best_device_finish(pending)
         return path, entropy, tb
 
+    @staticmethod
+    def concat_graphs(graphs):
+        """Concatenate linear lattice graphs (e.g. one per page of a
+        document) into ONE lattice whose decode chains the beam across
+        the former boundaries — the batched analogue of the per-page
+        ``device_traceback`` carry.  Use with :meth:`rate_best_batch`
+        to decode N independent MULTI-PAGE documents in batched
+        dispatches; path entries keep their ``element`` identity, so
+        callers split results back into pages by element membership.
+        Insert separator edges (e.g. a newline TextEquiv) beforehand if
+        the model should see an explicit page break."""
+        import networkx as nx
+        out = nx.DiGraph()
+        out.add_node(0)
+        node = 0
+        for g in graphs:
+            for e in sorted(g.edges):
+                data = g.edges[e]
+                out.add_edge(node, node + 1, **data)
+                node += 1
+        return out
+
     def rate_best_batch(self, graphs, context=None, lm_weight=0.5,
                         beam_width=10):
         """Beam-decode N INDEPENDENT documents in ONE dispatch.

@@ -178,3 +178,36 @@ def test_batch_decode_xla_and_wide_beam_fallbacks(rater):
     for (p_b, _), (p_s, _) in zip(batch_wide, seq):
         assert ''.join(te.Unicode for _, te, _ in p_b) == \
             ''.join(te.Unicode for _, te, _ in p_s)
+
+
+def test_batch_decode_multipage_concat(rater):
+    """Multi-page documents decode in a batch by concatenating page
+    lattices (Rater.concat_graphs): equivalent to the per-page
+    device_traceback chain of rate_best_device."""
+    rater.fused_decode = True
+    try:
+        # sequential: two pages with cross-page carry
+        g1, s1, e1 = _toy_graph(['abcd'])
+        path1, ent1, tb = rater.rate_best_device(g1, s1, e1,
+                                                 beam_width=4)
+        g2, s2, e2 = _toy_graph(['abcd'])
+        path2, ent2, _ = rater.rate_best_device(g2, s2, e2,
+                                                device_traceback=tb,
+                                                beam_width=4)
+        # batched: same two pages concatenated, plus a second doc
+        doc1 = Rater.concat_graphs([_toy_graph(['abcd'])[0],
+                                    _toy_graph(['abcd'])[0]])
+        doc2 = _toy_graph(['ab'])[0]
+        batch = rater.rate_best_batch([doc1, doc2], beam_width=4)
+    finally:
+        rater.fused_decode = False
+    merged_str = ''.join(te.Unicode for _, te, _ in path1) + \
+        ''.join(te.Unicode for _, te, _ in path2)
+    b_str = ''.join(te.Unicode for _, te, _ in batch[0][0])
+    assert b_str == merged_str == 'abcdabcd'
+    # entropies: the batched doc accumulates both pages' costs
+    assert abs(batch[0][1] - (ent1 + ent2)) < 0.1, \
+        (batch[0][1], ent1, ent2)
+    # element identity preserved for page re-splitting
+    elements = [el for el, _, _ in batch[0][0]]
+    assert elements.count('w0_c0') == 2  # one per page

@@ -923,7 +923,8 @@ class Rater:
             return results
         if self.fused_decode and \
                 beam_width <= FUSED_MAX_BEAM and len(live) > 1 and \
-                max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN:
+                max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN \
+                and self._fused_decode_fits(512):
             self._rate_best_batch_fused(raw_list, prepared, sizes,
                                         maxlens, live, results,
                                         context, lm_weight,
@@ -1003,20 +1004,24 @@ class Rater:
             # edge prep runs natively (C++) when available.  The fused
             # kernel's 128-lane layout bounds K*A <= 128 and it fully
             # unrolls the char steps, so it only serves
-            # beam_width <= 32 and alternatives <= 64 chars — anything
-            # larger decodes through the (exact, unbounded) XLA path.
+            # beam_width <= 32 and alternatives <= 64 chars; wide
+            # models / huge charsets must also fit the VMEM-resident
+            # weight + intermediate budget — anything larger decodes
+            # through the (exact, unbounded) XLA path.
             maxlen_raw = max(
                 (len(te.Unicode) for pe in edges_raw
                  for te in pe['alternatives'][:4]), default=1)
             if beam_width <= FUSED_MAX_BEAM and \
-                    maxlen_raw <= FUSED_MAX_ALT_LEN:
+                    maxlen_raw <= FUSED_MAX_ALT_LEN and \
+                    self._fused_decode_fits(128):
                 return self._rate_best_pallas(edges_raw,
                                               device_traceback,
                                               context, lm_weight,
                                               beam_width)
             self.logger.info(
-                'fused decode unavailable (beam_width %d > %d or '
-                'alternative length %d > %d chars): using XLA path',
+                'fused decode unavailable (beam_width %d > %d, '
+                'alternative length %d > %d chars, or width/vocab '
+                'beyond the VMEM budget): using XLA path',
                 beam_width, FUSED_MAX_BEAM, maxlen_raw,
                 FUSED_MAX_ALT_LEN)
         edges = self._prepare_decode_edges(edges_raw)
@@ -1209,6 +1214,25 @@ class Rater:
         return self._walk_traceback(edges, all_rows, K,
                                     self._E_BUCKETS,
                                     self._E_BUCKETS[-1], start_cost)
+
+    def _fused_decode_fits(self, rows: int) -> bool:
+        """Conservative VMEM estimate for the fused decode kernels:
+        the VMEM-resident weights, per-edge intermediates (expanded
+        state + logits over ``rows`` candidate rows; 128 single-doc,
+        512 batched), the 4 MB record buffer, and the streamed alt
+        arrays must fit ~13 MB together.  Wide models (w >= ~384) and
+        huge charsets (several thousand codepoints) exceed it and
+        decode through the XLA path instead of crashing Mosaic
+        allocation."""
+        D, W = self.depth, self.width
+        Vp = max(128, -(-self.voc_size // 128) * 128)
+        S = (2 * D + 1) * W
+        b = 32 * D * W * W             # fused [input|recurrent] kernels
+        b += 8 * Vp * W                # emb + embT
+        b += rows * (3 * S + Vp) * 4   # stateE / new state + logits
+        b += 4 << 20                   # records (E = 1024)
+        b += 2 << 20                   # alt arrays + slack
+        return b <= (13 << 20)
 
     def _decode_weights(self, context, lm_weight):
         """Device-resident decode weight set for the fused Pallas

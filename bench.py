@@ -226,6 +226,7 @@ def main():
 
     # ---- lattice beam decoding (device beam, one dispatch/page) ----
     decode = base_dec = None
+    pages = None
     try:
         base_dec = max(numpy_baseline_decode_chars_per_sec(
             params_np, width, depth) for _ in range(3))

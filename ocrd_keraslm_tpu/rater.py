@@ -921,10 +921,23 @@ class Rater:
         results: List[Any] = [([], 0.0)] * len(graphs)
         if not live:
             return results
+        if len(live) == 1:
+            # a single live document decodes fastest through the
+            # single-document engine (fused kernel when eligible)
+            i = live[0]
+            path, ent, _ = self.rate_best_device(
+                graphs[i], 0, 0, context=context,
+                lm_weight=lm_weight, beam_width=beam_width)
+            results[i] = (path, ent)
+            return results
+        K_f = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
+        NA_f = (128 // K_f) * 4
+        L_max = _bucket(max(max(maxlens[i] for i in live), 1),
+                        (1, 2, 4, 8, 16, 32, 64))
         if self.fused_decode and \
-                beam_width <= FUSED_MAX_BEAM and len(live) > 1 and \
+                beam_width <= FUSED_MAX_BEAM and \
                 max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN \
-                and self._fused_decode_fits(512):
+                and self._fused_decode_fits(512, NA_f, L_max, 64):
             self._rate_best_batch_fused(raw_list, prepared, sizes,
                                         maxlens, live, results,
                                         context, lm_weight,
@@ -1011,9 +1024,15 @@ class Rater:
             maxlen_raw = max(
                 (len(te.Unicode) for pe in edges_raw
                  for te in pe['alternatives'][:4]), default=1)
+            # post-merge L bound: runs merge up to DECODE_MERGE_MAX
+            # chars, single long alternatives keep their raw length
+            L_fit = _bucket(
+                max(maxlen_raw,
+                    DECODE_MERGE_MAX if self.merge_runs else 1, 1),
+                (1, 2, 4, 8, 16, 32, 64))
             if beam_width <= FUSED_MAX_BEAM and \
                     maxlen_raw <= FUSED_MAX_ALT_LEN and \
-                    self._fused_decode_fits(128):
+                    self._fused_decode_fits(128, 4, L_fit, 1024):
                 return self._rate_best_pallas(edges_raw,
                                               device_traceback,
                                               context, lm_weight,
@@ -1215,23 +1234,27 @@ class Rater:
                                     self._E_BUCKETS,
                                     self._E_BUCKETS[-1], start_cost)
 
-    def _fused_decode_fits(self, rows: int) -> bool:
+    def _fused_decode_fits(self, rows: int, na: int, L: int,
+                           E_blk: int) -> bool:
         """Conservative VMEM estimate for the fused decode kernels:
-        the VMEM-resident weights, per-edge intermediates (expanded
-        state + logits over ``rows`` candidate rows; 128 single-doc,
-        512 batched), the 4 MB record buffer, and the streamed alt
-        arrays must fit ~13 MB together.  Wide models (w >= ~384) and
-        huge charsets (several thousand codepoints) exceed it and
-        decode through the XLA path instead of crashing Mosaic
-        allocation."""
+        VMEM-resident weights, per-edge intermediates (expanded state +
+        logits over ``rows`` candidate rows; 128 single-doc, 512
+        batched), the (E_blk, 8, 128) record buffer, and the
+        whole-resident alt arrays (3 x E_blk x na x L x 4 bytes; ``na``
+        = alternative rows per edge: A single-doc, N*A batched) must
+        fit ~13 MB together.  Wide models (w >= ~384), huge charsets
+        (several thousand codepoints), or long-alternative batches
+        exceed it and decode through the XLA path (or a smaller E_blk)
+        instead of crashing Mosaic allocation."""
         D, W = self.depth, self.width
         Vp = max(128, -(-self.voc_size // 128) * 128)
         S = (2 * D + 1) * W
         b = 32 * D * W * W             # fused [input|recurrent] kernels
         b += 8 * Vp * W                # emb + embT
         b += rows * (3 * S + Vp) * 4   # stateE / new state + logits
-        b += 4 << 20                   # records (E = 1024)
-        b += 2 << 20                   # alt arrays + slack
+        b += E_blk * 8 * 128 * 4       # record buffer
+        b += 3 * E_blk * na * L * 4    # alt chars/mask/conf
+        b += 1 << 20                   # slack (iota matrices etc.)
         return b <= (13 << 20)
 
     def _decode_weights(self, context, lm_weight):
@@ -1239,8 +1262,12 @@ class Rater:
         kernel: vocab-padded (transposed) embedding, per-layer input/
         recurrent kernels, and biases with the page-constant context
         embedding folded into layer 0.  Cached per (params, context)."""
+        # lm_weight is NOT part of the key: no produced weight depends
+        # on it (it scales costs inside the kernels), and keying on it
+        # would thrash the single-entry cache when generation (fixed
+        # 0.5) alternates with decoding at another weight
         ctx = tuple(context or self.underspecify_contexts())
-        key = (id(self.params), ctx, round(float(lm_weight), 6))
+        key = (id(self.params), ctx)
         cached = self._decode_cache.get(key)
         if cached is not None:
             return cached
@@ -1413,11 +1440,17 @@ class Rater:
             fill = [group[i % n_live] for i in range(G)]
             maxlen = max(maxlens[i] for i in group)
             L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
-            # block size bounds VMEM residency of the per-edge arrays
-            # (3 * E * N*A * L * 4 bytes) + records (E * 4 KB);
+            # block size: the largest bucket whose whole-resident alt
+            # arrays (3 * E_blk * N*A * L * 4 bytes) still fit the
+            # kernel's VMEM budget alongside weights/intermediates
+            # (the caller's gate guarantees at least E_blk=64 fits);
             # fused_batch_E_blk overrides (tests force small blocks)
-            E_blk = getattr(self, 'fused_batch_E_blk', None) or \
-                (1024 if L <= 8 else 256)
+            E_blk = getattr(self, 'fused_batch_E_blk', None)
+            if not E_blk:
+                for E_blk in (1024, 256, 64):
+                    if self._fused_decode_fits(N * K * A, N * A, L,
+                                               E_blk):
+                        break
             nE = max(sizes[i] for i in group)
             state_np = np.zeros((S_sh, N * K, (2 * D + 1) * W),
                                 np.float32)

@@ -227,7 +227,7 @@ def test_fused_wide_model_falls_back():
     r.configure()
     r.params = init_params(r.cfg, jax.random.PRNGKey(0))
     r.status = 2
-    assert not r._fused_decode_fits(128)
+    assert not r._fused_decode_fits(128, 4, 8, 1024)
     g = nx.DiGraph()
     g.add_node(0)
     for i, ch in enumerate('abcab'):

@@ -93,3 +93,28 @@ def test_decoders_match_exhaustive(seed, fused):
                        for e, (_, te, _) in enumerate(path))
     assert got_choice == want_choice
     assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)
+
+
+@pytest.mark.parametrize('fused', [False, True])
+def test_batch_decode_matches_exhaustive(fused):
+    """rate_best_batch (vmapped XLA / document-batched fused kernel)
+    must find the globally optimal path of EVERY document in the
+    batch."""
+    rater = make_rater(5)
+    rater.fused_decode = fused
+    lm_weight = 0.6
+    docs = []
+    for seed in (11, 12, 13):
+        rng = np.random.default_rng(seed)
+        n_edges = 3 + seed % 3
+        graph, alts = random_lattice(rng, n_edges, 3)
+        want_choice, want_cost = brute_force(rater, alts, lm_weight)
+        docs.append((graph, alts, want_choice, want_cost, n_edges))
+    batch = rater.rate_best_batch([d[0] for d in docs],
+                                  lm_weight=lm_weight, beam_width=27)
+    for (graph, alts, want_choice, want_cost, n_edges), \
+            (path, entropy) in zip(docs, batch):
+        got_choice = tuple(alts[e].index(te)
+                           for e, (_, te, _) in enumerate(path))
+        assert got_choice == want_choice
+        assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)

@@ -179,11 +179,22 @@ def train(model, ckpt, width, depth, length, val_data, epochs, bf16,
         rater.compute_dtype = 'bfloat16'
 
     if mesh_spec:
-        from ..parallel import make_mesh
         parts = mesh_spec.lower().split('x')
         dp = int(parts[0])
         mp = int(parts[1]) if len(parts) > 1 else 1
-        rater.mesh = make_mesh(n_devices=dp * mp, model_parallel=mp)
+        if os.environ.get('KERASLM_COORDINATOR') or \
+                os.environ.get('KERASLM_NUM_PROCESSES'):
+            # multi-host: join the process group and mesh over ALL
+            # hosts' devices (model axis stays intra-host; see
+            # parallel/multihost.py)
+            from ..parallel.multihost import (init_multihost,
+                                              make_global_mesh)
+            init_multihost()
+            rater.mesh = make_global_mesh(model_parallel=mp)
+        else:
+            from ..parallel import make_mesh
+            rater.mesh = make_mesh(n_devices=dp * mp,
+                                   model_parallel=mp)
 
     rater.configure()
     if continuation:

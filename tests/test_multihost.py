@@ -1,0 +1,45 @@
+"""Multi-host (multi-process) training: two REAL processes, 4 virtual
+CPU devices each, form an 8-device global (data=4, model=2) mesh and
+run one sharded train step — the gradient all-reduce crosses the
+process boundary (Gloo CPU backend standing in for DCN)."""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_train_step():
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, 'mh_train_worker.py')
+    repo = os.path.dirname(here)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), '2', port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env, cwd=repo) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=280)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith('MHLOSS ')]
+        assert lines, out[-2000:]
+        losses.append(tuple(float(v) for v in lines[0].split()[1:]))
+    # both controllers must agree bit-for-bit on the reduced loss
+    assert losses[0] == losses[1], losses

@@ -147,7 +147,7 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
                  unmapped_seen: Dict[Any, set]) -> List[Hypothesis]:
     """Advance every (hypothesis, alternative) pair through the edge's
     full string, one batched device step per char position."""
-    from .rater import STEP_BUCKETS, _bucket, _predict_step
+    from .rater import STEP_BUCKETS, _bucket_unbounded, _predict_step
 
     element = edge['element']
     tes = edge['alternatives']
@@ -156,13 +156,15 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
     for te in tes:
         ids = rater.vocab.encode(te.Unicode)
         # reference-format unmapped-char diagnostics (rating.py:800-812)
+        # deduplicated PER EDGE (element), like the reference's
+        # per-edge seen-set — not page-wide
         for pos in np.nonzero(ids == 0)[0]:
             char = te.Unicode[pos]
-            key = getattr(te, 'index', None)
+            key = (id(element), getattr(te, 'index', None))
             if char not in unmapped_seen.setdefault(key, set()):
                 rater.logger.error(
                     'unmapped character "%s" at input alternative %s '
-                    'of element %s', char, key,
+                    'of element %s', char, key[1],
                     element.id if hasattr(element, 'id') else
                     (element or 'space'))
                 unmapped_seen[key].add(char)
@@ -172,7 +174,10 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
     nB, nA = len(beam), len(tes)
     N = nB * nA
     D, W = rater.depth, rater.width
-    Np = _bucket(N, STEP_BUCKETS)
+    # unbounded: beam * alternatives can exceed the largest step
+    # bucket (wide beams / many-alternative edges); truncation would
+    # crash the fill loop
+    Np = _bucket_unbounded(N, STEP_BUCKETS)
     h = np.zeros((D, Np, W), np.float32)
     c = np.zeros((D, Np, W), np.float32)
     x = np.zeros((Np,), np.int32)

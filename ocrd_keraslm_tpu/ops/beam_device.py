@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.lstm_lm import LMConfig, forward_step
+from ..utils.buckets import bucket_unbounded
 
 NEG_INF = jnp.float32(3.0e38)
 LOG2E = 1.4426950408889634  # nats -> bits
@@ -210,13 +211,7 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     ids = rater.vocab.encode(prefix)
     # condition on the FULL prefix (host parity); bucket the scan
     # length so prompt sizes share compilations
-    P = 64
-    for b in (64, 256, 1024, 4096):
-        if len(ids) <= b:
-            P = b
-            break
-    else:
-        P = 1 << max(len(ids) - 1, 1).bit_length()
+    P = bucket_unbounded(len(ids), (64, 256, 1024, 4096))
     prefix_ids = np.zeros((P,), np.int32)
     prefix_mask = np.zeros((P,), np.float32)
     prefix_ids[:len(ids)] = ids
@@ -297,25 +292,14 @@ def generate_streams(rater, prefixes: List[str], length: int,
         return []
     enc = [rater.vocab.encode(p) for p in prefixes]
     maxp = max(len(e) for e in enc)
-    P = 64
-    for b in (64, 256, 1024, 4096):
-        if maxp <= b:
-            P = b
-            break
-    else:
-        P = 1 << max(maxp - 1, 1).bit_length()
+    P = bucket_unbounded(maxp, (64, 256, 1024, 4096))
     prefix_ids = np.zeros((S, P), np.int32)
     prefix_mask = np.zeros((S, P), np.float32)
     for s, ids in enumerate(enc):
         prefix_ids[s, :len(ids)] = ids
         prefix_mask[s, :max(len(ids) - 1, 0)] = 1.0
     length = int(length)
-    for bucket in (16, 64, 256, 1024, 4096, 10000):
-        if length <= bucket:
-            run_length = bucket
-            break
-    else:
-        run_length = length
+    run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
     key = (emb.shape, wcat.shape[0], int(v_real), run_length, length)
     fn = _STREAMS_CACHE.get(key)

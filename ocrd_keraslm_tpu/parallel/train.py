@@ -26,9 +26,9 @@ from .mesh import (DATA_AXIS, batch_shardings, carry_sharding,
                    param_shardings)
 
 
-def _loss(params, cfg, x, zs, y, mask, carry, rng):
+def _loss(params, cfg, x, zs, y, mask, carry, rng, x_mask=None):
     logits, carry = forward_seq(params, cfg, x, list(zs), carry,
-                                train=True, rng=rng)
+                                train=True, rng=rng, x_mask=x_mask)
     if y.ndim == 1:
         logits = logits[:, -1, :]
     nll, acc = sequence_xent(logits, y, mask)
@@ -43,10 +43,11 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
     the states onto the mesh."""
     opt = optimizer or make_optimizer()
 
-    def step(params, opt_state, x, zs, y, mask, carry, rng):
+    def step(params, opt_state, x, zs, y, mask, carry, rng,
+             x_mask=None):
         (loss, (nll, acc, carry)), grads = jax.value_and_grad(
             _loss, has_aux=True)(params, cfg, x, zs, y, mask, carry,
-                                 rng)
+                                 rng, x_mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, carry, loss, nll, acc
@@ -76,16 +77,20 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
                                    opt_shardings(opt_state, pspec))
         return params, opt_state, pspec
 
-    def jit_step(params, opt_state, n_contexts, stateful_targets):
+    def jit_step(params, opt_state, n_contexts, stateful_targets,
+                 variable_length=False):
         pspec = param_shardings(mesh, params)
         ospec = opt_shardings(opt_state, pspec)
         bx, bzs, by, bm = batch_shardings(mesh, n_contexts,
                                           stateful_targets)
         cs = carry_sharding(mesh)
         rs = NamedSharding(mesh, P())
+        in_sh = (pspec, ospec, bx, bzs, by, bm, (cs, cs), rs)
+        if variable_length:  # masked variable windows: + x_mask
+            in_sh = in_sh + (bx,)
         return jax.jit(
             step,
-            in_shardings=(pspec, ospec, bx, bzs, by, bm, (cs, cs), rs),
+            in_shardings=in_sh,
             out_shardings=(pspec, ospec, (cs, cs), rs, rs, rs),
         )
 

@@ -66,21 +66,10 @@ FUSED_MAX_BEAM = 32
 FUSED_MAX_ALT_LEN = 64
 
 
-def _bucket(n: int, buckets: Sequence[int]) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
-
-
-def _bucket_unbounded(n: int, buckets: Sequence[int]) -> int:
-    """Like ``_bucket`` but NEVER truncates: above the largest bucket,
-    round up to the next power of two (one extra compilation per new
-    size instead of silently wrong results)."""
-    for b in buckets:
-        if n <= b:
-            return b
-    return 1 << max(int(n) - 1, 1).bit_length()
+# shared bucketing helpers (historic local names kept: half the
+# dispatch paths reference them)
+from .utils.buckets import bucket as _bucket  # noqa: E402
+from .utils.buckets import bucket_unbounded as _bucket_unbounded  # noqa: E402,E501
 
 
 _CACHE_ENABLED = False
@@ -495,16 +484,18 @@ class Rater:
             p2, n2, c2 = self._score_batch(
                 ids_list[mid:], contexts[mid:], carry=_rows(mid, B),
                 want_probs=want_probs)
-            out_carry = None
-            if carry is not None:
-                h = np.concatenate([np.asarray(c1[0])[:, :mid],
-                                    np.asarray(c2[0])[:, :B - mid]],
-                                   axis=1)
-                c = np.concatenate([np.asarray(c1[1])[:, :mid],
-                                    np.asarray(c2[1])[:, :B - mid]],
-                                   axis=1)
-                out_carry = (h, c)
-            return p1 + p2, n1 + n2, out_carry
+            # ALWAYS reassemble the final carry (even when the caller
+            # passed none): superblock chaining starts with carry=None
+            # and threads the returned states into the next block —
+            # returning None there would silently reset the LSTM state
+            # at every split boundary
+            h = np.concatenate([np.asarray(c1[0])[:, :mid],
+                                np.asarray(c2[0])[:, :B - mid]],
+                               axis=1)
+            c = np.concatenate([np.asarray(c1[1])[:, :mid],
+                                np.asarray(c2[1])[:, :B - mid]],
+                               axis=1)
+            return p1 + p2, n1 + n2, (h, c)
         T = SCORE_CHUNK
         # compact transfer layout: char ids only (uint16 when the vocab
         # allows), plus per-stream lengths and final targets; shifted
@@ -778,13 +769,21 @@ class Rater:
         round-trip per character).  Each stream returns the same string
         as ``generate(prefix, length)``."""
         assert self.status > 1
+        result = None
         if self.device_beam and all(prefixes):
             from .ops.beam_device import generate_streams
             result = generate_streams(self, prefixes, length, context)
             if result and all(result):
                 return result
+        # host fallback ONLY for the streams that came back empty (a
+        # dead fringe is legitimate — all candidates under the 0.004
+        # threshold — and usually stays empty on the host too; the
+        # successful streams' device results are kept)
         out = []
-        for p in prefixes:
+        for s, p in enumerate(prefixes):
+            if result and s < len(result) and result[s]:
+                out.append(result[s])
+                continue
             r = self._generate_host(p, length, context, 1)
             out.append(r[0] if r else '')
         return out
@@ -1160,6 +1159,12 @@ class Rater:
             return state, cost
         if len(tb) == 4:  # XLA format -> pack (host-side)
             h, c, x, cost4 = (np.asarray(a) for a in tb)
+            if h.shape[1] > LANE:
+                # a wide-beam XLA page feeding a fused page: keep the
+                # best LANE slots (XLA beams are rank-ordered, so a
+                # prefix IS the best subset — same rule as K0 > K)
+                h, c = h[:, :LANE], c[:, :LANE]
+                x, cost4 = x[:LANE], cost4[:LANE]
             K0 = h.shape[1]
             state = np.concatenate(
                 [np.asarray(emb)[x]]

@@ -169,8 +169,10 @@ def train_rater(rater, data, val_data=None) -> None:
         params, opt_state, _ = shard_fn(params, opt_state)
         # stateful streams train on (B, T) targets; stateless windowed
         # predicts a single next char -> (B,) targets (data.py)
+        var_len = bool(rater.variable_length and not rater.stateful)
         sharded_step = jit_step(params, opt_state,
-                                len(rater.contexts), rater.stateful)
+                                len(rater.contexts), rater.stateful,
+                                variable_length=var_len)
         rater.logger.info('training over mesh %s', dict(mesh.shape))
 
     def make_gen(file_list, train):
@@ -229,15 +231,13 @@ def train_rater(rater, data, val_data=None) -> None:
                 rng, sub = jax.random.split(rng)
                 step_t0 = _time.perf_counter()
                 if sharded_step is not None:
+                    args = (params, opt_state, batch.x,
+                            tuple(batch.zs), batch.y, batch.mask,
+                            carry, sub)
                     if batch.x_mask is not None:
-                        raise ValueError(
-                            'variable-length training over a mesh is '
-                            'not supported; unset rater.mesh or '
-                            'variable_length')
+                        args = args + (batch.x_mask,)
                     (params, opt_state, carry, loss, nll,
-                     acc) = sharded_step(
-                        params, opt_state, batch.x, tuple(batch.zs),
-                        batch.y, batch.mask, carry, sub)
+                     acc) = sharded_step(*args)
                 else:
                     (params, opt_state, carry, loss, nll,
                      acc) = train_step(

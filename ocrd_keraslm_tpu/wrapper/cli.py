@@ -215,6 +215,28 @@ def server_cmd(address, parameter, parameter_override, log_level):
         httpd.server_close()
 
 
+def _run_job(job: dict, params0: dict, seed):
+    """Execute one serving job against the warm ``seed`` processor.
+
+    Shared by the HTTP processing server and the spool-queue worker so
+    both roles keep identical semantics — in particular the warm-rater
+    reuse gate: jobs reuse the already-loaded model only when they
+    override neither the model file nor the decode mode (both affect
+    ``setup()``)."""
+    params = dict(params0)
+    params.update(job.get('parameter') or {})
+    workspace = _open_workspace(job.get('mets', 'mets.xml'),
+                                job.get('mets_server_url'))
+    rater = seed.rater if (
+        params.get('model_file') == params0.get('model_file')
+        and params.get('alternative_decoding') ==
+        params0.get('alternative_decoding')) else None
+    _run_processor(workspace,
+                   job.get('input_file_grp', 'OCR-D-OCR'),
+                   job.get('output_file_grp', 'OCR-D-LM'),
+                   params, rater=rater)
+
+
 def make_processing_server(address: str, params0: dict):
     """Build (but don't run) the processing HTTP server: loads the
     model once, returns a ``ThreadingHTTPServer`` whose /process jobs
@@ -251,23 +273,7 @@ def make_processing_server(address: str, params0: dict):
             try:
                 n = int(self.headers.get('Content-Length', '0'))
                 job = json.loads(self.rfile.read(n) or b'{}')
-                params = dict(params0)
-                params.update(job.get('parameter') or {})
-                workspace = _open_workspace(
-                    job.get('mets', 'mets.xml'),
-                    job.get('mets_server_url'))
-                # jobs reuse the warm rater only when they don't
-                # override model parameters
-                rater = seed.rater if (
-                    params.get('model_file') ==
-                    params0.get('model_file')
-                    and params.get('alternative_decoding') ==
-                    params0.get('alternative_decoding')) else None
-                _run_processor(
-                    workspace,
-                    job.get('input_file_grp', 'OCR-D-OCR'),
-                    job.get('output_file_grp', 'OCR-D-LM'),
-                    params, rater=rater)
+                _run_job(job, params0, seed)
                 self._send(200, {'state': 'SUCCESS'})
             except Exception as err:  # noqa: BLE001 — report any job error
                 log.exception('job failed')
@@ -334,21 +340,7 @@ def worker_cmd(queue, poll_interval, once, parameter,
             try:
                 with open(claimed, encoding='utf-8') as fh:
                     job = json.load(fh)
-                params = dict(params0)
-                params.update(job.get('parameter') or {})
-                workspace = _open_workspace(
-                    job.get('mets', 'mets.xml'),
-                    job.get('mets_server_url'))
-                rater = seed.rater if (
-                    params.get('model_file') ==
-                    params0.get('model_file')
-                    and params.get('alternative_decoding') ==
-                    params0.get('alternative_decoding')) else None
-                _run_processor(
-                    workspace,
-                    job.get('input_file_grp', 'OCR-D-OCR'),
-                    job.get('output_file_grp', 'OCR-D-LM'),
-                    params, rater=rater)
+                _run_job(job, params0, seed)
             except Exception as err:  # noqa: BLE001 — job isolation
                 log.exception('job %s failed', name)
                 result = {'state': 'FAILED', 'error': str(err)}

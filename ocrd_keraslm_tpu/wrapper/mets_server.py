@@ -98,7 +98,9 @@ class MetsServer:
                         return
                     except Exception as err:  # noqa: BLE001 — protocol edge
                         LOG.exception('mets server error')
-                        resp = {'ok': False, 'error': '%s: %s'
+                        resp = {'ok': False,
+                                'error_type': type(err).__name__,
+                                'error': '%s: %s'
                                 % (type(err).__name__, err)}
                     self.wfile.write(json.dumps(resp).encode() + b'\n')
                     self.wfile.flush()
@@ -186,8 +188,17 @@ class _Client:
             raise ConnectionError('METS server closed the connection')
         resp = json.loads(line)
         if not resp.get('ok'):
-            raise RuntimeError('METS server: %s'
-                               % resp.get('error', 'unknown error'))
+            msg = 'METS server: %s' % resp.get('error',
+                                               'unknown error')
+            # re-raise builtin exception TYPES across the protocol:
+            # KerasRate's OCRD_EXISTING_OUTPUT policy catches
+            # FileExistsError from add_file, which must keep working
+            # when the workspace is remote
+            import builtins
+            cls = getattr(builtins, resp.get('error_type', ''), None)
+            if isinstance(cls, type) and issubclass(cls, Exception):
+                raise cls(msg)
+            raise RuntimeError(msg)
         return resp.get('result')
 
     def close(self):

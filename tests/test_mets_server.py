@@ -82,7 +82,10 @@ def test_duplicate_add_rejected(served_workspace):
     _, url = served_workspace
     remote = RemoteWorkspace(url)
     remote.add_file('G', 'dup', 'page1', 'G/dup.xml', content='<a/>')
-    with pytest.raises(RuntimeError, match='already exists'):
+    # the server's FileExistsError must cross the protocol AS
+    # FileExistsError — KerasRate's OCRD_EXISTING_OUTPUT policy
+    # handling catches that type
+    with pytest.raises(FileExistsError, match='already exists'):
         remote.add_file('G', 'dup', 'page1', 'G/dup.xml',
                         content='<a/>')
     remote.close()

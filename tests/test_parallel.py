@@ -283,3 +283,40 @@ def test_sharded_fused_batch_decode_matches_sequential():
         assert [te.Unicode for _, te, _ in p1] == \
             [te.Unicode for _, te, _ in p2]
         np.testing.assert_allclose(e1, e2, atol=1e-3)
+
+
+def test_variable_length_training_over_mesh(tmp_path):
+    """Stateless variable-length training (the Rater default) must work
+    over a mesh: the sharded step takes the per-window x_mask with
+    batch sharding."""
+    if len(jax.devices('cpu')) < 4:
+        pytest.skip('needs 4 virtual CPU devices')
+    import ocrd_keraslm_tpu as K
+    from ocrd_keraslm_tpu import training
+    from ocrd_keraslm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(5)
+    files = []
+    for name in ('a_b_1800', 'c_d_1810'):
+        p = tmp_path / (name + '.txt')
+        p.write_text(''.join(
+            'abcdefgh '[i] for i in rng.integers(0, 9, 3000)))
+        files.append(str(p))
+
+    old_epochs = training.EPOCHS
+    training.EPOCHS = 2
+    try:
+        r = K.Rater()
+        r.width, r.depth, r.length = 16, 1, 16
+        r.stateful = False
+        assert r.variable_length  # the default (reference parity)
+        r.batch_size = 8
+        r.mesh = make_mesh(4, model_parallel=1,
+                           devices=jax.devices('cpu')[:4])
+        r.configure()
+        r.train(files)
+    finally:
+        training.EPOCHS = old_epochs
+    assert r.status == 2
+    assert all(np.isfinite(v) for v in r.history['val_loss'])
+    assert r.history['loss'][-1] < r.history['loss'][0]

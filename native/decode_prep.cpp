@@ -13,7 +13,7 @@
 //  * multi-alternative edges keep up to A alternatives with scalar
 //    per-alternative confidence bits;
 //  * chars map through the vocabulary's codepoint->id table (0 for
-//    unmapped), confidences to -log2(conf) (falsy conf -> 1.0);
+//    unmapped), confidences to -log2(conf) (missing conf -> 1.0);
 //  * padding edges get one zero-length valid alternative.
 //
 // Loaded with ctypes.PyDLL (the GIL is held throughout; every call
@@ -41,7 +41,7 @@ double conf_bits(PyObject* te, const Names& n) {
                 PyErr_Clear();
                 v = 0.0;
             }
-            if (v != 0.0) conf = v;
+            conf = v;  // explicit 0.0 is preserved (None -> 1.0)
         }
         Py_DECREF(c);
     } else {

@@ -169,7 +169,8 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
                     (element or 'space'))
                 unmapped_seen[key].add(char)
         seqs.append(ids)
-        bits.append(-log2(max(te.conf if te.conf else 1.0, 1e-99)))
+        conf = te.conf if te.conf is not None else 1.0
+        bits.append(-log2(max(conf, 1e-99)))
 
     nB, nA = len(beam), len(tes)
     N = nB * nA

@@ -634,7 +634,9 @@ class Rater:
         ids_list = [self.vocab.encode(nfc(t), log_unmapped=True)
                     for t in texts]
         probs, _, _ = self._score_batch(ids_list, list(contexts))
-        return [[1.0] + [float(p) for p in pr] for pr in probs]
+        # an empty text rates to [] (like ``rate``), not [1.0]
+        return [([1.0] + [float(p) for p in pr]) if len(ids) else []
+                for pr, ids in zip(probs, ids_list)]
 
     def rate(self, text: str, context=None) -> List[float]:
         """Probability of each character given its predecessors, one
@@ -1584,7 +1586,7 @@ class Rater:
         pappend = prepared.append
 
         def conf_bits(te):
-            conf = te.conf if te.conf else 1.0
+            conf = te.conf if te.conf is not None else 1.0
             bits = bits_get(conf)
             if bits is None:
                 bits = -log(max(conf, 1e-99), 2)
@@ -1617,7 +1619,7 @@ class Rater:
                 alt_ids, alt_conf = [], []
                 for te in alternatives[:4]:
                     alt_ids.append(encode(te.Unicode))
-                    conf = te.conf if te.conf else 1.0
+                    conf = te.conf if te.conf is not None else 1.0
                     bits = bits_get(conf)
                     if bits is None:
                         bits = -log(max(conf, 1e-99), 2)

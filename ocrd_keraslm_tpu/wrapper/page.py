@@ -159,11 +159,17 @@ class RegionRefIndexedType(RegionRefType):
 
 
 class _Group:
-    def __init__(self, id=''):
+    def __init__(self, id='', regionRef=''):
         self.id = id
+        # nested groups reference the region they order (PAGE schema
+        # regionRef attribute); reading-order lookups key on it
+        self.regionRef = regionRef
         self.region_refs: List[RegionRefType] = []
         self.ordered_groups: List['OrderedGroupIndexedType'] = []
         self.unordered_groups: List['UnorderedGroupIndexedType'] = []
+
+    def get_regionRef(self):
+        return self.regionRef
 
 
 class OrderedGroupType(_Group):
@@ -380,6 +386,7 @@ def _parse_group(el, indexed):
         group = (OrderedGroupIndexedType(el.get('id', ''),
                                          int(el.get('index', 0)))
                  if indexed else OrderedGroupType(el.get('id', '')))
+        group.regionRef = el.get('regionRef', '')
         for sub in el:
             if sub.tag == _q('RegionRefIndexed'):
                 group.region_refs.append(RegionRefIndexedType(
@@ -392,6 +399,7 @@ def _parse_group(el, indexed):
     group = (UnorderedGroupIndexedType(el.get('id', ''),
                                        int(el.get('index', 0)))
              if indexed else UnorderedGroupType(el.get('id', '')))
+    group.regionRef = el.get('regionRef', '')
     for sub in el:
         if sub.tag == _q('RegionRef'):
             group.region_refs.append(

@@ -204,19 +204,29 @@ class KerasRate:
         context = mets_get_context(self.workspace.mets)
 
         def prep(input_file):
+            # per-page error policy (OCRD_MISSING_OUTPUT), like the
+            # stateful loop: a bad page skips/copies/aborts instead of
+            # killing the whole document
             page_id = input_file.pageId
-            pcgts = self._load_page(input_file, page_id)
-            if pcgts is None:
+            try:
+                pcgts = self._load_page(input_file, page_id)
+                if pcgts is None:
+                    return None
+                file_id = self._make_file_id(input_file)
+                if self._output_exists(file_id):
+                    return None
+                graph, _, _ = page_get_linear_graph_at(
+                    level, pcgts, logger=self.logger)
+                text = [(edge['element'], edge['alternatives'])
+                        for edge in _get_edges(graph, 0)]
+                return (pcgts, file_id, page_id, text,
+                        ''.join(tes[0].Unicode for _, tes in text),
+                        input_file)
+            except KeyboardInterrupt:
+                raise
+            except Exception as err:
+                self._handle_page_error(err, page_id, input_file)
                 return None
-            file_id = self._make_file_id(input_file)
-            if self._output_exists(file_id):
-                return None
-            graph, _, _ = page_get_linear_graph_at(level, pcgts,
-                                                   logger=self.logger)
-            text = [(edge['element'], edge['alternatives'])
-                    for edge in _get_edges(graph, 0)]
-            return (pcgts, file_id, page_id, text,
-                    ''.join(tes[0].Unicode for _, tes in text))
 
         inputs = self.input_files
         if n_par > 1 and len(inputs) > 1:
@@ -232,14 +242,15 @@ class KerasRate:
             [p[4] for p in pages], [context] * len(pages))
 
         def finish(args):
-            (pcgts, file_id, page_id, text, _), confidences = args
+            (pcgts, file_id, page_id, text, _,
+             input_file), confidences = args
             try:
                 self._apply_confidences(pcgts, text, confidences, level)
                 self._write_page(pcgts, file_id, page_id)
             except KeyboardInterrupt:
                 raise
             except Exception as err:
-                self._handle_page_error(err, page_id)
+                self._handle_page_error(err, page_id, input_file)
 
         work = list(zip(pages, all_confidences))
         if n_par > 1 and len(work) > 1:
@@ -295,7 +306,6 @@ class KerasRate:
         device_tb = None
         device_mode = self.parameter.get('device_decoding', True)
         device_pending = []  # dispatched pages awaiting fetch/write
-        n_pages = max(len(list(self.input_files)), 1)
         for input_file in self.input_files:
             page_id = input_file.pageId
             self._base_logger.info('preparing page %s', page_id)
@@ -309,11 +319,13 @@ class KerasRate:
                 if device_mode:
                     rec, device_tb = self.process_page_pcgts_device_begin(
                         pcgts, device_tb, file_id, page_id)
-                    device_pending.append(rec)
+                    # success is only counted when the page is
+                    # fetched AND written (finish loop below)
+                    device_pending.append(rec + (input_file,))
                 else:
                     prev = self.process_page_pcgts_stateful(
                         pcgts, prev, file_id, page_id)
-                nr_succeeded += 1
+                    nr_succeeded += 1
             except FileExistsError as err:
                 existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
                                               'SKIP')
@@ -338,16 +350,18 @@ class KerasRate:
                     self._copy_page_file(input_file)
                 nr_errors[err.__class__.__name__] += 1
                 nr_failed += 1
-                max_missing = float(
-                    _config_env('OCRD_MAX_MISSING_OUTPUTS', '-1'))
-                if 0 < max_missing < nr_failed / n_pages:
+                max_missing = self._max_missing_ratio()
+                if 0 < max_missing < \
+                        nr_failed / max(nr_failed + nr_succeeded, 1):
                     raise RuntimeError(
                         'too many failures with %s output (%d of %d, %s)'
                         % (reason, nr_failed, nr_failed + nr_succeeded,
                            dict(nr_errors)))
         # device mode: all pages were dispatched (the beam carry chains
         # on device with no host sync); batch-fetch all results in as
-        # few round-trips as possible, then write each page
+        # few round-trips as possible, then write each page — with the
+        # SAME error policy as the dispatch loop (existing-output
+        # routing, COPY fallback, failure accounting)
         if device_pending:
             fetched = self.rater.fetch_pendings(
                 [rec[0] for rec in device_pending])
@@ -355,10 +369,21 @@ class KerasRate:
                               zip(fetched, device_pending)]
         for rec in device_pending:
             page_id = rec[3]
+            input_file = rec[4]
             try:
-                self._finish_device_page(rec)
+                self._finish_device_page(rec[:4])
+                nr_succeeded += 1
             except KeyboardInterrupt:
                 raise
+            except FileExistsError as err:
+                existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
+                                              'SKIP')
+                if existing_policy == 'ABORT':
+                    raise
+                if existing_policy == 'OVERWRITE':
+                    raise RuntimeError(
+                        'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
+                        % err)
             except Exception as err:
                 if missing_policy == 'ABORT':
                     self._base_logger.error(
@@ -367,6 +392,8 @@ class KerasRate:
                     raise
                 self._base_logger.exception('Failure on page %s',
                                             page_id)
+                if missing_policy == 'COPY':
+                    self._copy_page_file(input_file)
                 nr_errors[err.__class__.__name__] += 1
                 nr_failed += 1
         if prev:
@@ -382,6 +409,15 @@ class KerasRate:
                                       reason, nr_failed,
                                       nr_failed + nr_succeeded,
                                       dict(nr_errors))
+            # end-of-run enforcement over PROCESSED pages (reference
+            # ocrd core semantics: failures/(failures+successes))
+            max_missing = self._max_missing_ratio()
+            if 0 < max_missing < \
+                    nr_failed / max(nr_failed + nr_succeeded, 1):
+                raise RuntimeError(
+                    'too many failures with %s output (%d of %d, %s)'
+                    % (reason, nr_failed, nr_failed + nr_succeeded,
+                       dict(nr_errors)))
 
     # -- per-page processing ------------------------------------------
 
@@ -453,7 +489,20 @@ class KerasRate:
             _page_update_from_path(level, path, entropy,
                                    logger=self.logger)
             page_update_higher_textequiv_levels(level, prev.pcgts)
-            self._write_page(prev.pcgts, prev.file_id, prev.page_id)
+            try:
+                self._write_page(prev.pcgts, prev.file_id,
+                                 prev.page_id)
+            except FileExistsError:
+                # the CURRENT page's state must still advance —
+                # re-raising here would freeze `prev` and silently
+                # drop every following page's output (the old page
+                # would be re-written and re-fail forever)
+                if _config_env('OCRD_EXISTING_OUTPUT',
+                               'SKIP') == 'ABORT':
+                    raise
+                self._base_logger.warning(
+                    'output for page %s already exists: skipped',
+                    prev.page_id)
         return RateState(traceback=traceback, pcgts=pcgts,
                          file_id=file_id, page_id=page_id)
 
@@ -550,13 +599,33 @@ class KerasRate:
             mimetype=MIMETYPE_PAGE, content=content, force=True)
         self.workspace.save_mets()
 
-    def _handle_page_error(self, err, page_id):
+    def _handle_page_error(self, err, page_id, input_file=None):
+        """Apply OCRD_MISSING_OUTPUT to one page failure: ABORT
+        re-raises, COPY falls back to the input file (when given),
+        anything else skips with a log."""
         policy = _config_env('OCRD_MISSING_OUTPUT', 'SKIP')
         if policy == 'ABORT':
             self._base_logger.error('Failure on page %s: %s', page_id,
                                     err)
             raise err
         self._base_logger.exception('Failure on page %s', page_id)
+        if policy == 'COPY' and input_file is not None:
+            try:
+                self._copy_page_file(input_file)
+            except Exception:  # noqa: BLE001 — fallback of a fallback
+                self._base_logger.exception(
+                    'COPY fallback failed for page %s', page_id)
+
+    @staticmethod
+    def _max_missing_ratio() -> float:
+        """OCRD_MAX_MISSING_OUTPUTS as a float; empty/invalid values
+        disable the threshold instead of crashing the error handler."""
+        raw = (_config_env('OCRD_MAX_MISSING_OUTPUTS', '-1')
+               or '').strip()
+        try:
+            return float(raw)
+        except ValueError:
+            return -1.0
 
 
 # ---------------------------------------------------------------------
@@ -603,10 +672,12 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
         if level == 'region':
             textequivs = region.get_TextEquiv()
             if not first_region:
+                # no page-level tokenisation check exists (the Page
+                # element has no own TextEquiv to compare against), so
+                # newline edges between regions are never repaired
                 start_node = _add_space(
                     graph, start_node, '\n', page_start_node,
-                    problems.get(pcgts.get_pcGtsId()), textequivs,
-                    logger=logger)
+                    None, textequivs, logger=logger)
             if textequivs:
                 start_node = _add_element(graph, start_node, region,
                                           textequivs)
@@ -737,7 +808,11 @@ def _filter_choices(textequivs):
         return []
     textequivs = textequivs[:CHOICE_THRESHOLD_NUM]
     for te in textequivs:
-        te.set_conf(float(te.conf) if te.conf else 1.0)
+        # None/missing -> 1.0; an EXPLICIT conf=0.0 is preserved
+        # (deviation from the reference, which falsy-coerces 0.0 to
+        # fully-confident 1.0 — inverting the least confident
+        # alternative into the most confident one)
+        te.set_conf(float(te.conf) if te.conf is not None else 1.0)
     conf0 = textequivs[0].conf
     return [te for te in textequivs
             if conf0 - te.conf < CHOICE_THRESHOLD_CONF]
@@ -838,7 +913,8 @@ def page_element_unicode0(element):
 def page_element_conf0(element):
     """Confidence of the first text result."""
     if element.get_TextEquiv():
-        return float(element.get_TextEquiv()[0].conf or 1.0)
+        conf = element.get_TextEquiv()[0].conf
+        return float(conf) if conf is not None else 1.0
     return 1.0
 
 
@@ -854,8 +930,11 @@ def page_get_reading_order(ro, rogroup):
                       rogroup.get_OrderedGroup() +
                       rogroup.get_UnorderedGroup())
     for elem in regionrefs:
-        ro[elem.get_regionRef() if hasattr(elem, 'get_regionRef')
-           else elem.id] = elem
+        # nested groups key by the REGION they order (regionRef); a
+        # group without one (e.g. the top-level group) keys by id
+        ref = (elem.get_regionRef()
+               if hasattr(elem, 'get_regionRef') else '')
+        ro[ref or elem.id] = elem
         if not isinstance(elem, (RegionRefType, RegionRefIndexedType)):
             page_get_reading_order(ro, elem)
 

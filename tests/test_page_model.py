@@ -167,3 +167,43 @@ def test_workspace_add_file(tmp_path):
     except FileExistsError:
         raised = True
     assert raised
+
+
+def test_reading_order_nested_indexed_groups():
+    """Nested indexed groups reference their region via regionRef —
+    subregion sorting must key on that, not the group id."""
+    from ocrd_keraslm_tpu.wrapper.page import OrderedGroupIndexedType
+    pcgts = PcGts()
+    parent = TextRegion('parent')
+    sub_b = TextRegion('r_b')
+    sub_b.add_TextEquiv(TextEquivType(Unicode='SECOND', conf=1.0))
+    sub_a = TextRegion('r_a')
+    sub_a.add_TextEquiv(TextEquivType(Unicode='FIRST', conf=1.0))
+    parent.text_regions = [sub_b, sub_a]  # document order wrong
+    pcgts.page.add_TextRegion(parent)
+    ro = ReadingOrder()
+    group = OrderedGroupType('g0')
+    # subregions ordered through nested indexed groups (id != ref)
+    ga = OrderedGroupIndexedType('g_a', 0)
+    ga.regionRef = 'r_a'
+    gb = OrderedGroupIndexedType('g_b', 1)
+    gb.regionRef = 'r_b'
+    group.ordered_groups = [ga, gb]
+    ro.ordered_group = group
+    pcgts.page.reading_order = ro
+    page_update_higher_textequiv_levels('line', pcgts)
+    assert parent.get_TextEquiv()[0].Unicode == 'FIRST\nSECOND'
+
+
+def test_conf_zero_preserved():
+    """An explicit conf=0.0 alternative stays least-confident (the
+    reference falsy-coerces it to 1.0 — documented deviation)."""
+    from ocrd_keraslm_tpu.wrapper.rate import _filter_choices
+    tes = [TextEquivType(Unicode='a', conf=0.9, index=0),
+           TextEquivType(Unicode='b', conf=0.0, index=1)]
+    kept = _filter_choices(tes)
+    # 0.0 is preserved, so 'b' falls outside the 0.1-conf window
+    assert [te.Unicode for te in kept] == ['a']
+    tes2 = [TextEquivType(Unicode='a', conf=None, index=0)]
+    kept2 = _filter_choices(tes2)
+    assert kept2[0].conf == 1.0

@@ -29,7 +29,9 @@ int64_t build_stream_batches(const int32_t* ids, int64_t n,
     int64_t B = std::min<int64_t>(
         batch, std::max<int64_t>((n - 1) / (length + 1), 1));
     int64_t stream_len = (n - 1) / B;
-    int64_t n_windows = std::max<int64_t>(stream_len / length, 1);
+    // CEIL: the masked final partial window must be included
+    int64_t n_windows = std::max<int64_t>(
+        (stream_len + length - 1) / length, 1);
     n_windows = std::min(n_windows, max_windows);
     *B_used = B;
 

@@ -24,7 +24,7 @@ import logging
 from dataclasses import dataclass, field
 from math import ceil
 from random import shuffle
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -33,13 +33,35 @@ from .utils.vocab import Vocab, read_normalized
 LOG = logging.getLogger(__name__)
 
 
-def context_from_filename(name: str) -> List[int]:
+def context_from_filename(name: str, limit: int = 200) -> List[int]:
     """Derive context variables from an ``author_title_year`` filename
-    (reference rating.py:993-999): year bucketed as ceil(year/10)."""
+    (reference rating.py:993-999): year bucketed as ceil(year/10).
+
+    Buckets beyond the context embedding table (default 200 rows, i.e.
+    years >= 2000) map to the underspecified 0 with a warning — the
+    device gather would otherwise silently clamp to the last row
+    (the 199x bucket)."""
     base = name.rsplit('/', 1)[-1].split('.')[0].split('_')
     if len(base) == 3 and base[2].isdigit():
-        return [ceil(int(base[2]) / 10)]
+        bucket = ceil(int(base[2]) / 10)
+        if bucket >= limit:
+            LOG.warning('year context %s out of range for the %d-row '
+                        'context table: using underspecified 0',
+                        base[2], limit)
+            return [0]
+        return [bucket]
     return [0]
+
+
+def _context_arrays(context: List[int], n_contexts: int,
+                    batch: int) -> List[np.ndarray]:
+    """(B,)-shaped int32 arrays for each context variable, zero-padded
+    to ``n_contexts`` (shared by all three batch generators)."""
+    zs = [np.full((batch,), c, np.int32)
+          for c in context[:n_contexts]]
+    while len(zs) < n_contexts:
+        zs.append(np.zeros((batch,), np.int32))
+    return zs
 
 
 @dataclass
@@ -78,32 +100,38 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
     if stateless) — reference ``_split_data`` (rating.py:317-385)."""
     files = list(files)
     shuffle(files)
-    # drop non-text files (e.g. stray model/checkpoint binaries in a
-    # data directory) instead of aborting mid-epoch
-    readable = []
-    for name in files:
-        try:
-            read_normalized(name)
-            readable.append(name)
-        except (UnicodeDecodeError, IsADirectoryError) as err:
-            LOG.warning('skipping unreadable input %s (%s)', name, err)
-    files = readable
-    if val_files:
-        ok = []
-        for name in val_files:
-            try:
-                read_normalized(name)
-                ok.append(name)
-            except (UnicodeDecodeError, IsADirectoryError) as err:
-                LOG.warning('skipping unreadable validation input %s '
-                            '(%s)', name, err)
-        val_files = ok
     chars = set(known_chars or ())
+    # ONE read per file: drop non-text inputs (e.g. stray model
+    # binaries in a data directory), and record lengths + charset for
+    # the counting below (re-reading multi-GB corpora doubled startup)
+    lens: Dict[str, int] = {}
+
+    def probe(names, what):
+        ok = []
+        for name in names:
+            try:
+                text = read_normalized(name)
+            except (UnicodeDecodeError, IsADirectoryError) as err:
+                LOG.warning('skipping unreadable %s %s (%s)', what,
+                            name, err)
+                continue
+            ok.append(name)
+            lens[name] = len(text)
+            chars.update(text)
+        return ok
+
+    files = probe(files, 'input')
+    if val_files:
+        val_files = probe(val_files, 'validation input')
     total = 0
     if stateful:
         step = length
         if val_files:
             training, validation = files, list(val_files)
+        elif validation_split <= 0:
+            # no held-out split requested: validate on the training
+            # files (cut=0 would slice training to [] instead)
+            training, validation = files, list(files)
         else:
             cut = ceil(len(files) * validation_split)
             if len(files) < 2:
@@ -113,31 +141,21 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
             training, validation = files[:-cut], files[-cut:]
         tsteps = vsteps = 0
         for name in training:
-            text = read_normalized(name)
-            total += len(text)
-            tsteps += ceil((len(text) - length) / step / batch_size)
-            chars.update(text)
+            total += lens[name]
+            tsteps += ceil((lens[name] - length) / step / batch_size)
         for name in validation:
-            text = read_normalized(name)
-            total += len(text)
-            vsteps += ceil((len(text) - length) / step / batch_size)
-            chars.update(text)
+            total += lens[name]
+            vsteps += ceil((lens[name] - length) / step / batch_size)
         split = None
     else:
         step = 3
         max_size = 0
         for name in files:
-            text = read_normalized(name)
-            total += len(text) - length
-            max_size = max(max_size, len(text))
-            chars.update(text)
+            total += lens[name] - length
+            max_size = max(max_size, lens[name])
         if val_files:
             tsteps = ceil(total / step / batch_size)
-            vtotal = 0
-            for name in val_files:
-                text = read_normalized(name)
-                vtotal += len(text) - length
-                chars.update(text)
+            vtotal = sum(lens[name] - length for name in val_files)
             vsteps = ceil(vtotal / step / batch_size)
             training, validation = files, list(val_files)
             split = None
@@ -191,11 +209,7 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
     rng = rng or np.random.default_rng()
 
     def _contexts(context):
-        zs = [np.full((batch_size,), c, np.int32)
-              for c in context[:n_contexts]]
-        while len(zs) < n_contexts:
-            zs.append(np.zeros((batch_size,), np.int32))
-        return zs
+        return _context_arrays(context, n_contexts, batch_size)
 
     while True:
         for name in files:
@@ -308,27 +322,23 @@ def gen_stateful_parity(files: Sequence[str], vocab: Vocab, *,
             for i in range(length, size, length):
                 x = ids[i - length:i][None, :].astype(np.int32)
                 y = ids[i - length + 1:i + 1][None, :].astype(np.int32)
-                zs = [np.full((1,), c, np.int32)
-                      for c in context[:n_contexts]]
-                while len(zs) < n_contexts:
-                    zs.append(np.zeros((1,), np.int32))
+                zs = _context_arrays(context, n_contexts, 1)
                 mask = np.ones_like(y, np.float32)
                 yield Batch(x, zs, y, mask, reset_carry=first,
                             file_name=name)
                 first = False
             # remainder window (padded & masked, unlike the reference's
-            # shape-changing final batch):
-            i = (max((size - 1) // length, 1)) * length
+            # shape-changing final batch); starts at the end of the
+            # last FULL window — 0 for a file shorter than length,
+            # which otherwise contributed nothing at all
+            i = ((size - 1) // length) * length
             if i < size - 1:
                 rem = size - 1 - i
                 x = np.zeros((1, length), np.int32)
                 y = np.zeros((1, length), np.int32)
                 x[0, :rem] = ids[i:size - 1]
                 y[0, :rem] = ids[i + 1:size]
-                zs = [np.full((1,), c, np.int32)
-                      for c in context[:n_contexts]]
-                while len(zs) < n_contexts:
-                    zs.append(np.zeros((1,), np.int32))
+                zs = _context_arrays(context, n_contexts, 1)
                 mask = np.zeros((1, length), np.float32)
                 mask[0, :rem] = 1.0
                 yield Batch(x, zs, y, mask, reset_carry=first,
@@ -369,10 +379,7 @@ def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
             first = True
             for x, y, mask in windows:
                 x = np.ascontiguousarray(x)
-                zs = [np.full((batch_size,), c, np.int32)
-                      for c in context[:n_contexts]]
-                while len(zs) < n_contexts:
-                    zs.append(np.zeros((batch_size,), np.int32))
+                zs = _context_arrays(context, n_contexts, batch_size)
                 if train and rng.uniform() < char_degradation:
                     x = x.copy()
                     x[:, rng.integers(length)] = 0
@@ -389,7 +396,9 @@ def _stream_windows_numpy(ids, size, batch_size, length):
     """NumPy fallback for the native stream batch builder."""
     B = max(1, min(batch_size, (size - 1) // (length + 1)))
     stream_len = (size - 1) // B
-    n_windows = max(stream_len // length, 1)
+    # CEIL: the final partial window carries up to length-1 chars per
+    # stream (masked); flooring silently dropped them from training
+    n_windows = max(-(-stream_len // length), 1)
     for w in range(n_windows):
         x = np.zeros((batch_size, length), np.int32)
         y = np.zeros((batch_size, length), np.int32)

@@ -163,7 +163,8 @@ def build_stream_batches(ids: np.ndarray, batch: int, length: int):
         return None
     B = max(1, min(batch, (n - 1) // (length + 1)))
     stream_len = (n - 1) // B
-    max_windows = max(stream_len // length, 1)
+    # CEIL: include the masked final partial window of every stream
+    max_windows = max(-(-stream_len // length), 1)
     x = np.zeros((max_windows, batch, length), np.int32)
     y = np.zeros((max_windows, batch, length), np.int32)
     mask = np.zeros((max_windows, batch, length), np.float32)

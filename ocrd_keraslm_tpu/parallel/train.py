@@ -92,6 +92,10 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
             step,
             in_shardings=in_sh,
             out_shardings=(pspec, ospec, (cs, cs), rs, rs, rs),
+            # donate params/opt_state/carry like the single-chip step:
+            # without this the mesh path double-buffers the (vocab-
+            # sharded) embedding + Adam moments every step
+            donate_argnums=(0, 1, 6),
         )
 
     return step, shard_fn, jit_step

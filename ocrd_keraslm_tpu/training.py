@@ -292,7 +292,14 @@ def train_rater(rater, data, val_data=None) -> None:
                 va_n += w
             va_loss = float(va_nll_acc)
             va_acc = float(va_acc_acc)
-            va_n = max(va_n, 1.0)
+            if va_n <= 0:
+                # an empty validation pass would otherwise score 0.0
+                # and win best-model selection forever
+                rater.logger.critical(
+                    'validation yielded no data (files shorter than '
+                    'the window, or empty split)')
+                va_loss = va_acc = float('nan')
+                va_n = 1.0
             ep_loss = tr_loss / tr_n
             ep_acc = tr_acc / tr_n
             ep_vloss = va_loss / va_n
@@ -334,7 +341,9 @@ def train_rater(rater, data, val_data=None) -> None:
                                          err)
             else:
                 bad_epochs += 1
-                if bad_epochs > PATIENCE:
+                # Keras EarlyStopping semantics: stop once `patience`
+                # epochs pass without improvement (wait >= patience)
+                if bad_epochs >= PATIENCE:
                     rater.logger.info('early stopping (best epoch %d)',
                                       best_epoch + 1)
                     break
@@ -345,10 +354,13 @@ def train_rater(rater, data, val_data=None) -> None:
 
     rater.params = best_params if best_epoch >= 0 else params
     rater.history = history
-    if history['val_loss']:
+    if best_epoch >= 0:
         rater.logger.info('training finished with val_loss %f',
-                          min(history['val_loss']))
+                          best_val)
         rater.status = 2
     else:
-        rater.logger.critical('training failed')
+        # no finite best epoch: NaN on epoch 1, empty data, or
+        # immediate SIGINT — the weights are not usable; do NOT report
+        # success (the caller would save a NaN/garbage model)
+        rater.logger.critical('training failed (no usable epoch)')
         rater.status = 1

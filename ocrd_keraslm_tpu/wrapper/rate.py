@@ -632,16 +632,19 @@ class KerasRate:
 # context extraction
 # ---------------------------------------------------------------------
 
-def mets_get_context(mets: Mets) -> List[int]:
+def mets_get_context(mets: Mets, limit: int = 200) -> List[int]:
     """Year context from the METS unique identifier suffix, bucketed as
-    ceil(year/10) (reference wrapper/rate.py:328-341)."""
+    ceil(year/10) (reference wrapper/rate.py:328-341).  Buckets beyond
+    the context table (years >= 2000 at the default 200 rows) map to
+    the underspecified 0 instead of silently clamping on device."""
     ident = mets.unique_identifier
     context = [0]
     if ident:
         name = ident.split('/')[-1]
         year = name.split('_')[-1]
         if year.isnumeric():
-            context = [ceil(int(year) / 10)]
+            bucket = ceil(int(year) / 10)
+            context = [bucket] if bucket < limit else [0]
     return context
 
 

@@ -152,3 +152,61 @@ def test_masked_window_equals_short_window():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
                                atol=1e-5)
+
+
+def test_stream_windows_cover_all_chars(tmp_path):
+    """The streams layout must include the final partial window of
+    every stream (flooring dropped up to ~50% of the file)."""
+    import numpy as np
+
+    from ocrd_keraslm_tpu.data import gen_stateful_streams
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    text = 'abcdefgh ' * 7268  # 65412 chars: 511-char streams, L=256
+    p = tmp_path / 'a_b_1800.txt'
+    p.write_text(text)
+    vocab = Vocab()
+    vocab.assign(sorted(set(text)))
+    covered = 0
+    for batch in gen_stateful_streams([str(p)], vocab, length=256,
+                                      batch_size=128):
+        covered += int(np.sum(batch.mask))
+    # every stream char (B * stream_len) is trained on exactly once
+    assert covered == 128 * ((len(text) - 1) // 128)
+
+
+def test_parity_layout_short_file(tmp_path):
+    """A file shorter than the window must still contribute a masked
+    remainder batch in the reference-parity stateful layout."""
+    import numpy as np
+
+    from ocrd_keraslm_tpu.data import gen_stateful_parity
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    text = 'abcd ' * 40  # 200 chars < length 256
+    p = tmp_path / 'a_b_1800.txt'
+    p.write_text(text)
+    vocab = Vocab()
+    vocab.assign(sorted(set(text)))
+    batches = list(gen_stateful_parity([str(p)], vocab, length=256))
+    assert len(batches) == 1
+    assert int(np.sum(batches[0].mask)) == len(text) - 1
+
+
+def test_split_no_validation_split(tmp_path):
+    """validation_split=0 must keep ALL files in training (it produced
+    an empty training set before)."""
+    from ocrd_keraslm_tpu.data import split_data
+    files = []
+    for i in range(3):
+        p = tmp_path / ('a_b_18%02d.txt' % i)
+        p.write_text('abcd ' * 100)
+        files.append(str(p))
+    plan = split_data(files, stateful=True, length=32, batch_size=1,
+                      validation_split=0.0)
+    assert sorted(plan.training_files) == sorted(files)
+    assert plan.validation_files
+
+
+def test_year_context_overflow_maps_to_underspecified(tmp_path):
+    from ocrd_keraslm_tpu.data import context_from_filename
+    assert context_from_filename('a_b_1985.txt') == [199]
+    assert context_from_filename('a_b_2005.txt') == [0]  # > table

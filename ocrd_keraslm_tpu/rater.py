@@ -103,22 +103,6 @@ def _enable_compilation_cache():
 # jitted device functions (cfg is a hashable frozen dataclass -> static)
 # ----------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('cfg', 'use_pallas'))
-def _score_chunk(params, cfg: LMConfig, x, zs, y, mask, carry,
-                 use_pallas: bool = False):
-    """Teacher-forced scoring of one chunk.
-
-    x, y, mask: (B, T); zs: tuple of (B,) context indices.
-    Returns (probs of true next char (B, T), sum NLL (nats), carry')."""
-    logits, carry = forward_seq(params, cfg, x, list(zs), carry,
-                                use_pallas=use_pallas)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    tgt_logp = jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
-    probs = jnp.exp(tgt_logp) * mask
-    nll = -jnp.sum(tgt_logp * mask)
-    return probs, nll, carry
-
-
 @partial(jax.jit, static_argnames=('cfg', 'use_pallas', 'fused'))
 def _score_text_jit(params, cfg: LMConfig, xc, zs, yc, maskc, carry,
                     use_pallas: bool = False, fused: bool = False):
@@ -255,6 +239,10 @@ class Rater:
         # the train step over a (data, model) mesh (SURVEY §5.8)
         self.mesh = None
         self._decode_cache: Dict[Any, Any] = {}
+        # bumped on every weight change; keys the device weight cache
+        # (id(params) is unsafe: in-place mutation keeps the id, and
+        # freed dicts can reuse one)
+        self._params_epoch = 0
         self._sharded_score = None  # (mesh, jitted fn) cache
         _enable_compilation_cache()
         # runtime variables
@@ -337,9 +325,16 @@ class Rater:
                 self.params['context_embeddings'] = \
                     old_params['context_embeddings']
                 self.params['lstm'] = old_params['lstm']
+                self._params_changed()
             else:
                 self.params = None
                 self.configure()
+
+    def _params_changed(self):
+        """Invalidate device-resident weight caches after any change
+        to ``self.params`` (load, vocab growth/pruning, training)."""
+        self._params_epoch += 1
+        self._decode_cache.clear()
 
     def remove_from_mapping(self, char=None, idx=None) -> bool:
         """Remove one char from the mapping, deleting its embedding row
@@ -353,8 +348,7 @@ class Rater:
             removed = idx
         emb = np.asarray(self.params['char_embedding'])
         if removed is None:
-            if self.vocab.remove(char, idx) is None:
-                return False
+            self.vocab.remove(char, idx)  # logs the unmapped error
             return False
         norm = float(np.linalg.norm(emb[removed]))
         self.logger.warning('pruning character "%s" [%d] with norm %f',
@@ -365,6 +359,7 @@ class Rater:
         self.params['char_embedding'] = jnp.asarray(
             np.delete(emb, removed, axis=0))
         self.cfg = self.cfg.replace(voc_size=self.voc_size)
+        self._params_changed()
         return True
 
     # -- persistence ---------------------------------------------------
@@ -407,6 +402,7 @@ class Rater:
         else:
             self.params = h5io.load_weights(filename, self.cfg)
         self.voc_size = self.params['char_embedding'].shape[0]
+        self._params_changed()
         self.cfg = self.cfg.replace(voc_size=self.voc_size)
         self.status = 2
 
@@ -444,7 +440,10 @@ class Rater:
         Returns (per-text probs (N_i-1,), per-text NLL sums, carry).
         """
         B = len(ids_list)
-        Bp = _bucket(B, STEP_BUCKETS)
+        # unbounded: capping at the largest bucket would make the fill
+        # loops below index out of range for >512 texts (e.g. a
+        # 513-page document through the stateless wrapper)
+        Bp = _bucket_unbounded(B, STEP_BUCKETS)
         lens = [max(len(ids) - 1, 0) for ids in ids_list]
         Nmax = max(lens + [1])
         BLOCK = SCORE_CHUNK * CHUNK_COUNT_BUCKETS[-1]
@@ -512,10 +511,14 @@ class Rater:
             lens_a[i] = n
             last[i] = ids[n]
         zs = []
+        under = None
         for k in range(len(self.contexts)):
             zrow = np.zeros((Bp,), np.int32)
             for i, ctx in enumerate(contexts):
-                ctx = ctx or self.underspecify_contexts()
+                if not ctx:
+                    if under is None:  # hoisted: one log line, one list
+                        under = self.underspecify_contexts()
+                    ctx = under
                 zrow[i] = ctx[k] if k < len(ctx) else 0
             zs.append(zrow)
         if carry is None:
@@ -717,7 +720,9 @@ class Rater:
         if not context:
             context = self.underspecify_contexts()
         n = len(candidates)
-        nb = _bucket(n, STEP_BUCKETS)
+        # unbounded: >512 parallel hypotheses must not truncate (the
+        # reference's predict_on_batch has no such limit)
+        nb = _bucket_unbounded(n, STEP_BUCKETS)
         D, W = self.depth, self.width
         x = np.zeros((nb,), np.int32)
         for i, char in enumerate(candidates):
@@ -1031,9 +1036,10 @@ class Rater:
                 max(maxlen_raw,
                     DECODE_MERGE_MAX if self.merge_runs else 1, 1),
                 (1, 2, 4, 8, 16, 32, 64))
+            E_fit = _bucket(len(edges_raw), (64, 256, 1024))
             if beam_width <= FUSED_MAX_BEAM and \
                     maxlen_raw <= FUSED_MAX_ALT_LEN and \
-                    self._fused_decode_fits(128, 4, L_fit, 1024):
+                    self._fused_decode_fits(128, 4, L_fit, E_fit):
                 return self._rate_best_pallas(edges_raw,
                                               device_traceback,
                                               context, lm_weight,
@@ -1274,7 +1280,7 @@ class Rater:
         # would thrash the single-entry cache when generation (fixed
         # 0.5) alternates with decoding at another weight
         ctx = tuple(context or self.underspecify_contexts())
-        key = (id(self.params), ctx)
+        key = (self._params_epoch, ctx)
         cached = self._decode_cache.get(key)
         if cached is not None:
             return cached

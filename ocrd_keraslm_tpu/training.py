@@ -353,6 +353,8 @@ def train_rater(rater, data, val_data=None) -> None:
         stopper.restore()
 
     rater.params = best_params if best_epoch >= 0 else params
+    if hasattr(rater, '_params_changed'):
+        rater._params_changed()  # invalidate device weight caches
     rater.history = history
     if best_epoch >= 0:
         rater.logger.info('training finished with val_loss %f',

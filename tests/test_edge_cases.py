@@ -112,3 +112,27 @@ def test_empty_page_scoring(tmp_path):
         proc2.process_workspace(ws)
     finally:
         _os.environ.pop('OCRD_EXISTING_OUTPUT')
+
+
+def test_decode_weight_cache_invalidated_on_prune(tmp_path):
+    """Pruning a vocab char mutates params in place; the fused decode
+    weight cache must not serve the stale embedding."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import train_tiny_model
+
+    from ocrd_keraslm_tpu.rater import Rater
+    model, _ = train_tiny_model(str(tmp_path / 'm.h5'),
+                                'abcd ' * 300, steps=200)
+    r = Rater()
+    r.load_config(model)
+    r.configure()
+    r.load_weights(model)
+    w1 = r._decode_weights(None, 0.5)
+    v1 = w1['v_real']
+    assert r.remove_from_mapping(char='d')
+    w2 = r._decode_weights(None, 0.5)
+    assert w2['v_real'] == v1 - 1
+    assert w2['emb'].shape != w1['emb'].shape or \
+        not (w2['emb'] == w1['emb']).all()

@@ -315,7 +315,10 @@ def char_embedding_regularizer(emb: jnp.ndarray) -> jnp.ndarray:
     train-phase only (reference ``_regularise_chars``, rating.py:222-246):
     index-0 vector pulled to the mean of all others (stop-grad), and all
     row norms pulled toward 1."""
-    if emb.shape[0] == 0:
+    if emb.shape[0] <= 1:
+        # with only the reserved index-0 row, emb[1:] is empty and its
+        # mean is NaN (Rater.configure clamps voc_size to >= 1, so the
+        # reachable degenerate state is 1, not 0)
         return jnp.float32(0)
     vec0 = emb[0:1]
     mean_rest = jax.lax.stop_gradient(jnp.mean(emb[1:], axis=0))

@@ -39,11 +39,6 @@ NEG_INF = jnp.float32(3.0e38)
 LOG2E = 1.4426950408889634  # nats -> bits
 
 
-def _gather_states(h, c, idx):
-    """h, c: (D, K, W); idx: (K,) -> states re-ordered by idx."""
-    return h[:, idx, :], c[:, idx, :]
-
-
 # ----------------------------------------------------------------------
 # generation
 # ----------------------------------------------------------------------
@@ -221,12 +216,7 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     # program (compiles are minutes in tunneled environments); surplus
     # steps are computed and discarded
     length = int(length)
-    for bucket in (16, 64, 256, 1024, 4096, 10000):
-        if length <= bucket:
-            run_length = bucket
-            break
-    else:
-        run_length = length
+    run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
     if variants == 1:
         # common case: traceback on device, fetch only (length,) chars

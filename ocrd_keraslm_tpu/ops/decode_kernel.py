@@ -51,18 +51,54 @@ BIG = 1.0e30
 LANE = 128
 
 
+def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
+               emb_ref, D, W, v_real, viota):
+    """One masked char step shared by BOTH decode kernels: the LSTM
+    stack over packed rows ``[xemb | h_0.. | c_0..]``, the tied-softmax
+    -log2 p of the current char, and the updated packed state.  Keeping
+    this in ONE place is what makes the batch kernel's "per-doc
+    semantics identical to the single-document kernel" guarantee hold
+    by construction.  Returns (stateE_new, nll2 (rows, 1))."""
+    new_h, new_c = [], []
+    inp = None
+    for d in range(D):
+        if d == 0:
+            # [xemb | h_0] is contiguous in the packed layout
+            operand = stateE[:, 0:2 * W]
+        else:
+            operand = jnp.concatenate(
+                [inp, stateE[:, (1 + d) * W:(2 + d) * W]], axis=1)
+        z = (jnp.dot(operand, wcat_ref[d],
+                     preferred_element_type=jnp.float32)
+             + bias_ref[d])
+        i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+        f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+        g = jnp.tanh(z[:, 2 * W:3 * W])
+        o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+        c2 = f * stateE[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
+        h2 = o * jnp.tanh(c2)
+        new_h.append(h2)
+        new_c.append(c2)
+        inp = h2
+
+    logits = jnp.dot(inp, embT_ref[:],
+                     preferred_element_type=jnp.float32)
+    logits = jnp.where(viota < v_real, logits, -BIG)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    lse = mx + jnp.log(
+        jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
+    logit_cur = jnp.sum(onehot_cur * logits, axis=-1, keepdims=True)
+    nll2 = (lse - logit_cur) * INV_LN2
+
+    xemb_new = jnp.dot(onehot_cur, emb_ref[:], precision=EXACT,
+                       preferred_element_type=jnp.float32)
+    stateE_new = jnp.concatenate([xemb_new] + new_h + new_c, axis=1)
+    return stateE_new, nll2
+
+
 def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
     KA = K * A
     S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
-
-    def xemb_sl(m):
-        return m[:, 0:W]
-
-    def h_sl(m, d):
-        return m[:, (1 + d) * W:(2 + d) * W]
-
-    def c_sl(m, d):
-        return m[:, (1 + D + d) * W:(2 + D + d) * W]
 
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
                emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
@@ -144,48 +180,15 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
             conf_lane = tile_lane(conf_row[:, step_t:step_t + 1])
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
-            new_h, new_c = [], []
-            inp = None
-            for d in range(D):
-                if d == 0:
-                    # [xemb | h_0] is contiguous in the packed layout
-                    operand = stateE[:, 0:2 * W]
-                else:
-                    operand = jnp.concatenate([inp, h_sl(stateE, d)],
-                                              axis=1)
-                z = (jnp.dot(operand, wcat_ref[d],
-                             preferred_element_type=jnp.float32)
-                     + bias_ref[d])
-                i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
-                f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
-                g = jnp.tanh(z[:, 2 * W:3 * W])
-                o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
-                c2 = f * c_sl(stateE, d) + i * g
-                h2 = o * jnp.tanh(c2)
-                new_h.append(h2)
-                new_c.append(c2)
-                inp = h2
-
-            logits = jnp.dot(inp, embT_ref[:],
-                             preferred_element_type=jnp.float32)
-            logits = jnp.where(lane_iota_v < V_real, logits, -BIG)
-            mx = jnp.max(logits, axis=-1, keepdims=True)
-            lse = mx + jnp.log(
-                jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
-            logit_cur = jnp.sum(onehot_cur * logits, axis=-1,
-                                keepdims=True)
-            nll2_lane = ((lse - logit_cur) * INV_LN2).reshape(1, KA)
+            stateE_new, nll2 = _char_step(
+                stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
+                emb_ref, D, W, V_real, lane_iota_v)
+            nll2_lane = nll2.reshape(1, KA)
             nll2_lane = jnp.concatenate(
                 [nll2_lane, jnp.zeros((1, LANE - KA), jnp.float32)],
                 axis=1)
             acc = acc + m_lane * (lm_weight * nll2_lane +
                                   (1.0 - lm_weight) * conf_lane)
-
-            xemb_new = jnp.dot(onehot_cur, emb_ref[:],
-                               precision=EXACT,
-                               preferred_element_type=jnp.float32)
-            stateE_new = jnp.concatenate(
-                [xemb_new] + new_h + new_c, axis=1)
             keep = m_sub > 0
             stateE = jnp.where(keep, stateE_new, stateE)
 
@@ -271,7 +274,6 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     EU = edge_unroll if E % edge_unroll == 0 else 1
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight, EU)
-    smem = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     records, stateF, costF = pl.pallas_call(
         kernel,
@@ -359,12 +361,6 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
     NA = N * A
     S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
 
-    def h_sl(m, d):
-        return m[:, (1 + d) * W:(2 + d) * W]
-
-    def c_sl(m, d):
-        return m[:, (1 + D + d) * W:(2 + D + d) * W]
-
     # iota-built selector matrices (constants folded at compile time):
     # Rexp expands each doc's K beam rows into its K*A candidate rows;
     # Texp tiles each doc's A alternative rows into its K*A candidate
@@ -423,44 +419,11 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             conf_sub = sub3[:, 2:3]
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
-            new_h, new_c = [], []
-            inp = None
-            for d in range(D):
-                if d == 0:
-                    operand = stateE[:, 0:2 * W]
-                else:
-                    operand = jnp.concatenate([inp, h_sl(stateE, d)],
-                                              axis=1)
-                z = (jnp.dot(operand, wcat_ref[d],
-                             preferred_element_type=jnp.float32)
-                     + bias_ref[d])
-                i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
-                f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
-                g = jnp.tanh(z[:, 2 * W:3 * W])
-                o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
-                c2 = f * c_sl(stateE, d) + i * g
-                h2 = o * jnp.tanh(c2)
-                new_h.append(h2)
-                new_c.append(c2)
-                inp = h2
-
-            logits = jnp.dot(inp, embT_ref[:],
-                             preferred_element_type=jnp.float32)
-            logits = jnp.where(lane_iota_v < V_real, logits, -BIG)
-            mx = jnp.max(logits, axis=-1, keepdims=True)
-            lse = mx + jnp.log(
-                jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
-            logit_cur = jnp.sum(onehot_cur * logits, axis=-1,
-                                keepdims=True)
-            nll2 = (lse - logit_cur) * INV_LN2            # (NKA, 1)
+            stateE_new, nll2 = _char_step(
+                stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
+                emb_ref, D, W, V_real, lane_iota_v)   # nll2 (NKA, 1)
             acc = acc + m_sub * (lm_weight * nll2 +
                                  (1.0 - lm_weight) * conf_sub)
-
-            xemb_new = jnp.dot(onehot_cur, emb_ref[:],
-                               precision=EXACT,
-                               preferred_element_type=jnp.float32)
-            stateE_new = jnp.concatenate(
-                [xemb_new] + new_h + new_c, axis=1)
             keep = m_sub > 0
             stateE = jnp.where(keep, stateE_new, stateE)
 

@@ -25,7 +25,6 @@ well, and gradients stay exact).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

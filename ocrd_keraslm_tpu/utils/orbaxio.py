@@ -57,7 +57,11 @@ def load_config(path: str) -> Tuple[LMConfig, Vocab, Dict[str, Any]]:
         np.asarray(meta['mapping'], dtype=np.uint32))
     cfg = LMConfig(
         width=int(meta['width']), depth=int(meta['depth']),
-        length=int(meta['length']), voc_size=vocab.size,
+        # honor the stored voc_size when larger than the mapping (a
+        # reference h5 model can carry more embedding rows than mapped
+        # chars; h5io.load_model guards the same case)
+        length=int(meta['length']),
+        voc_size=max(int(meta.get('voc_size', 0)), vocab.size),
         contexts=tuple(tuple(c) for c in meta['contexts']),
         stateful=bool(meta['stateful']),
         variable_length=bool(meta['variable_length']))
@@ -74,4 +78,7 @@ def load_model(path: str
                ) -> Tuple[Params, LMConfig, Vocab, Dict[str, Any]]:
     cfg, vocab, history = load_config(path)
     params = load_weights(path, cfg)
+    rows = params['char_embedding'].shape[0]
+    if rows != cfg.voc_size:  # reconcile with the actual embedding
+        cfg = cfg.replace(voc_size=rows)
     return params, cfg, vocab, history

@@ -154,7 +154,7 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
     seqs = []
     bits = []
     for te in tes:
-        ids = rater.vocab.encode(te.Unicode)
+        ids = rater.vocab.encode_cached(te.Unicode)
         # reference-format unmapped-char diagnostics (rating.py:800-812)
         # deduplicated PER EDGE (element), like the reference's
         # per-edge seen-set — not page-wide

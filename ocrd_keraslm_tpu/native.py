@@ -20,8 +20,10 @@ import numpy as np
 
 LOG = logging.getLogger(__name__)
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'native', 'stream_loader.cpp')
+# C++ sources ship INSIDE the package (native_src/) so pip-installed
+# deployments keep the native fast paths, not just repo checkouts
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    'native_src', 'stream_loader.cpp')
 _LIB = None
 _TRIED = False
 
@@ -31,6 +33,21 @@ def _build_dir() -> str:
                        os.path.expanduser('~/.cache/keraslm_tpu_native'))
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _compile(src_path: str, so_path: str, extra=()):
+    """g++ to a per-pid temp file, then atomic rename: concurrent
+    processes (page-parallel workers with a cold cache) must never
+    CDLL a partially-written library."""
+    if os.path.exists(so_path) and \
+            os.path.getmtime(so_path) >= os.path.getmtime(src_path):
+        return
+    tmp = '%s.%d.tmp' % (so_path, os.getpid())
+    subprocess.run(
+        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', *extra,
+         src_path, '-o', tmp],
+        check=True, capture_output=True)
+    os.replace(tmp, so_path)
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -45,12 +62,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         return None
     so_path = os.path.join(_build_dir(), 'stream_loader.so')
     try:
-        if (not os.path.exists(so_path) or
-                os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                 _SRC, '-o', so_path],
-                check=True, capture_output=True)
+        _compile(_SRC, so_path)
         lib = ctypes.CDLL(so_path)
         lib.build_stream_batches.restype = ctypes.c_int64
         lib.build_stream_batches.argtypes = [
@@ -69,8 +81,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
-_PREP_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), 'native', 'decode_prep.cpp')
+_PREP_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'native_src', 'decode_prep.cpp')
 _PREP_LIB = None
 _PREP_TRIED = False
 
@@ -89,14 +101,9 @@ def load_decode_prep():
         return None
     so_path = os.path.join(_build_dir(), 'decode_prep.so')
     try:
-        if (not os.path.exists(so_path) or
-                os.path.getmtime(so_path) < os.path.getmtime(_PREP_SRC)):
-            import sysconfig
-            inc = sysconfig.get_paths()['include']
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                 '-I' + inc, _PREP_SRC, '-o', so_path],
-                check=True, capture_output=True)
+        import sysconfig
+        inc = sysconfig.get_paths()['include']
+        _compile(_PREP_SRC, so_path, extra=('-I' + inc,))
         lib = ctypes.PyDLL(so_path)
         lib.decode_scan.restype = ctypes.py_object
         lib.decode_scan.argtypes = [ctypes.py_object, ctypes.c_int,
@@ -191,23 +198,49 @@ class Prefetcher:
     def __init__(self, iterator: Iterator, depth: int = 2):
         self._queue: 'queue.Queue' = queue.Queue(maxsize=depth)
         self._error = None
+        self._closed = False
 
         def worker():
             try:
                 for item in iterator:
-                    self._queue.put(item)
+                    while not self._closed:
+                        try:
+                            self._queue.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._closed:
+                        return
             except BaseException as err:  # propagate to consumer
                 self._error = err
             finally:
-                self._queue.put(self._SENTINEL)
+                # the sentinel MUST land (a dropped sentinel deadlocks
+                # the consumer in get()); keep trying until the
+                # consumer drains a slot or closes
+                while not self._closed:
+                    try:
+                        self._queue.put(self._SENTINEL, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
+    def close(self):
+        """Release the worker thread (and the underlying generator)
+        when the consumer stops iterating early — without this, a
+        break out of the loop left the worker blocked in put()
+        forever, pinning the generator for the rest of the process."""
+        self._closed = True
+
     def __iter__(self):
-        while True:
-            item = self._queue.get()
-            if item is self._SENTINEL:
-                if self._error is not None:
-                    raise self._error
-                return
-            yield item
+        try:
+            while True:
+                item = self._queue.get()
+                if item is self._SENTINEL:
+                    if self._error is not None:
+                        raise self._error
+                    return
+                yield item
+        finally:
+            self.close()

@@ -1323,7 +1323,7 @@ class Rater:
         cross-page carry holds previous-char EMBEDDINGS instead of
         char ids.  ``edges`` are the RAW graph edge dicts; preparation
         (run merging + array fill) runs in the native C++ builder when
-        available (native/decode_prep.cpp), else in Python.  Returns
+        available (ocrd_keraslm_tpu/native_src/decode_prep.cpp), else in Python.  Returns
         (pending, traceback)."""
         from .ops.decode_kernel import decode_lattice_pallas
 
@@ -1398,7 +1398,7 @@ class Rater:
         beam.
 
         Edge prep runs in the native C++ builder when available
-        (merge + vectorize + array fill, native/decode_prep.cpp);
+        (merge + vectorize + array fill, ocrd_keraslm_tpu/native_src/decode_prep.cpp);
         ``prepared[i]`` caches the Python fallback / native metadata.
         Fills ``results[i] = (path, entropy)`` for each ``i`` in
         ``live``.

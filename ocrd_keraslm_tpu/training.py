@@ -39,6 +39,13 @@ LOG = logging.getLogger(__name__)
 
 EPOCHS = 100
 PATIENCE = 3
+# early stopping is not armed before this many optimizer steps: the
+# reference's batch_size=1 stateful layout takes thousands of steps
+# per epoch, so its 3-epoch patience never fires during the initial
+# low-init-embedding plateau (~100-300 steps) — the TPU parallel-
+# streams layout compresses an epoch to tens of steps, and epoch-based
+# patience alone would stop during the plateau
+MIN_STEPS_BEFORE_STOP = 500
 
 
 def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
@@ -205,6 +212,7 @@ def train_rater(rater, data, val_data=None) -> None:
     best_epoch = -1
     bad_epochs = 0
     nan_seen = False
+    steps_done = 0
 
     batch_dim = (1 if (rater.stateful and not rater.train_streams)
                  else rater.batch_size)
@@ -255,6 +263,7 @@ def train_rater(rater, data, val_data=None) -> None:
                 acc_nll = acc_nll + nll * w
                 acc_acc = acc_acc + acc * w
                 acc_n += w
+                steps_done += 1
                 last_loss = loss
                 if stopper.received:
                     break
@@ -342,8 +351,11 @@ def train_rater(rater, data, val_data=None) -> None:
             else:
                 bad_epochs += 1
                 # Keras EarlyStopping semantics: stop once `patience`
-                # epochs pass without improvement (wait >= patience)
-                if bad_epochs >= PATIENCE:
+                # epochs pass without improvement (wait >= patience) —
+                # but never before MIN_STEPS_BEFORE_STOP optimizer
+                # steps (see constant)
+                if bad_epochs >= PATIENCE and \
+                        steps_done >= MIN_STEPS_BEFORE_STOP:
                     rater.logger.info('early stopping (best epoch %d)',
                                       best_epoch + 1)
                     break

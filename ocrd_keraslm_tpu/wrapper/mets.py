@@ -157,9 +157,17 @@ def mets_to_xml(mets: Mets) -> str:
     struct = etree.SubElement(root, _M + 'structMap', TYPE='PHYSICAL')
     top = etree.SubElement(struct, _M + 'div',
                            TYPE='physSequence')
+    # one pass over all files (find_files per page is O(pages * files);
+    # save_mets runs after every page write, so that was quadratic in
+    # document size)
+    by_page: dict = {}
+    for files in mets.file_groups.values():
+        for f in files:
+            if f.pageId:
+                by_page.setdefault(f.pageId, []).append(f)
     for page_id in mets.page_ids:
         div = etree.SubElement(top, _M + 'div', TYPE='page', ID=page_id)
-        for f in mets.find_files(pageId=page_id):
+        for f in by_page.get(page_id, ()):
             etree.SubElement(div, _M + 'fptr', FILEID=f.ID)
     return etree.tostring(root, pretty_print=True,
                           xml_declaration=True,

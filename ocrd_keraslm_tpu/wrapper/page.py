@@ -419,6 +419,24 @@ def parse_page(source) -> PcGts:
         root = etree.fromstring(source.encode('utf-8'))
     else:
         root = etree.parse(source).getroot()
+    # namespace handling: accept any PAGE pagecontent version by
+    # re-namespacing to the one this module emits; REJECT anything
+    # else loudly (silently returning an empty PcGts would make the
+    # processor overwrite the page with empty output)
+    tag = root.tag if isinstance(root.tag, str) else ''
+    if tag.startswith('{'):
+        ns = tag[1:].split('}', 1)[0]
+        if ns != PAGE_NS:
+            if 'PAGE/gts/pagecontent' not in ns or \
+                    not tag.endswith('}PcGts'):
+                raise ValueError('not a PAGE-XML document (root %s)'
+                                 % tag)
+            old = '{%s}' % ns
+            for el in root.iter():
+                if isinstance(el.tag, str) and el.tag.startswith(old):
+                    el.tag = _P + el.tag[len(old):]
+    elif tag != 'PcGts':
+        raise ValueError('not a PAGE-XML document (root %r)' % tag)
     pcgts = PcGts()
     pcgts.pcGtsId = root.get('pcGtsId')
     meta_el = root.find(_q('Metadata'))
@@ -492,6 +510,8 @@ def _emit_textequivs(el, obj):
             te_el.set('conf', '%.6g' % float(te.conf))
         if te.dataType:
             te_el.set('dataType', te.dataType)
+        if te.dataTypeDetails:
+            te_el.set('dataTypeDetails', te.dataTypeDetails)
         uni = etree.SubElement(te_el, _q('Unicode'))
         uni.text = te.Unicode
 
@@ -503,6 +523,8 @@ def _emit_common(el, obj):
         el.set('readingDirection', obj.readingDirection)
     if obj.textLineOrder:
         el.set('textLineOrder', obj.textLineOrder)
+    if obj.custom:
+        el.set('custom', obj.custom)
     if obj.coords_points:
         coords = etree.SubElement(el, _q('Coords'))
         coords.set('points', obj.coords_points)
@@ -536,6 +558,8 @@ def _emit_group(parent, group, tag):
         el.set('id', group.id)
     if hasattr(group, 'index'):
         el.set('index', str(group.index))
+    if getattr(group, 'regionRef', ''):
+        el.set('regionRef', group.regionRef)
     for ref in group.region_refs:
         if isinstance(ref, RegionRefIndexedType):
             ref_el = etree.SubElement(el, _q('RegionRefIndexed'))
@@ -544,9 +568,11 @@ def _emit_group(parent, group, tag):
             ref_el = etree.SubElement(el, _q('RegionRef'))
         ref_el.set('regionRef', ref.regionRef)
     for sub in group.ordered_groups:
-        _emit_group(el, sub, 'OrderedGroupIndexed')
+        _emit_group(el, sub, 'OrderedGroupIndexed'
+                    if hasattr(sub, 'index') else 'OrderedGroup')
     for sub in group.unordered_groups:
-        _emit_group(el, sub, 'UnorderedGroupIndexed')
+        _emit_group(el, sub, 'UnorderedGroupIndexed'
+                    if hasattr(sub, 'index') else 'UnorderedGroup')
 
 
 def to_xml(pcgts: PcGts) -> str:

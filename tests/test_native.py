@@ -171,3 +171,42 @@ def test_native_decode_prep_end_to_end_parity():
     assert abs(ent_n - ent_p) < 1e-4
     assert [(e, t.Unicode, round(s, 5)) for e, t, s in path_n] == \
         [(e, t.Unicode, round(s, 5)) for e, t, s in path_p]
+
+
+def test_prefetcher_sentinel_lands_with_slow_consumer():
+    """A fast producer must not drop the end-of-stream sentinel when
+    the queue is full (that deadlocked the consumer in get())."""
+    import threading
+    import time
+
+    from ocrd_keraslm_tpu.native import Prefetcher
+
+    got = []
+
+    def consume():
+        for x in Prefetcher(iter(range(10))):
+            time.sleep(0.02)   # consumer slower than producer
+            got.append(x)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=20)
+    assert not t.is_alive(), 'Prefetcher consumer deadlocked'
+    assert got == list(range(10))
+
+
+def test_prefetcher_close_releases_worker():
+    """Breaking out of iteration must release the worker thread."""
+    from ocrd_keraslm_tpu.native import Prefetcher
+
+    def gen():
+        for i in range(1000):
+            yield i
+
+    p = Prefetcher(gen())
+    for x in p:
+        if x == 3:
+            break
+    p.close()
+    p._thread.join(timeout=10)
+    assert not p._thread.is_alive()

@@ -268,6 +268,11 @@ def test_train_to_reference_quality(tmp_path):
     r = Rater()
     r.width, r.depth, r.length = 128, 2, 256
     r.stateful = True
+    # 32 streams: ~144 optimizer steps/epoch on this corpus — enough
+    # steps within the 40-epoch budget to escape the low-init
+    # embedding plateau and reach the bound (the serving default of
+    # 128 streams only takes 36 steps/epoch, which needs ~150 epochs)
+    r.batch_size = 32
     r.ckpt_dir = str(tmp_path / 'ckpt')
     import ocrd_keraslm_tpu.training as T
     old = T.EPOCHS

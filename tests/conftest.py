@@ -13,6 +13,13 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import tempfile
+
+# epoch checkpoints default to CWD (reference parity); tests must not
+# litter the repo root
+os.environ.setdefault('KERASLM_CKPT_DIR',
+                      tempfile.mkdtemp(prefix='keraslm_test_ckpt_'))
+
 import jax
 
 jax.config.update('jax_platforms', 'cpu')

@@ -30,18 +30,16 @@ def corpus(tmp_path):
 def _train(files, tmp_path, epochs=2, **attrs):
     old_epochs = training.EPOCHS
     training.EPOCHS = epochs
-    cwd = os.getcwd()
-    os.chdir(tmp_path)  # checkpoints land here
     try:
         r = Rater()
         r.width, r.depth, r.length = 16, 1, 16
+        r.ckpt_dir = str(tmp_path)  # checkpoints land here
         for k, v in attrs.items():
             setattr(r, k, v)
         r.configure()
         r.train(files)
         return r
     finally:
-        os.chdir(cwd)
         training.EPOCHS = old_epochs
 
 

@@ -30,8 +30,9 @@ def make_batch_decode(cfg, E: int, A: int, L: int, K: int,
     Returns ``fn(params, chars (N,E,A,L), mask, conf, valid (N,E,A),
     zs, h0 (N,D,K,W), c0, x0 (N,K), cost0 (N,K)) -> packed (N,E+1,2)``.
     """
-    key = (cfg, E, A, L, K, round(float(lm_weight), 6),
-           id(mesh) if mesh is not None else None)
+    # Mesh is hashable — id() could collide after GC and serve a
+    # compiled fn bound to dead devices
+    key = (cfg, E, A, L, K, round(float(lm_weight), 6), mesh)
     fn = _CACHE.get(key)
     if fn is not None:
         return fn
@@ -75,7 +76,7 @@ def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
 
     from ..ops.decode_kernel import decode_lattice_pallas_batch
 
-    key = ('fused', id(mesh), N, E, A, L, K, D, W, v_pad, v_real,
+    key = ('fused', mesh, N, E, A, L, K, D, W, v_pad, v_real,
            round(float(lm_weight), 6))
     fn = _CACHE.get(key)
     if fn is not None:
@@ -111,7 +112,7 @@ def make_fused_batch_walk(mesh: Mesh, N: int, K: int):
 
     from ..ops.decode_kernel import walk_records_batch
 
-    key = ('walk', id(mesh), N, K)
+    key = ('walk', mesh, N, K)
     fn = _CACHE.get(key)
     if fn is not None:
         return fn

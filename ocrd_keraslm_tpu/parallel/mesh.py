@@ -37,11 +37,12 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """Build a (data, model) mesh over the given/available devices."""
     if devices is None:
-        try:
+        # prefer the accelerator whenever one is the default backend;
+        # comparing device COUNTS preferred CPU on single-chip
+        # machines (1 chip vs 1 CPU device -> silent CPU training)
+        if jax.default_backend() == 'cpu':
             devices = jax.devices('cpu')
-        except RuntimeError:
-            devices = jax.devices()
-        if len(jax.devices()) > len(devices):
+        else:
             devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)

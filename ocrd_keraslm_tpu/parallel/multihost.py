@@ -61,6 +61,12 @@ def init_multihost(coordinator: Optional[str] = None,
     if process_id is None:
         p = os.environ.get('KERASLM_PROCESS_ID')
         process_id = int(p) if p else None
+    if not coordinator and (num_processes is not None
+                            or process_id is not None):
+        raise ValueError(
+            'KERASLM_NUM_PROCESSES/KERASLM_PROCESS_ID are set but '
+            'KERASLM_COORDINATOR is not — refusing to silently '
+            'auto-detect (each process would train independently)')
     kwargs = {}
     if coordinator:
         kwargs = dict(coordinator_address=coordinator,

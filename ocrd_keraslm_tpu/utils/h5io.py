@@ -198,10 +198,20 @@ def load_weights(filename: str, cfg: LMConfig) -> Params:
         if len(lstms) < cfg.depth:
             raise ValueError('%s: found %d recurrent layers, need %d'
                              % (filename, len(lstms), cfg.depth))
+        # resolve by name only when the names form a COMPLETE and
+        # DISTINCT assignment; otherwise use positional order for all
+        # depths.  (Per-depth name-then-positional mixing could assign
+        # one file layer to two depths: with graph-uniquified names
+        # lstm_2/lstm_3, depth 0 fell back positionally to lstm_2 and
+        # depth 1 name-matched lstm_2 again.)
+        chosen = [(_layer(lstms, 'lstm_%d' % (i + 1)) or
+                   _layer(lstms, 'cu_dnnlstm_%d' % (i + 1)))
+                  for i in range(cfg.depth)]
+        if any(lw is None for lw in chosen) or \
+                len({id(lw) for lw in chosen}) != cfg.depth:
+            chosen = [lstms[i][1] for i in range(cfg.depth)]
         for i in range(cfg.depth):
-            lw = (_layer(lstms, 'lstm_%d' % (i + 1)) or
-                  _layer(lstms, 'cu_dnnlstm_%d' % (i + 1)) or
-                  lstms[i][1])
+            lw = chosen[i]
             kernel = lw.get('kernel')
             rec = lw.get('recurrent_kernel')
             bias = lw.get('bias')

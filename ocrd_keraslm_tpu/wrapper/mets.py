@@ -89,8 +89,11 @@ class Workspace:
         f = MetsFile(ID=ID, fileGrp=file_grp, mimetype=mimetype,
                      local_filename=local_filename, pageId=pageId)
         if existing and force:
-            files = self.mets.file_groups[existing.fileGrp]
-            files[files.index(existing)] = f
+            # replace IN THE TARGET GROUP: leaving the new file in the
+            # old group corrupted membership when the fileGrp changed
+            old = self.mets.file_groups[existing.fileGrp]
+            old.remove(existing)
+            self.mets.file_groups.setdefault(file_grp, []).append(f)
         else:
             self.mets.file_groups.setdefault(file_grp, []).append(f)
         if pageId and pageId not in self.mets.page_ids:

@@ -74,7 +74,18 @@ class MetsServer:
         self.url = url
         self.lock = threading.Lock()
         if os.path.exists(url):
-            os.unlink(url)
+            # a LIVE server must not be silently hijacked (two
+            # 'authoritative' METS instances would alternately
+            # overwrite mets.xml); only a stale socket is removed
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.connect(url)
+            except OSError:
+                os.unlink(url)   # stale leftover
+            else:
+                probe.close()
+                raise OSError(
+                    'METS server already listening on %s' % url)
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -82,6 +93,12 @@ class MetsServer:
                 while True:
                     line = self.rfile.readline(_MAXLINE)
                     if not line:
+                        return
+                    if not line.endswith(b'\n'):
+                        # oversized request: the stream is no longer
+                        # line-aligned — close instead of desyncing
+                        LOG.error('request exceeds %d bytes: closing '
+                                  'connection', _MAXLINE)
                         return
                     try:
                         req = json.loads(line)
@@ -97,7 +114,13 @@ class MetsServer:
                             target=outer.server.shutdown).start()
                         return
                     except Exception as err:  # noqa: BLE001 — protocol edge
-                        LOG.exception('mets server error')
+                        if isinstance(err, FileExistsError):
+                            # expected control flow (client-side
+                            # OCRD_EXISTING_OUTPUT policy): no ERROR
+                            # traceback per skipped page
+                            LOG.info('mets server: %s', err)
+                        else:
+                            LOG.exception('mets server error')
                         resp = {'ok': False,
                                 'error_type': type(err).__name__,
                                 'error': '%s: %s'
@@ -186,6 +209,10 @@ class _Client:
             line = self.rfile.readline(_MAXLINE)
         if not line:
             raise ConnectionError('METS server closed the connection')
+        if not line.endswith(b'\n'):
+            self.close()
+            raise ConnectionError(
+                'METS server response exceeds %d bytes' % _MAXLINE)
         resp = json.loads(line)
         if not resp.get('ok'):
             msg = 'METS server: %s' % resp.get('error',

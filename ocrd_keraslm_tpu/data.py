@@ -83,27 +83,27 @@ class SplitPlan:
     training_files: List[str]
     validation_files: List[str]
     window_split: Optional[np.ndarray]  # stateless shared-file split
-    training_steps: int
-    validation_steps: int
     total_chars: int
     step: int
     charset: List[str] = field(default_factory=list)
 
 
 def split_data(files: Sequence[str], *, stateful: bool, length: int,
-               batch_size: int, validation_split: float = 0.2,
+               validation_split: float = 0.2,
                val_files: Optional[Sequence[str]] = None,
-               known_chars: Optional[set] = None,
-               first_window: float = 0.0) -> SplitPlan:
-    """Read all files once: count batches, build the charset, and decide
-    the training/validation split (file-wise if stateful, random-window
-    if stateless) — reference ``_split_data`` (rating.py:317-385)."""
+               known_chars: Optional[set] = None) -> SplitPlan:
+    """Read all files once: build the charset and decide the
+    training/validation split (file-wise if stateful, random-window
+    if stateless) — reference ``_split_data`` (rating.py:317-385).
+    Unlike the reference, no epoch step counts are precomputed: the
+    epoch loop (training.py) drains the generators, so counts could
+    only drift from the real batch streams."""
     files = list(files)
     shuffle(files)
     chars = set(known_chars or ())
     # ONE read per file: drop non-text inputs (e.g. stray model
-    # binaries in a data directory), and record lengths + charset for
-    # the counting below (re-reading multi-GB corpora doubled startup)
+    # binaries in a data directory), and record lengths + charset
+    # (re-reading multi-GB corpora doubled startup)
     lens: Dict[str, int] = {}
 
     def probe(names, what):
@@ -139,13 +139,10 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
                     'stateful mode needs >= 2 files to split '
                     '(or explicit validation files)')
             training, validation = files[:-cut], files[-cut:]
-        tsteps = vsteps = 0
         for name in training:
             total += lens[name]
-            tsteps += ceil((lens[name] - length) / step / batch_size)
         for name in validation:
             total += lens[name]
-            vsteps += ceil((lens[name] - length) / step / batch_size)
         split = None
     else:
         step = 3
@@ -154,24 +151,14 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
             total += lens[name] - length
             max_size = max(max_size, lens[name])
         if val_files:
-            tsteps = ceil(total / step / batch_size)
-            vtotal = sum(lens[name] - length for name in val_files)
-            vsteps = ceil(vtotal / step / batch_size)
             training, validation = files, list(val_files)
             split = None
         else:
-            epoch = total / step / batch_size
-            tsteps = ceil(epoch * (1 - validation_split))
-            vsteps = ceil(epoch * validation_split)
             training = validation = files
             split = np.random.uniform(0, 1, (ceil(max_size / step),))
-        if first_window:
-            tsteps = int(tsteps * (1.0 + first_window))
     return SplitPlan(training_files=list(training),
                      validation_files=list(validation),
                      window_split=split,
-                     training_steps=max(tsteps, 1),
-                     validation_steps=max(vsteps, 1),
                      total_chars=total,
                      step=step,
                      charset=sorted(chars))
@@ -306,12 +293,41 @@ def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
 # stateful batches
 # ----------------------------------------------------------------------
 
+def _stateful_augment(x, zs, y, mask, rand, char_deg, ctx_deg, length,
+                      name) -> Iterator[Batch]:
+    """Train-time degradations for the stateful layouts, with the
+    reference's EXTRA-batch semantics (rating.py:1060-1078): the clean
+    window is kept and an occasional degraded duplicate follows it (the
+    carry then legitimately advances through both, as the reference's
+    stateful model state does).  ``first_window`` does not apply:
+    stateful mode forces it to 0 (reference rating.py:73-76)."""
+    if 0 < rand < char_deg:
+        j = int((length - 1) * rand / char_deg)
+        xa = x.copy()
+        xa[:, j] = 0
+        yield Batch(xa, [z.copy() for z in zs], y, mask,
+                    file_name=name)
+    rand = (rand - char_deg) / (1 - char_deg)
+    if 0 < rand < ctx_deg and zs:
+        j = int((len(zs) - 1) * rand / ctx_deg) if len(zs) > 1 else 0
+        za = [z.copy() for z in zs]
+        za[j][:] = 0
+        yield Batch(x.copy(), za, y, mask, file_name=name)
+
+
 def gen_stateful_parity(files: Sequence[str], vocab: Vocab, *,
                         length: int, repeat: bool = False,
-                        n_contexts: int = 1) -> Iterator[Batch]:
+                        n_contexts: int = 1, train: bool = False,
+                        char_degradation: float = 0.01,
+                        context_degradation: float = 0.1,
+                        rng: Optional[np.random.Generator] = None
+                        ) -> Iterator[Batch]:
     """Reference-parity stateful layout: batch_size=1, ``length``-char
     windows stepping by ``length``, x=text[i-L:i], y=text[i-L+1:i+1],
-    carry reset at file boundaries (rating.py:91, 325-326, 1030+)."""
+    carry reset at file boundaries (rating.py:91, 325-326, 1030+).
+    With ``train``, the char/context degradations occasionally append
+    an extra degraded duplicate window (rating.py:1060-1078)."""
+    rng = rng or np.random.default_rng()
     while True:
         for name in files:
             text = read_normalized(name)
@@ -327,6 +343,11 @@ def gen_stateful_parity(files: Sequence[str], vocab: Vocab, *,
                 yield Batch(x, zs, y, mask, reset_carry=first,
                             file_name=name)
                 first = False
+                if train:
+                    yield from _stateful_augment(
+                        x, zs, y, mask, rng.uniform(),
+                        char_degradation, context_degradation,
+                        length, name)
             # remainder window (padded & masked, unlike the reference's
             # shape-changing final batch); starts at the end of the
             # last FULL window — 0 for a file shorter than length,
@@ -358,7 +379,10 @@ def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
     """TPU-native stateful layout: cut each file into ``batch_size``
     contiguous streams advancing in lockstep; batch t holds window t of
     every stream, carry reset at file boundaries.  Dense MXU batches
-    with per-stream recurrence (truncated BPTT)."""
+    with per-stream recurrence (truncated BPTT).  Train-time
+    degradation follows the reference's per-window extra-batch
+    semantics (rating.py:1060-1078) batch-wide, exactly as the
+    reference's own batched stateless path does."""
     rng = rng or np.random.default_rng()
     while True:
         for name in files:
@@ -380,14 +404,14 @@ def gen_stateful_streams(files: Sequence[str], vocab: Vocab, *,
             for x, y, mask in windows:
                 x = np.ascontiguousarray(x)
                 zs = _context_arrays(context, n_contexts, batch_size)
-                if train and rng.uniform() < char_degradation:
-                    x = x.copy()
-                    x[:, rng.integers(length)] = 0
-                if train and zs and rng.uniform() < context_degradation:
-                    zs[rng.integers(len(zs))][:] = 0
                 yield Batch(x, zs, y, mask, reset_carry=first,
                             file_name=name)
                 first = False
+                if train:
+                    yield from _stateful_augment(
+                        x, zs, y, mask, rng.uniform(),
+                        char_degradation, context_degradation,
+                        length, name)
         if not repeat:
             break
 

@@ -117,6 +117,11 @@ def load_decode_prep():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float)]
+        lib.decode_emit.restype = ctypes.py_object
+        lib.decode_emit.argtypes = [
+            ctypes.py_object, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.c_double]
         _PREP_LIB = lib
     except (OSError, subprocess.CalledProcessError) as err:
         LOG.debug('native decode prep unavailable: %s', err)
@@ -153,6 +158,21 @@ def decode_fill(edges: list, merge: bool, merge_max: int, E: int,
         alt_conf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         alt_valid.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return meta, alt_chars, alt_mask, alt_conf, alt_valid
+
+
+def decode_emit(meta: list, choices, path_costs, start_cost: float):
+    """Native path emission ((element, te, score) tuples + entropy);
+    None if the native library is unavailable."""
+    lib = load_decode_prep()
+    if lib is None:
+        return None
+    n = len(meta)
+    chs = np.ascontiguousarray(choices[:n], np.int64)
+    costs = np.ascontiguousarray(path_costs[:n], np.float64)
+    return lib.decode_emit(
+        meta, chs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        costs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_long(n), ctypes.c_double(start_cost))
 
 
 def build_stream_batches(ids: np.ndarray, batch: int, length: int):

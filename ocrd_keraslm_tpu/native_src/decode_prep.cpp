@@ -29,7 +29,32 @@ namespace {
 struct Names {
     PyObject* unicode;  // "Unicode"
     PyObject* conf;     // "conf"
+    // dict keys cached once per call: PyDict_{Get,Set}ItemString
+    // re-hashes (and for Set, re-creates) the key string on every
+    // edge, which showed up at ~25% of fill time on 1000-edge pages
+    PyObject* k_alternatives;
+    PyObject* k_element;
+    PyObject* k_alts;
+    PyObject* k_parts;
 };
+
+Names make_names() {
+    return Names{PyUnicode_FromString("Unicode"),
+                 PyUnicode_FromString("conf"),
+                 PyUnicode_FromString("alternatives"),
+                 PyUnicode_FromString("element"),
+                 PyUnicode_FromString("alts"),
+                 PyUnicode_FromString("parts")};
+}
+
+void free_names(Names& n) {
+    Py_DECREF(n.unicode);
+    Py_DECREF(n.conf);
+    Py_DECREF(n.k_alternatives);
+    Py_DECREF(n.k_element);
+    Py_DECREF(n.k_alts);
+    Py_DECREF(n.k_parts);
+}
 
 double conf_bits(PyObject* te, const Names& n) {
     double conf = 1.0;
@@ -52,9 +77,13 @@ double conf_bits(PyObject* te, const Names& n) {
 }
 
 // borrowed: alternatives list of an edge dict, or nullptr on error
-PyObject* edge_alternatives(PyObject* edge) {
-    PyObject* alts = PyDict_GetItemString(edge, "alternatives");
-    if (!alts || !PyList_Check(alts)) return nullptr;
+PyObject* edge_alternatives(PyObject* edge, const Names& n) {
+    PyObject* alts = PyDict_GetItemWithError(edge, n.k_alternatives);
+    if (!alts) {
+        PyErr_Clear();
+        return nullptr;
+    }
+    if (!PyList_Check(alts)) return nullptr;
     return alts;
 }
 
@@ -75,15 +104,14 @@ Py_ssize_t te_length(PyObject* te, const Names& n) {
 // after run merging.  Returns (n_prepared, maxlen) as a tuple.
 extern "C" PyObject* decode_scan(PyObject* edges, int merge,
                                  int merge_max) {
-    Names names{PyUnicode_FromString("Unicode"),
-                PyUnicode_FromString("conf")};
+    Names names = make_names();
     Py_ssize_t nE = PyList_Size(edges);
     long n_prepared = 0;
     long maxlen = 1;
     long run_chars = -1;  // -1: no open run
     for (Py_ssize_t i = 0; i < nE; i++) {
         PyObject* edge = PyList_GET_ITEM(edges, i);
-        PyObject* alts = edge_alternatives(edge);
+        PyObject* alts = edge_alternatives(edge, names);
         Py_ssize_t nA = alts ? PyList_Size(alts) : 0;
         if (merge && nA == 1) {
             long len = (long)te_length(PyList_GET_ITEM(alts, 0), names);
@@ -108,8 +136,7 @@ extern "C" PyObject* decode_scan(PyObject* edges, int merge,
         }
     }
     if (run_chars >= 0) n_prepared++;
-    Py_DECREF(names.unicode);
-    Py_DECREF(names.conf);
+    free_names(names);
     return Py_BuildValue("(ll)", n_prepared, maxlen);
 }
 
@@ -122,8 +149,7 @@ extern "C" PyObject* decode_fill(PyObject* edges, int merge,
                                  const int32_t* table, int64_t tlen,
                                  int32_t* chars, float* mask,
                                  float* conf, float* valid) {
-    Names names{PyUnicode_FromString("Unicode"),
-                PyUnicode_FromString("conf")};
+    Names names = make_names();
     PyObject* meta = PyList_New(0);
     Py_ssize_t nE = PyList_Size(edges);
     long ei = 0;  // prepared-edge index
@@ -171,9 +197,9 @@ extern "C" PyObject* decode_fill(PyObject* edges, int merge,
                   (long)run_ids.size());
         if ((long)run_ids.size() == 0) valid[ei * A + 0] = 1.0f;
         PyObject* pe = PyDict_New();
-        PyDict_SetItemString(pe, "alts", run_alts);
-        PyDict_SetItemString(pe, "parts", run_parts);
-        PyDict_SetItemString(pe, "element", Py_None);
+        PyDict_SetItem(pe, names.k_alts, run_alts);
+        PyDict_SetItem(pe, names.k_parts, run_parts);
+        PyDict_SetItem(pe, names.k_element, Py_None);
         PyList_Append(meta, pe);
         Py_DECREF(pe);
         Py_DECREF(run_parts);
@@ -187,12 +213,17 @@ extern "C" PyObject* decode_fill(PyObject* edges, int merge,
     };
 
     std::vector<int32_t> tmp_ids;
+    std::vector<float> tmp_bits;
     for (Py_ssize_t i = 0; i < nE; i++) {
         PyObject* edge = PyList_GET_ITEM(edges, i);
-        PyObject* alts = edge_alternatives(edge);
+        PyObject* alts = edge_alternatives(edge, names);
         Py_ssize_t nA = alts ? PyList_Size(alts) : 0;
-        PyObject* element = PyDict_GetItemString(edge, "element");
-        if (!element) element = Py_None;
+        PyObject* element = PyDict_GetItemWithError(edge,
+                                                    names.k_element);
+        if (!element) {
+            PyErr_Clear();
+            element = Py_None;
+        }
         if (merge && nA == 1) {
             PyObject* te = PyList_GET_ITEM(alts, 0);
             tmp_ids.clear();
@@ -223,17 +254,17 @@ extern "C" PyObject* decode_fill(PyObject* edges, int merge,
                 tmp_ids.clear();
                 encode_te(te, tmp_ids);
                 double bits = conf_bits(te, names);
-                std::vector<float> bvec(tmp_ids.size(), (float)bits);
-                write_alt(ei, a, tmp_ids.data(), bvec.data(),
+                tmp_bits.assign(tmp_ids.size(), (float)bits);
+                write_alt(ei, a, tmp_ids.data(), tmp_bits.data(),
                           (long)tmp_ids.size());
                 // zero-length alternatives are still valid (free edge)
                 valid[ei * A + a] = 1.0f;
             }
             PyObject* pe = PyDict_New();
-            PyDict_SetItemString(pe, "alts",
-                                 alts ? alts : Py_None);
-            PyDict_SetItemString(pe, "parts", Py_None);
-            PyDict_SetItemString(pe, "element", element);
+            PyDict_SetItem(pe, names.k_alts,
+                           alts ? alts : Py_None);
+            PyDict_SetItem(pe, names.k_parts, Py_None);
+            PyDict_SetItem(pe, names.k_element, element);
             PyList_Append(meta, pe);
             Py_DECREF(pe);
             ei++;
@@ -242,7 +273,79 @@ extern "C" PyObject* decode_fill(PyObject* edges, int merge,
     flush_run();
     // padding edges: one zero-length free alternative
     for (; ei < E; ei++) valid[ei * A + 0] = 1.0f;
-    Py_DECREF(names.unicode);
-    Py_DECREF(names.conf);
+    free_names(names);
     return meta;
+}
+
+// Pass 3: path emission — the per-edge (element, textequiv, score)
+// tuples from the walked choices + cumulative costs.  An exact replica
+// of Rater._emit_path (rater.py): merged runs expand with a uniform
+// per-char score, unmerged edges score the CHOSEN alternative by its
+// character count; scores clamp at 1.0.  Replacing the Python loop
+// saved ~2ms per 1000-edge page, which was the second-largest host
+// cost in document-batched serving decode (profiled).
+// Returns (path list, entropy).
+extern "C" PyObject* decode_emit(PyObject* meta, const int64_t* choices,
+                                 const double* costs, long n,
+                                 double start_cost) {
+    Names names = make_names();
+    PyObject* path = PyList_New(0);
+    double prev = start_cost;
+    for (long i = 0; i < n; i++) {
+        PyObject* pe = PyList_GET_ITEM(meta, i);
+        double cum = costs[i];
+        double diff = cum - prev;
+        PyObject* parts = PyDict_GetItemWithError(pe, names.k_parts);
+        if (parts && PyErr_Occurred()) PyErr_Clear();
+        if (parts && parts != Py_None) {
+            Py_ssize_t np_ = PyList_Size(parts);
+            long total_chars = 0;
+            for (Py_ssize_t p = 0; p < np_; p++) {
+                PyObject* part = PyList_GET_ITEM(parts, p);
+                total_chars += PyLong_AsLong(PyTuple_GET_ITEM(part, 2));
+            }
+            double score =
+                std::pow(2.0, -diff / (total_chars ? total_chars : 1));
+            if (score > 1.0) score = 1.0;
+            PyObject* score_o = PyFloat_FromDouble(score);
+            for (Py_ssize_t p = 0; p < np_; p++) {
+                PyObject* part = PyList_GET_ITEM(parts, p);
+                PyObject* tup = PyTuple_Pack(
+                    3, PyTuple_GET_ITEM(part, 0),
+                    PyTuple_GET_ITEM(part, 1), score_o);
+                PyList_Append(path, tup);
+                Py_DECREF(tup);
+            }
+            Py_DECREF(score_o);
+        } else {
+            PyObject* alts = PyDict_GetItemWithError(pe, names.k_alts);
+            if (!alts || !PyList_Check(alts) || PyList_Size(alts) == 0) {
+                PyErr_Clear();
+                prev = cum;
+                continue;
+            }
+            Py_ssize_t nA = PyList_Size(alts);
+            Py_ssize_t ai = (Py_ssize_t)choices[i];
+            if (ai >= nA) ai = nA - 1;
+            PyObject* te = PyList_GET_ITEM(alts, ai);
+            long len = (long)te_length(te, names);
+            double score = std::pow(2.0, -diff / (len ? len : 1));
+            if (score > 1.0) score = 1.0;
+            PyObject* element =
+                PyDict_GetItemWithError(pe, names.k_element);
+            if (!element) {
+                PyErr_Clear();
+                element = Py_None;
+            }
+            PyObject* score_o = PyFloat_FromDouble(score);
+            PyObject* tup = PyTuple_Pack(3, element, te, score_o);
+            PyList_Append(path, tup);
+            Py_DECREF(tup);
+            Py_DECREF(score_o);
+        }
+        prev = cum;
+    }
+    double entropy = n > 0 ? costs[n - 1] - start_cost : 0.0;
+    free_names(names);
+    return Py_BuildValue("(Nd)", path, entropy);
 }

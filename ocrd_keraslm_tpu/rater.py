@@ -238,6 +238,9 @@ class Rater:
         # multi-chip training: set to parallel.make_mesh(...) to pjit
         # the train step over a (data, model) mesh (SURVEY §5.8)
         self.mesh = None
+        # full train-state checkpoint/resume directory (Orbax; also
+        # settable via KERASLM_RESUME_DIR) — see training.train_rater
+        self.resume_dir = None
         self._decode_cache: Dict[Any, Any] = {}
         # bumped on every weight change; keys the device weight cache
         # (id(params) is unsafe: in-place mutation keeps the id, and
@@ -889,7 +892,12 @@ class Rater:
         from . import native
         from .parallel.decode import make_batch_decode
         mesh = getattr(self, 'mesh', None)
-        raw_list = [[g.edges[e] for e in sorted(g.edges)]
+        # sorted() on (u, v, data) triples keeps the topological order
+        # of sorted(g.edges) but yields the data dicts in the SAME
+        # pass — the per-edge g.edges[e] view lookup alone cost ~1.2ms
+        # per 1000-edge page (profiled); the data dict is never
+        # compared because (u, v) pairs are unique
+        raw_list = [[d for _, _, d in sorted(g.edges(data=True))]
                     for g in graphs]
         # sizes/maxlen via the native C++ scan when available: the
         # fused path can then skip the Python edge prep entirely
@@ -1015,7 +1023,9 @@ class Rater:
         """
         from .ops.beam_device import decode_lattice_device
 
-        edges_raw = [graph.edges[e] for e in sorted(graph.edges)]
+        # (u, v) pairs are unique, so the data dict in the sort key is
+        # never compared (see rate_best_batch)
+        edges_raw = [d for _, _, d in sorted(graph.edges(data=True))]
         if not edges_raw:
             return ('done', [], 0.0), device_traceback
         if self.fused_decode:
@@ -1532,7 +1542,10 @@ class Rater:
                     walks_rev.append(walk.reshape(
                         G, walk.shape[2], 2))
             pending.append((group, E_blk, list(reversed(walks_rev))))
-        # pass 2: ONE stacked fetch per distinct walk shape
+        # pass 2: ONE stacked fetch per distinct walk shape — each
+        # host<->device sync costs a full RTT (~25ms over tunneled
+        # setups, measured; per-group fetches regressed the batch
+        # bench), so everything crosses in as few syncs as possible
         flat = [(gi, bi, w) for gi, (_, _, ws) in enumerate(pending)
                 for bi, w in enumerate(ws)]
         fetched: Dict[Tuple[int, int], np.ndarray] = {}
@@ -1722,7 +1735,15 @@ class Rater:
 
         Bulk-converts the fetched cost/choice arrays once (.tolist());
         per-element numpy scalar indexing cost ~8.6 us/edge and
-        dominated whole-document decode (measured)."""
+        dominated whole-document decode (measured).  The hot loop runs
+        natively (native_src/decode_prep.cpp decode_emit) when the C++
+        library is available; this Python body is the parity-tested
+        fallback."""
+        from . import native
+        out = native.decode_emit(edges, choices, path_costs, 0.0
+                                 if start_cost is None else start_cost)
+        if out is not None:
+            return out
         nE = len(edges)
         costs = np.asarray(path_costs[:nE], np.float64).tolist()
         chs = np.asarray(choices[:nE], np.int64).tolist()

@@ -144,6 +144,12 @@ def _load_rater(model, incremental=False):
 @click.option('--bf16', is_flag=True,
               help='bfloat16 matmul operands in the recurrent core '
                    '(float32 cell state/softmax; faster on TPU)')
+@click.option('--resume-dir', default=None,
+              type=click.Path(file_okay=False),
+              help='directory for full train-state snapshots '
+                   '(params + Adam moments + RNG + history, Orbax): '
+                   'every epoch is checkpointed and an interrupted '
+                   'run resumes from the last completed epoch')
 @click.option('--mesh', 'mesh_spec', default=None, metavar='DPxMP',
               help='shard the train step over a device mesh, e.g. '
                    '"4" (4-way data parallel) or "4x2" (4-way data x '
@@ -153,7 +159,7 @@ def _load_rater(model, incremental=False):
                 type=click.Path(exists=True, dir_okay=True,
                                 file_okay=True))
 def train(model, ckpt, width, depth, length, val_data, epochs,
-          batch_size, bf16, mesh_spec, data):
+          batch_size, bf16, resume_dir, mesh_spec, data):
     """Fit a char-LM of the given WIDTH/DEPTH/LENGTH on the DATA
     text files.
 
@@ -168,20 +174,21 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
         rater.load_config(model)
         if rater.width == width and rater.depth == depth:
             continuation = partial(rater.load_weights, model)
-            print('loading weights from existing model for '
-                  'continued training')
+            print('continuing training from saved model %s' % model)
         else:
             rater.status = 0
-            print('warning: ignoring existing model due to different '
-                  'topology (width=%d, depth=%d)'
-                  % (rater.width, rater.depth), file=sys.stderr)
+            print('warning: saved model %s has different topology '
+                  '(width=%d, depth=%d) - starting fresh'
+                  % (model, rater.width, rater.depth), file=sys.stderr)
     elif os.path.isfile(ckpt):
         continuation = partial(rater.load_weights, ckpt)
-        print('loading weights from checkpoint for continued training')
+        print('continuing training from checkpoint %s' % ckpt)
     rater.width = width
     rater.depth = depth
     rater.length = length
     rater.batch_size = batch_size
+    if resume_dir:
+        rater.resume_dir = resume_dir
     if bf16:
         rater.compute_dtype = 'bfloat16'
 

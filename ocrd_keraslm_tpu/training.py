@@ -19,6 +19,7 @@ inside the loss so evaluation loss stays pure cross-entropy
 from __future__ import annotations
 
 import logging
+import os
 import signal
 import sys
 from functools import partial
@@ -129,24 +130,52 @@ def train_rater(rater, data, val_data=None) -> None:
     val_files = ([getattr(f, 'name', f) for f in val_data]
                  if val_data else None)
 
+    # ---- full train-state resume (SURVEY §5.4, TPU-native) ----
+    # With rater.resume_dir (or KERASLM_RESUME_DIR) set, every epoch
+    # boundary snapshots params + optimizer moments + RNG + history +
+    # the data split into an Orbax-backed atomic snapshot dir, and a
+    # killed run resumes exactly from the last completed epoch — the
+    # reference can only resume from weights (run.py:49-59), losing
+    # the Adam state and the early-stopping position.
+    resume_dir = (getattr(rater, 'resume_dir', None)
+                  or os.environ.get('KERASLM_RESUME_DIR'))
+    resume = None
+    ckpt_mgr = None
+    if resume_dir:
+        from .utils import orbaxio
+        resume = orbaxio.load_train_state(resume_dir)
+        ckpt_mgr = orbaxio.TrainCheckpointer(resume_dir)
+
     plan = split_data(
         files, stateful=rater.stateful, length=rater.length,
-        batch_size=1 if (rater.stateful and not rater.train_streams)
-        else rater.batch_size,
         validation_split=rater.validation_split, val_files=val_files,
-        known_chars=set(rater.vocab.c2i.keys()),
-        first_window=rater.first_window)
+        known_chars=set(rater.vocab.c2i.keys()))
     rater.logger.info(
         'training on %d files / %d character tokens for %d character types',
         len(plan.training_files), plan.total_chars, len(plan.charset) + 1)
 
-    # grow vocabulary (index 0 reserved):
-    old_chars = [rater.vocab.i2c[i]
-                 for i in sorted(rater.vocab.i2c.keys())]
-    if old_chars:
-        rater.vocab.grow(plan.charset)
+    if resume is not None:
+        # the snapshot pins the split, the vocabulary, and all state;
+        # anything recomputed above could differ (shuffled file order)
+        meta = resume['meta']
+        from .utils.vocab import Vocab
+        rater.vocab = Vocab.from_codepoints(
+            np.asarray(meta['mapping'], dtype=np.uint32))
+        plan.training_files = list(meta['training_files'])
+        plan.validation_files = list(meta['validation_files'])
+        plan.window_split = (np.asarray(meta['window_split'])
+                             if meta.get('window_split') is not None
+                             else None)
+        rater.logger.info('resuming training from %s (epoch %d)',
+                          resume_dir, meta['epoch_done'] + 1)
     else:
-        rater.vocab.assign(plan.charset)
+        # grow vocabulary (index 0 reserved):
+        old_chars = [rater.vocab.i2c[i]
+                     for i in sorted(rater.vocab.i2c.keys())]
+        if old_chars:
+            rater.vocab.grow(plan.charset)
+        else:
+            rater.vocab.assign(plan.charset)
     rater.voc_size = rater.vocab.size
     rater.reconfigure_for_mapping()
     cfg = rater.cfg
@@ -154,6 +183,18 @@ def train_rater(rater, data, val_data=None) -> None:
 
     opt_state = _OPT.init(params)
     rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+    # data-stream RNG: seeded per epoch so a resumed epoch replays the
+    # exact augmentation draws of an uninterrupted run
+    data_seed = int(np.random.randint(0, 2 ** 31 - 1))
+    if resume is not None:
+        state = resume['state']
+        params = state['params']
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(_OPT.init(params)),
+            state['opt'])
+        rng = jnp.asarray(np.asarray(meta['rng'], dtype=np.uint32))
+        data_seed = int(meta['data_seed'])
+        rater.params = params
     stopper = StopSignal(logger=rater.logger)
 
     # ---- multi-chip: pjit the step over rater.mesh (dp/tp) ----
@@ -182,19 +223,21 @@ def train_rater(rater, data, val_data=None) -> None:
                                 variable_length=var_len)
         rater.logger.info('training over mesh %s', dict(mesh.shape))
 
-    def make_gen(file_list, train):
+    def make_gen(file_list, train, data_rng=None):
         n_ctx = len(rater.contexts)
         if rater.stateful and rater.train_streams:
             return gen_stateful_streams(
                 file_list, rater.vocab, length=rater.length,
                 batch_size=rater.batch_size, n_contexts=n_ctx,
-                train=train,
+                train=train, rng=data_rng,
                 char_degradation=rater.char_degradation,
                 context_degradation=rater.context_degradation)
         if rater.stateful:
             return gen_stateful_parity(
                 file_list, rater.vocab, length=rater.length,
-                n_contexts=n_ctx)
+                n_contexts=n_ctx, train=train, rng=data_rng,
+                char_degradation=rater.char_degradation,
+                context_degradation=rater.context_degradation)
         return gen_stateless(
             file_list, rater.vocab, length=rater.length,
             batch_size=rater.batch_size, step=plan.step, train=train,
@@ -203,7 +246,7 @@ def train_rater(rater, data, val_data=None) -> None:
             char_degradation=rater.char_degradation,
             context_degradation=rater.context_degradation,
             first_window=rater.first_window, n_contexts=n_ctx,
-            variable_length=rater.variable_length)
+            variable_length=rater.variable_length, rng=data_rng)
 
     history: Dict[str, List[float]] = {
         'loss': [], 'accuracy': [], 'val_loss': [], 'val_accuracy': []}
@@ -213,16 +256,50 @@ def train_rater(rater, data, val_data=None) -> None:
     bad_epochs = 0
     nan_seen = False
     steps_done = 0
+    start_epoch = 0
+    if resume is not None:
+        history = {k: list(v) for k, v in meta['history'].items()}
+        best_val = (float(meta['best_val'])
+                    if meta['best_val'] is not None else np.inf)
+        best_params = resume['state'].get('best_params', params)
+        best_epoch = int(meta['best_epoch'])
+        bad_epochs = int(meta['bad_epochs'])
+        steps_done = int(meta['steps_done'])
+        start_epoch = int(meta['epoch_done'])
 
     batch_dim = (1 if (rater.stateful and not rater.train_streams)
                  else rater.batch_size)
 
+    def snapshot(epoch_done):
+        if ckpt_mgr is None:
+            return
+        state = {'params': params, 'best_params': best_params,
+                 'opt': jax.tree_util.tree_leaves(opt_state)}
+        ckpt_mgr.save(epoch_done, state, {
+            'epoch_done': epoch_done,
+            'steps_done': steps_done,
+            'history': history,
+            'best_val': (None if not np.isfinite(best_val)
+                         else float(best_val)),
+            'best_epoch': best_epoch,
+            'bad_epochs': bad_epochs,
+            'rng': np.asarray(rng, dtype=np.uint32).tolist(),
+            'data_seed': data_seed,
+            'training_files': plan.training_files,
+            'validation_files': plan.validation_files,
+            'window_split': (plan.window_split.tolist()
+                             if plan.window_split is not None
+                             else None),
+            'mapping': rater.vocab.to_codepoints().tolist(),
+        })
+
     import time as _time
     first_step_logged = False
     try:
-        for epoch in range(EPOCHS):
+        for epoch in range(start_epoch, EPOCHS):
             # ---- training pass ----
             epoch_t0 = _time.perf_counter()
+            data_rng = np.random.default_rng([data_seed, epoch])
             carry = zero_carry(cfg, batch_dim)
             # epoch statistics accumulate ON DEVICE: a per-step float()
             # forces a host sync (~100ms over tunneled setups, 10x the
@@ -233,7 +310,7 @@ def train_rater(rater, data, val_data=None) -> None:
             last_loss = None
             from .native import Prefetcher
             for batch in Prefetcher(make_gen(plan.training_files,
-                                             True)):
+                                             True, data_rng)):
                 if batch.reset_carry and rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
                 rng, sub = jax.random.split(rng)
@@ -335,7 +412,6 @@ def train_rater(rater, data, val_data=None) -> None:
                 # best-only weight checkpoint (reference
                 # rating.py:284-285); directory configurable via
                 # rater.ckpt_dir or KERASLM_CKPT_DIR (default: CWD)
-                import os
                 from .utils import h5io
                 ckpt_dir = (getattr(rater, 'ckpt_dir', None)
                             or os.environ.get('KERASLM_CKPT_DIR') or '.')
@@ -356,13 +432,17 @@ def train_rater(rater, data, val_data=None) -> None:
                 # steps (see constant)
                 if bad_epochs >= PATIENCE and \
                         steps_done >= MIN_STEPS_BEFORE_STOP:
+                    snapshot(epoch + 1)
                     rater.logger.info('early stopping (best epoch %d)',
                                       best_epoch + 1)
                     break
+            snapshot(epoch + 1)
             if stopper.received:
                 break
     finally:
         stopper.restore()
+        if ckpt_mgr is not None:
+            ckpt_mgr.close()  # wait for + commit the in-flight save
 
     rater.params = best_params if best_epoch >= 0 else params
     if hasattr(rater, '_params_changed'):

@@ -19,6 +19,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
+import jax
+
 from ..models.lstm_lm import LMConfig, Params
 from .h5io import NumpyJSONEncoder
 from .vocab import Vocab
@@ -82,3 +84,117 @@ def load_model(path: str
     if rows != cfg.voc_size:  # reconcile with the actual embedding
         cfg = cfg.replace(voc_size=rows)
     return params, cfg, vocab, history
+
+
+# ----------------------------------------------------------------------
+# full train-state checkpoint/resume (SURVEY §5.4 TPU-native extension)
+# ----------------------------------------------------------------------
+#
+# The reference resumes from weights only (run.py:49-59; epoch ckpts
+# are weights-only, rating.py:284-285): a mid-run kill loses the Adam
+# moments, the early-stopping bookkeeping, and the RNG position.  This
+# checkpointer snapshots the COMPLETE training state at every epoch
+# boundary so a killed run resumes exactly where the last completed
+# epoch left it:
+#
+#   <dir>/ep_NNNN/state/   Orbax pytree: params, best_params, and the
+#                          optimizer-state leaves (flattened; the optax
+#                          treedef is rebuilt from a fresh init at
+#                          restore time, so namedtuple structure
+#                          round-trips exactly)
+#   <dir>/ep_NNNN/meta.json  counters, history, RNG keys, the split's
+#                          file lists + window split, vocab mapping
+#
+# Crash consistency: state is written into ``ep_NNNN.tmp`` and renamed
+# to ``ep_NNNN`` only when complete, so a kill -9 mid-write leaves the
+# previous snapshot intact and the loader only ever sees finished
+# snapshots.  Saves are ASYNC (ocp.AsyncCheckpointer): the write of
+# epoch N overlaps the compute of epoch N+1 and is finalized (waited
+# for + renamed) at the next save or at close().  Sharding-awareness:
+# leaves are materialized host-side before saving, and training.py
+# re-applies its mesh sharding (shard_fn) after restore, so a mesh run
+# resumes onto the same mesh layout.
+
+
+class TrainCheckpointer:
+    """Atomic, async, versioned train-state snapshots.
+
+    ``save`` returns as soon as the Orbax async write is started; a
+    background thread waits for it and then COMMITS the snapshot (one
+    atomic rename), so the commit lands as early as the write allows
+    while the train loop already runs the next epoch.  A kill at any
+    instant leaves either the committed snapshot or the previous one —
+    never a torn directory."""
+
+    def __init__(self, path: str):
+        import orbax.checkpoint as ocp
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+        self._committer = None
+
+    def save(self, epoch_done: int, state: Dict[str, Any],
+             meta: Dict[str, Any]) -> None:
+        """Snapshot after epoch ``epoch_done`` (1-based) completed."""
+        import shutil
+        import threading
+        self.finalize()
+        tag = 'ep_%04d' % epoch_done
+        tmp = os.path.join(self.path, tag + '.tmp')
+        final = os.path.join(self.path, tag)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        state = jax.device_get(state)  # materialize (sharded) leaves
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, 'meta.json'), 'w',
+                  encoding='utf-8') as fh:
+            json.dump(meta, fh, cls=NumpyJSONEncoder)
+        self._ckptr.save(os.path.join(tmp, 'state'), state, force=True)
+        self._committer = threading.Thread(
+            target=self._wait_and_commit, args=(tmp, final),
+            daemon=True)
+        self._committer.start()
+
+    def _wait_and_commit(self, tmp: str, final: str) -> None:
+        import shutil
+        self._ckptr.wait_until_finished()
+        os.rename(tmp, final)
+        # prune everything but the newest committed snapshot
+        for entry in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, entry)
+            if full != final and entry.startswith('ep_'):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def finalize(self) -> None:
+        """Block until the in-flight snapshot (if any) is committed."""
+        if self._committer is not None:
+            self._committer.join()
+            self._committer = None
+
+    def close(self) -> None:
+        self.finalize()
+
+
+def load_train_state(path: str) -> Optional[Dict[str, Any]]:
+    """Load the newest complete snapshot, or None if there is none.
+
+    Returns ``{'state': pytree, 'meta': dict}`` where state holds
+    params / best_params / flat opt leaves (as saved by
+    training.train_rater) and meta the counters/history/rng/file
+    lists."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return None
+    tags = sorted(e for e in os.listdir(path)
+                  if e.startswith('ep_') and not e.endswith('.tmp')
+                  and os.path.isdir(os.path.join(path, e)))
+    if not tags:
+        return None
+    snap = os.path.join(path, tags[-1])
+    with open(os.path.join(snap, 'meta.json'), encoding='utf-8') as fh:
+        meta = json.load(fh)
+    ckptr = ocp.PyTreeCheckpointer()
+    state = ckptr.restore(os.path.join(snap, 'state'))
+    return {'state': state, 'meta': meta}

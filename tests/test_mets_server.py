@@ -38,11 +38,13 @@ def served_workspace(tmp_path):
     ws_dir.mkdir()
     build_workspace(str(ws_dir), PAGES)
     url = str(tmp_path / 'mets.sock')
-    proc = multiprocessing.Process(target=_serve,
-                                   args=(str(ws_dir), url),
-                                   daemon=True)
+    # spawn, not fork: the test process has JAX (multithreaded) loaded,
+    # and forking it is deadlock-prone (CPython emits a RuntimeWarning)
+    ctx = multiprocessing.get_context('spawn')
+    proc = ctx.Process(target=_serve, args=(str(ws_dir), url),
+                       daemon=True)
     proc.start()
-    for _ in range(100):
+    for _ in range(600):  # spawn re-imports the test module (slow)
         if os.path.exists(url):
             break
         time.sleep(0.05)

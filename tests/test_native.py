@@ -210,3 +210,47 @@ def test_prefetcher_close_releases_worker():
     p.close()
     p._thread.join(timeout=10)
     assert not p._thread.is_alive()
+
+
+def test_native_decode_emit_matches_python():
+    """The C++ path emission must reproduce _emit_path exactly: merged
+    runs expand with a uniform score, unmerged edges score the chosen
+    alternative, scores clamp at 1.0, entropy = last cost - start."""
+    import ocrd_keraslm_tpu.native as nat
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    if nat.load_decode_prep() is None:
+        pytest.skip('native decode prep unavailable')
+
+    def te(u, conf):
+        return TextEquivType(Unicode=u, conf=conf)
+
+    a1, a2, a3 = te('ab', 0.9), te('cde', 0.5), te('x', 0.7)
+    meta = [
+        {'alts': [a1], 'element': None,
+         'parts': [('e0', a1, 2), ('e1', te('q', 0.1), 1)]},
+        {'alts': [a2, a3], 'parts': None, 'element': 'el2'},
+        # out-of-range choice falls back to the last alternative
+        {'alts': [a3], 'parts': None, 'element': 'el3'},
+        # negative diff (cost decreased): score clamps at 1.0
+        {'alts': [a1], 'parts': None, 'element': 'el4'},
+    ]
+    choices = [0, 1, 5, 0]
+    costs = [3.0, 7.5, 9.0, 8.5]
+    r = Rater()
+    native_out = nat.decode_emit(meta, choices, costs, 1.0)
+    real = nat.decode_emit
+    nat.decode_emit = lambda *a, **k: None  # force the Python fallback
+    try:
+        py_out = r._emit_path(meta, choices, costs, 1.0)
+    finally:
+        nat.decode_emit = real
+    assert native_out[1] == py_out[1]
+    assert len(native_out[0]) == len(py_out[0])
+    for (el_n, te_n, sc_n), (el_p, te_p, sc_p) in zip(native_out[0],
+                                                      py_out[0]):
+        assert el_n == el_p
+        assert te_n is te_p
+        assert sc_n == sc_p
+    assert native_out[0][-1][2] == 1.0  # clamped

@@ -1,0 +1,126 @@
+"""Full train-state checkpoint/resume (SURVEY §5.4 TPU-native
+extension): a run killed mid-epoch resumes from the last completed
+epoch with params + Adam moments + RNG + history intact, and its loss
+trajectory matches an uninterrupted run.
+
+The reference can only continue from weight files (run.py:49-59),
+losing the optimizer state and the early-stopping position.
+"""
+import random
+
+import numpy as np
+import pytest
+
+import ocrd_keraslm_tpu.native as native
+import ocrd_keraslm_tpu.training as training
+from ocrd_keraslm_tpu.rater import Rater
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    random.seed(7)
+    words = ['die', 'der', 'und', 'ist', 'kant', 'vernunft', 'mensch']
+    files = []
+    for name in ['a_eins_1781.txt', 'b_zwei_1790.txt',
+                 'c_drei_1800.txt']:
+        path = tmp_path / name
+        with open(path, 'w') as fh:
+            for _ in range(60):
+                fh.write(' '.join(random.choices(words, k=10)) + '\n')
+        files.append(str(path))
+    return files
+
+
+def _train(files, tmp_path, epochs, resume_dir=None, tag='a'):
+    """Seeded training run: identical seeds -> identical trajectories
+    (the per-epoch data RNG and the stored jax key make a RESUMED run
+    replay the interrupted epoch exactly)."""
+    old_epochs, old_floor = training.EPOCHS, training.MIN_STEPS_BEFORE_STOP
+    training.EPOCHS = epochs
+    training.MIN_STEPS_BEFORE_STOP = 10 ** 9  # no early stop here
+    try:
+        random.seed(11)
+        np.random.seed(13)
+        r = Rater()
+        r.width, r.depth, r.length = 16, 1, 16
+        r.batch_size = 32
+        r.stateful = True
+        r.train_streams = True
+        r.ckpt_dir = str(tmp_path / ('ckpt_' + tag))
+        if resume_dir:
+            r.resume_dir = str(resume_dir)
+        r.configure()
+        r.train(files)
+        return r
+    finally:
+        training.EPOCHS = old_epochs
+        training.MIN_STEPS_BEFORE_STOP = old_floor
+
+
+class _SimulatedKill(BaseException):
+    """Raised mid-epoch to model an abrupt death: nothing after the
+    last committed snapshot survives."""
+
+
+def test_kill_resume_matches_uninterrupted(corpus, tmp_path,
+                                           monkeypatch):
+    # run A: uninterrupted, 4 epochs
+    ra = _train(corpus, tmp_path, 4, tag='a')
+    assert ra.status == 2
+    hist_a = ra.history
+    assert len(hist_a['loss']) == 4
+
+    # run B: identical seeds, snapshots on, killed during epoch 3
+    snap = tmp_path / 'snap'
+    real_pref = native.Prefetcher
+
+    class DyingPrefetcher:
+        epochs = 0
+
+        def __init__(self, gen):
+            type(self).epochs += 1
+            self.inner = real_pref(gen)
+
+        def __iter__(self):
+            for n, batch in enumerate(iter(self.inner)):
+                if type(self).epochs == 3 and n == 2:
+                    self.inner.close()
+                    raise _SimulatedKill()
+                yield batch
+
+    monkeypatch.setattr(native, 'Prefetcher', DyingPrefetcher)
+    with pytest.raises(_SimulatedKill):
+        _train(corpus, tmp_path, 4, resume_dir=snap, tag='b')
+    monkeypatch.setattr(native, 'Prefetcher', real_pref)
+
+    # snapshots for epochs 1-2 were committed; epoch 3 died mid-way
+    from ocrd_keraslm_tpu.utils.orbaxio import load_train_state
+    st = load_train_state(str(snap))
+    assert st is not None
+    assert st['meta']['epoch_done'] == 2
+    assert len(st['meta']['history']['loss']) == 2
+
+    # run C: resume and complete -> trajectory == uninterrupted run
+    rc = _train(corpus, tmp_path, 4, resume_dir=snap, tag='c')
+    assert rc.status == 2
+    assert len(rc.history['loss']) == 4
+    for key in hist_a:
+        np.testing.assert_allclose(
+            rc.history[key], hist_a[key], rtol=1e-5,
+            err_msg='resumed %s diverged from uninterrupted run' % key)
+    # the resumed run must also have continued the optimizer state,
+    # not restarted it: epochs 3-4 improve over epoch 2
+    assert rc.history['loss'][3] < rc.history['loss'][1]
+
+
+def test_resume_restores_best_and_patience(corpus, tmp_path):
+    """Early-stopping bookkeeping (best_val/bad_epochs) survives the
+    restart: a resumed run reports the globally best epoch."""
+    snap = tmp_path / 'snap2'
+    rb = _train(corpus, tmp_path, 2, resume_dir=snap, tag='d')
+    assert rb.status == 2
+    rc = _train(corpus, tmp_path, 4, resume_dir=snap, tag='e')
+    assert rc.status == 2
+    assert len(rc.history['val_loss']) == 4
+    # best val tracks the minimum over ALL epochs including pre-restart
+    assert min(rc.history['val_loss']) <= min(rb.history['val_loss'])

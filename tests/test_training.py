@@ -198,7 +198,7 @@ def test_split_no_validation_split(tmp_path):
         p = tmp_path / ('a_b_18%02d.txt' % i)
         p.write_text('abcd ' * 100)
         files.append(str(p))
-    plan = split_data(files, stateful=True, length=32, batch_size=1,
+    plan = split_data(files, stateful=True, length=32,
                       validation_split=0.0)
     assert sorted(plan.training_files) == sorted(files)
     assert plan.validation_files
@@ -208,3 +208,113 @@ def test_year_context_overflow_maps_to_underspecified(tmp_path):
     from ocrd_keraslm_tpu.data import context_from_filename
     assert context_from_filename('a_b_1985.txt') == [199]
     assert context_from_filename('a_b_2005.txt') == [0]  # > table
+
+
+class _QueuedRng:
+    """Deterministic stand-in for np.random.Generator.uniform()."""
+
+    def __init__(self, values):
+        self.values = list(values)
+
+    def uniform(self):
+        return self.values.pop(0) if self.values else 0.999
+
+
+def test_stateful_augmentation_extra_batches(tmp_path):
+    """Train-time degradation in the stateful layouts must follow the
+    reference's EXTRA-batch semantics (rating.py:1060-1078): the clean
+    window is yielded, then an occasional degraded duplicate."""
+    from ocrd_keraslm_tpu.data import gen_stateful_parity
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    path = tmp_path / 'a_b_1800.txt'
+    path.write_text('abcdefgh' * 8)  # 64 chars -> windows of 16
+    vocab = Vocab()
+    vocab.assign('abcdefgh')
+    # window 1: rand=0.005 < 0.01 -> char degradation at
+    # j = int(15 * 0.005/0.01) = 7; window 2: rand -> context
+    # degradation; window 3: rand=0.9 -> no extra batch
+    rng = _QueuedRng([0.005, 0.05, 0.9])
+    batches = list(gen_stateful_parity(
+        [str(path)], vocab, length=16, train=True, rng=rng))
+    # first extra batch: copy of window 1 with column 7 zeroed
+    w1, w1_aug = batches[0], batches[1]
+    assert not w1_aug.reset_carry
+    assert (w1_aug.y == w1.y).all()
+    assert w1_aug.x[0, 7] == 0
+    mask_cols = np.ones(16, bool)
+    mask_cols[7] = False
+    assert (w1_aug.x[0, mask_cols] == w1.x[0, mask_cols]).all()
+    # second extra batch: copy of window 2 with context zeroed
+    w2, w2_aug = batches[2], batches[3]
+    assert (w2_aug.x == w2.x).all()
+    assert (w2_aug.zs[0] == 0).all()
+    assert (w2.zs[0] == 180).all()
+    # window 3 has no duplicate: next batch is the remainder window
+    assert batches[4].x[0, 0] == w1.x[0, 0]  # window 3 content
+    assert len(batches) == 6  # 3 clean + 2 aug + 1 remainder
+
+
+def test_streams_augmentation_extra_batches(tmp_path):
+    from ocrd_keraslm_tpu.data import gen_stateful_streams
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    path = tmp_path / 'a_b_1800.txt'
+    path.write_text('abcdefgh' * 32)
+    vocab = Vocab()
+    vocab.assign('abcdefgh')
+    rng = _QueuedRng([0.005])
+    batches = list(gen_stateful_streams(
+        [str(path)], vocab, length=16, batch_size=4, train=True,
+        rng=rng))
+    w1, w1_aug = batches[0], batches[1]
+    assert (w1_aug.y == w1.y).all()
+    assert (w1_aug.x[:, 7] == 0).all()
+    assert (w1_aug.x[:, :7] == w1.x[:, :7]).all()
+
+
+def test_early_stop_respects_step_floor(corpus, tmp_path, monkeypatch):
+    """MIN_STEPS_BEFORE_STOP vs epoch-based patience in the regime the
+    floor was added for (parallel streams compress an epoch to a
+    handful of steps): with the floor unreached, patience alone must
+    NOT stop training; with the floor already met, it must."""
+    import jax.numpy as jnp
+    real_eval = training.eval_step
+
+    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None):
+        nll, acc, carry = real_eval(
+            params, cfg, x, zs, y, mask, carry, x_mask)
+        return jnp.float32(1.0), acc, carry  # constant val loss
+
+    monkeypatch.setattr(training, 'eval_step', flat_eval)
+    monkeypatch.setattr(training, 'MIN_STEPS_BEFORE_STOP', 10 ** 9)
+    r = _train(corpus, tmp_path, epochs=6, stateful=True,
+               train_streams=True, batch_size=32)
+    # val loss never improves after epoch 1, but the step floor is
+    # never reached -> no early stop, all 6 epochs run
+    assert len(r.history['val_loss']) == 6
+    assert r.status == 2
+
+    monkeypatch.setattr(training, 'MIN_STEPS_BEFORE_STOP', 1)
+    r = _train(corpus, tmp_path, epochs=6, stateful=True,
+               train_streams=True, batch_size=32)
+    # now patience (3) fires: epoch 1 sets best, epochs 2-4 are bad
+    assert len(r.history['val_loss']) == 1 + training.PATIENCE
+    assert r.status == 2
+
+
+def test_epochs_below_patience(corpus, tmp_path, monkeypatch):
+    """--epochs < patience: training must run every requested epoch and
+    finish usable even when validation never improves."""
+    import jax.numpy as jnp
+    real_eval = training.eval_step
+
+    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None):
+        nll, acc, carry = real_eval(
+            params, cfg, x, zs, y, mask, carry, x_mask)
+        return jnp.float32(1.0), acc, carry
+
+    monkeypatch.setattr(training, 'eval_step', flat_eval)
+    monkeypatch.setattr(training, 'MIN_STEPS_BEFORE_STOP', 1)
+    r = _train(corpus, tmp_path, epochs=2, stateful=True,
+               train_streams=True, batch_size=32)
+    assert len(r.history['val_loss']) == 2
+    assert r.status == 2

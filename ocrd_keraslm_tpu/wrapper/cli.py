@@ -164,6 +164,27 @@ for _opt in reversed(PROCESS_OPTIONS):
     ocrd_keraslm_rate = _opt(ocrd_keraslm_rate)
 
 
+def main():
+    """Console entry point: prefer the GENUINE OCR-D core when it is
+    installed (drop-in participation in real workflows, reference
+    wrapper/cli.py:6-9), fall back to the standalone CLI otherwise.
+    Force the standalone stack with KERASLM_STANDALONE=1."""
+    from .ocrd_adapter import genuine_ocrd_available
+    if genuine_ocrd_available():
+        from ocrd.decorators import (ocrd_cli_options,
+                                     ocrd_cli_wrap_processor)
+
+        from .ocrd_adapter import make_processor_class
+
+        @click.command()
+        @ocrd_cli_options
+        def genuine_cli(*args, **kwargs):
+            return ocrd_cli_wrap_processor(make_processor_class(),
+                                           *args, **kwargs)
+        return genuine_cli()
+    return ocrd_keraslm_rate()
+
+
 @ocrd_keraslm_rate.command('mets-server')
 @click.option('-m', '--mets', default='.', show_default=True,
               help='METS file or workspace directory to serve')
@@ -353,4 +374,4 @@ def worker_cmd(queue, poll_interval, once, parameter,
 
 
 if __name__ == '__main__':
-    ocrd_keraslm_rate()
+    main()

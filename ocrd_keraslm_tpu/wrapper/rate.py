@@ -262,32 +262,8 @@ class KerasRate:
                 finish(item)
 
     def _apply_confidences(self, pcgts, text, confidences, level):
-        lm_weight = self.parameter['lm_weight']
-        if not confidences:
-            self.logger.warning('page has no text to rate')
-            return
-        i = 0
-        for element, textequivs in text:
-            textequiv = textequivs[0]
-            if element:
-                element.set_TextEquiv([textequiv])
-            n = len(textequiv.Unicode)
-            conf = sum(confidences[i:i + n]) / max(n, 1)
-            conf2 = textequiv.conf if textequiv.conf is not None else 1.0
-            textequiv.set_conf(conf * lm_weight +
-                               conf2 * (1. - lm_weight))
-            i += n
-        if i != len(confidences):
-            self.logger.critical('Input text length and output scores '
-                                 'length are off by %d characters',
-                                 i - len(confidences))
-        avg = sum(confidences) / len(confidences)
-        ent = sum(-log(max(p, 1e-99), 2)
-                  for p in confidences) / len(confidences)
-        ppl = pow(2.0, ent)
-        ppll = pow(2.0, ent * len(confidences) / max(len(text), 1))
-        self.logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
-                         avg, ppl, level, ppll)
+        apply_confidences(text, confidences, level,
+                          self.parameter['lm_weight'], self.logger)
 
     def process_workspace_stateful(self, workspace: Workspace) -> None:
         """Sequential page loop with cross-page LM traceback and OCR-D
@@ -510,19 +486,12 @@ class KerasRate:
         """Plain scoring without alternatives: whole-page text in one
         batched device call, confidence blending by lm_weight."""
         level = self.parameter['textequiv_level']
-        lm_weight = self.parameter['lm_weight']
         self.rater.logger.info("Scoring text in page '%s' at the %s level",
                                pcgts.get_pcGtsId(), level)
         context = mets_get_context(self.workspace.mets)
-        graph, start_node, _ = page_get_linear_graph_at(
-            level, pcgts, logger=self.logger)
-        text = [(edge['element'], edge['alternatives'])
-                for edge in _get_edges(graph, 0)]
-        textstring = ''.join(tes[0].Unicode for _, tes in text)
-        self.logger.info('Rating %d elements with a total of %d '
-                         'characters', len(text), len(textstring))
-        confidences = self.rater.rate(textstring, context)
-        self._apply_confidences(pcgts, text, confidences, level)
+        score_page_pcgts(self.rater, pcgts, level, context,
+                         self.parameter['lm_weight'],
+                         logger=self.logger)
         self.add_metadata(pcgts)
         return pcgts
 
@@ -646,6 +615,62 @@ def mets_get_context(mets: Mets, limit: int = 200) -> List[int]:
             bucket = ceil(int(year) / 10)
             context = [bucket] if bucket < limit else [0]
     return context
+
+
+# ---------------------------------------------------------------------
+# page scoring (module-level: shared by the standalone processor and
+# the genuine-OCR-D adapter, wrapper/ocrd_adapter.py)
+# ---------------------------------------------------------------------
+
+def apply_confidences(text, confidences, level, lm_weight,
+                      logger=None) -> None:
+    """Blend LM char probabilities into the first TextEquiv of every
+    element (conf = lm*w + ocr*(1-w)), delete other alternatives, and
+    log the avg/char-ppl/segment-ppl line the tests parse (reference
+    wrapper/rate.py:309-325)."""
+    logger = logger or LOG
+    if not confidences:
+        logger.warning('page has no text to rate')
+        return
+    i = 0
+    for element, textequivs in text:
+        textequiv = textequivs[0]
+        if element:
+            element.set_TextEquiv([textequiv])
+        n = len(textequiv.Unicode)
+        conf = sum(confidences[i:i + n]) / max(n, 1)
+        conf2 = textequiv.conf if textequiv.conf is not None else 1.0
+        textequiv.set_conf(conf * lm_weight +
+                           conf2 * (1. - lm_weight))
+        i += n
+    if i != len(confidences):
+        logger.critical('Input text length and output scores '
+                        'length are off by %d characters',
+                        i - len(confidences))
+    avg = sum(confidences) / len(confidences)
+    ent = sum(-log(max(p, 1e-99), 2)
+              for p in confidences) / len(confidences)
+    ppl = pow(2.0, ent)
+    ppll = pow(2.0, ent * len(confidences) / max(len(text), 1))
+    logger.info('avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
+                avg, ppl, level, ppll)
+
+
+def score_page_pcgts(rater, pcgts, level, context, lm_weight,
+                     logger=None) -> None:
+    """Plain scoring of one page (no alternatives): whole-page text in
+    one batched device call, confidence blending by ``lm_weight``.
+    Works on standalone AND genuine ``ocrd_models`` PAGE trees (both
+    expose the generateDS API)."""
+    logger = logger or LOG
+    graph, _, _ = page_get_linear_graph_at(level, pcgts, logger=logger)
+    text = [(edge['element'], edge['alternatives'])
+            for edge in _get_edges(graph, 0)]
+    textstring = ''.join(tes[0].Unicode for _, tes in text)
+    logger.info('Rating %d elements with a total of %d characters',
+                len(text), len(textstring))
+    confidences = rater.rate(textstring, context)
+    apply_confidences(text, confidences, level, lm_weight, logger)
 
 
 # ---------------------------------------------------------------------

@@ -204,6 +204,21 @@ def _window_probs(params, cfg: LMConfig, x, zs):
     return jax.nn.softmax(logits[:, -1, :], axis=-1)
 
 
+@partial(jax.jit, static_argnames=('s_sh', 'n', 'k', 's', 'w'))
+def _fused_batch_beam_init(nl_emb, s_sh: int, n: int, k: int, s: int,
+                           w: int):
+    """Fresh per-document beam for the doc-batched fused decode, built
+    ON DEVICE (a host-built init cost a blocking ~320KB upload plus a
+    sync on the newline-embedding fetch, per call)."""
+    big = 1.0e30  # ops.decode_kernel.BIG (dead-slot cost)
+    state = jnp.zeros((s_sh, n * k, s), jnp.float32)
+    state = state.at[:, :, :w].set(nl_emb[None, None, :])
+    rows = jnp.arange(n * k)
+    cost = jnp.where((rows % k == 0)[None, :, None], 0.0, big)
+    return state, jnp.broadcast_to(cost, (s_sh, n * k, 1)) \
+        .astype(jnp.float32)
+
+
 class Rater:
     """A character-level LSTM language model for rating text (TPU)."""
 
@@ -1002,7 +1017,8 @@ class Rater:
 
     def rate_best_device_begin(self, graph, start_node, end_node,
                                device_traceback=None, context=None,
-                               lm_weight=0.5, beam_width=10):
+                               lm_weight=0.5, beam_width=10,
+                               defer_walk=False):
         """Beam-decode a linear lattice in ONE device dispatch.
 
         TPU-native alternative to ``rate_best``: the whole edge chain
@@ -1053,7 +1069,8 @@ class Rater:
                 return self._rate_best_pallas(edges_raw,
                                               device_traceback,
                                               context, lm_weight,
-                                              beam_width)
+                                              beam_width,
+                                              defer_walk=defer_walk)
             self.logger.info(
                 'fused decode unavailable (beam_width %d > %d, '
                 'alternative length %d > %d chars, or width/vocab '
@@ -1079,7 +1096,7 @@ class Rater:
         nE = len(edges)
         start_cost = None
         h, c, x_prev, cost = h0, c0, x0, cost0
-        if nE <= E_MAX:
+        if nE <= E_MAX and not defer_walk:
             # single block: walk the traceback ON DEVICE and fetch only
             # (E+1, 2) — fetch bandwidth dominates small pages
             E = _bucket(nE, E_BUCKETS)
@@ -1228,16 +1245,26 @@ class Rater:
                 new[pi][2][bi] = stacked[row]
         return [tuple(p) for p in new]
 
-    def rate_best_device_finish(self, pending):
+    def rate_best_device_finish(self, pending, start_slot=0,
+                                return_entry=False):
         """Fetch + traceback + path emission for a pending device
         decode (see ``rate_best_device``, which dispatches).  Separated
         so a document loop can dispatch ALL pages (carry chains on
-        device) before paying any fetch round-trip."""
+        device) before paying any fetch round-trip.
+
+        ``start_slot``/``return_entry`` serve the lookahead write-back
+        mode (pages walked in reverse with chained entry slots); they
+        require the records protocol (``defer_walk=True`` at begin)."""
         if pending[0] == 'done':
-            return pending[1], pending[2]
+            out = pending[1], pending[2]
+            return (out, int(start_slot)) if return_entry else out
         kind, edges, packed_blocks, K = pending
         nE = len(edges)
         if kind == 'single':
+            if start_slot != 0 or return_entry:
+                raise ValueError(
+                    'device-walked pending has no per-slot records: '
+                    'dispatch with defer_walk=True for lookahead')
             packed = np.asarray(packed_blocks[0])
             start_cost = float(packed[0, 0])
             choices = packed[1:nE + 1, 0].astype(np.int32)
@@ -1255,7 +1282,9 @@ class Rater:
         # so the best final hypothesis is slot 0
         return self._walk_traceback(edges, all_rows, K,
                                     self._E_BUCKETS,
-                                    self._E_BUCKETS[-1], start_cost)
+                                    self._E_BUCKETS[-1], start_cost,
+                                    start_slot=start_slot,
+                                    return_entry=return_entry)
 
     def _fused_decode_fits(self, rows: int, na: int, L: int,
                            E_blk: int) -> bool:
@@ -1326,7 +1355,7 @@ class Rater:
         return weights
 
     def _rate_best_pallas(self, edges, device_traceback, context,
-                          lm_weight, beam_width):
+                          lm_weight, beam_width, defer_walk=False):
         """Fused-kernel decode dispatch (see ops/decode_kernel.py):
         same block chaining, pending format, and host traceback as the
         XLA path (finish happens in ``rate_best_device_finish``); the
@@ -1371,7 +1400,10 @@ class Rater:
         state, cost = self._fused_traceback(device_traceback, K,
                                             wts['emb'])
         nE = len(edges)
-        single = nE <= E_MAX
+        # defer_walk: lookahead write-back needs the raw per-slot
+        # records (walked later in reverse page order with chained
+        # entry slots) instead of the on-device rank-0 walk
+        single = nE <= E_MAX and not defer_walk
         packed_blocks = []
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
@@ -1425,7 +1457,6 @@ class Rater:
         G = N * S_sh   # documents per dispatch
         wts = self._decode_weights(context, lm_weight)
         emb = wts['emb']
-        nl_emb = np.asarray(emb[self.vocab.get('\n')])
 
         def doc_prepared(i):
             if prepared[i] is None:
@@ -1453,6 +1484,16 @@ class Rater:
                 cache[i] = arrays
             return arrays
 
+        # fresh per-group beam init built ON DEVICE from the resident
+        # embedding row and reused by every group: the previous
+        # host-built (N*K, S) numpy init cost a ~320KB blocking upload
+        # per group over tunneled links (measured ~10ms/group)
+        state0, cost0 = _fused_batch_beam_init(
+            emb[self.vocab.get('\n')], S_sh, N, K,
+            (2 * D + 1) * W, W)
+        if S_sh == 1:
+            state0, cost0 = state0[0], cost0[0]
+
         # pass 1: dispatch every group's kernels + device walks (no
         # host sync anywhere — fetches happen once, in pass 2)
         pending = []  # (group, E_blk, [device walk per block])
@@ -1475,13 +1516,7 @@ class Rater:
                                                E_blk):
                         break
             nE = max(sizes[i] for i in group)
-            state_np = np.zeros((S_sh, N * K, (2 * D + 1) * W),
-                                np.float32)
-            state_np[:, :, :W] = nl_emb
-            cost_np = np.full((S_sh, N * K, 1), BIG, np.float32)
-            cost_np[:, ::K] = 0.0  # slot 0 of every doc = live root
-            state = jnp.asarray(state_np if S_sh > 1 else state_np[0])
-            cost = jnp.asarray(cost_np if S_sh > 1 else cost_np[0])
+            state, cost = state0, cost0
             recs = []          # device records per block
             for lo in range(0, nE, E_blk):
                 E = _bucket(max(min(max(sizes[i] - lo, 0), E_blk)
@@ -1699,16 +1734,23 @@ class Rater:
         return alt_chars, alt_mask, alt_conf, alt_valid
 
     def _walk_traceback(self, edges, all_rows, K, E_BUCKETS, E_MAX,
-                        start_cost):
+                        start_cost, start_slot=0, return_entry=False):
         """Host backpointer walk over fetched [bp|alt|cost] rows (exact
         across chained blocks; slot 0 is the best final hypothesis),
-        then path emission with merged-run score attribution."""
+        then path emission with merged-run score attribution.
+
+        ``start_slot`` selects which final-beam hypothesis to walk
+        (rank order; 0 = best) — the lookahead write-back mode walks
+        page N at the slot page N+1's own walk entered through.  With
+        ``return_entry`` the result carries the entry slot at the
+        page's FIRST edge (= the slot in the previous page's final
+        beam, since the carry preserves slot order)."""
         nE = len(edges)
         rows = np.concatenate(all_rows, axis=0)
         bp = rows[:, :K].astype(np.int32)
         alts_m = rows[:, K:2 * K].astype(np.int32)
         costs_m = rows[:, 2 * K:]
-        k = 0
+        k = int(start_slot)
         rev_choices = []
         rev_costs = []
         for ei in range(len(rows) - 1, -1, -1):
@@ -1726,7 +1768,8 @@ class Rater:
             choices.extend(rev_choices[pos:pos + block_len])
             path_costs.extend(rev_costs[pos:pos + block_len])
             pos += E
-        return self._emit_path(edges, choices, path_costs, start_cost)
+        out = self._emit_path(edges, choices, path_costs, start_cost)
+        return (out, k) if return_entry else out
 
     def _emit_path(self, edges, choices, path_costs, start_cost):
         """Build the (element, textequiv, score) path from per-edge

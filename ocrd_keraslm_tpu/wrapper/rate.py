@@ -72,6 +72,13 @@ OCRD_TOOL = {
         # host-driven reference algorithm (per-char-round device calls,
         # one-page lookahead lock-in)
         'device_decoding': {'type': 'boolean', 'default': True},
+        # opt-in reference workflow emulation for device decoding:
+        # page N's path is only finalized through page N+1's decode
+        # (the walk of page N starts at the beam slot page N+1 entered
+        # through, exactly the reference's lookahead lock-in,
+        # reference rating.py:736-741) — for users who diff outputs
+        # against the original tool
+        'lookahead_writeback': {'type': 'boolean', 'default': False},
     },
 }
 
@@ -343,11 +350,24 @@ class KerasRate:
                 [rec[0] for rec in device_pending])
             device_pending = [(p,) + rec[1:] for p, rec in
                               zip(fetched, device_pending)]
-        for rec in device_pending:
+        results = [None] * len(device_pending)
+        if device_pending and \
+                self.parameter.get('lookahead_writeback'):
+            # reference lock-in emulation: walk pages in REVERSE,
+            # chaining the entry slot — page N's path is the one the
+            # globally best final path traverses (rating.py:736-741),
+            # not page N's own local rank-0 hypothesis.  Output files
+            # are then still written in forward page order below.
+            slot = 0
+            for pi in range(len(device_pending) - 1, -1, -1):
+                (results[pi], slot) = self.rater.rate_best_device_finish(
+                    device_pending[pi][0], start_slot=slot,
+                    return_entry=True)
+        for pi, rec in enumerate(device_pending):
             page_id = rec[3]
             input_file = rec[4]
             try:
-                self._finish_device_page(rec[:4])
+                self._finish_device_page(rec[:4], result=results[pi])
                 nr_succeeded += 1
             except KeyboardInterrupt:
                 raise
@@ -420,13 +440,15 @@ class KerasRate:
             device_traceback=device_tb,
             context=context,
             lm_weight=lm_weight,
-            beam_width=beam_width)
+            beam_width=beam_width,
+            defer_walk=bool(self.parameter.get('lookahead_writeback')))
         return (pending, pcgts, file_id, page_id), device_tb
 
-    def _finish_device_page(self, rec):
+    def _finish_device_page(self, rec, result=None):
         pending, pcgts, file_id, page_id = rec
         level = self.parameter['textequiv_level']
-        path, entropy = self.rater.rate_best_device_finish(pending)
+        path, entropy = (result if result is not None
+                         else self.rater.rate_best_device_finish(pending))
         _page_update_from_path(level, path, entropy, logger=self.logger)
         page_update_higher_textequiv_levels(level, pcgts)
         self._write_page(pcgts, file_id, page_id)

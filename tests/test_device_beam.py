@@ -148,3 +148,64 @@ def test_device_generate_context_matches_host(overfit_rater):
     dev = generate_beam(r, 'abcd ab', 6, [3], 1)
     assert dev and host
     assert dev[0] == host[0]
+
+
+def _path_cost(rater, path, lm_weight=0.5):
+    """Exact cost of a decoded path under the SHARED objective both
+    engines optimize: lm_weight * -log2 p_LM(char | full prefix from
+    the newline context) + (1-lm_weight) * -log2 conf, summed over
+    chars.  Used to compare decoders without trusting either's own
+    entropy bookkeeping."""
+    text = ''.join(te.Unicode for _, te, _ in path)
+    probs = rater.rate('\n' + text)
+    lm_bits = -np.sum(np.log2(np.maximum(probs[1:], 1e-30)))
+    conf_bits = 0.0
+    for _, te, _ in path:
+        conf = te.conf if te.conf is not None else 1.0
+        conf_bits += -np.log2(max(conf, 1e-30)) * len(te.Unicode)
+    return lm_weight * float(lm_bits) + (1 - lm_weight) * conf_bits
+
+
+def test_wide_beam_near_tie_diversity(overfit_rater):
+    """Adversarial near-tie lattices (the regime the reference's
+    history clustering exists for, rating.py:887-916): the device
+    decoder's exact per-edge top-k must find paths at least as good as
+    the host engine WITH clustering, at wide beams.  This is the
+    quality assertion that exact top-k subsumes clustering — not an
+    argument."""
+    r = overfit_rater
+    rng = np.random.default_rng(42)
+    trained = 'abcd '
+    for trial in range(5):
+        # every edge offers the LM-correct char among equal-confidence
+        # confusions: OCR evidence is a pure tie, only LM state
+        # history separates hypotheses -> near-duplicate hypotheses
+        # crowd a beam without diversity
+        graph = nx.DiGraph()
+        graph.add_node(0)
+        n_edges = 18
+        for e in range(n_edges):
+            correct = trained[e % len(trained)]
+            pool = [c for c in 'abcd ' if c != correct]
+            wrong = rng.choice(pool, size=3, replace=False)
+            tes = [TextEquivType(Unicode=c, conf=0.5, index=i)
+                   for i, c in enumerate([correct] + list(wrong))]
+            rng.shuffle(tes)
+            for i, te in enumerate(tes):
+                te.index = i
+            graph.add_edge(e, e + 1, element='g%d' % e,
+                           alternatives=tes)
+
+        for beam in (16, 32):
+            _, _, tb = r.rate_best(
+                graph, 0, n_edges, beam_width=beam,
+                beam_clustering_dist=5)
+            # flush the lock-in (reference: last page's own best path)
+            host_path, _, _ = r.next_path(tb[0], ([], tb[1]))
+            dev_path, _, _ = r.rate_best_device(
+                graph, 0, n_edges, beam_width=beam)
+            host_cost = _path_cost(r, host_path)
+            dev_cost = _path_cost(r, dev_path)
+            assert dev_cost <= host_cost + 1e-3, (
+                'trial %d beam %d: device %.4f bits vs host+clustering '
+                '%.4f bits' % (trial, beam, dev_cost, host_cost))

@@ -153,6 +153,11 @@ def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
         cand = jnp.where(idx_top == 0, NEG_INF, cand)
         cand = jnp.where(cost[:, None] >= NEG_INF / 2, NEG_INF, cand)
         flat = cand.reshape(-1)
+        # global fringe re-selection: lax.top_k.  Measured alternatives
+        # (round 3): approx_max_k(recall 1.0) on the flat 2560 is
+        # SLOWER (16.8 vs 13.2 us/char e2e marginal) — PartialReduce
+        # only wins on the wide per-row shape above; see
+        # docs/ROADMAP.md for the full selection-cost attribution
         neg_cost, flat_idx = jax.lax.top_k(-flat, K)
         new_cost = -neg_cost
         backptr = flat_idx // topk

@@ -219,6 +219,39 @@ def _fused_batch_beam_init(nl_emb, s_sh: int, n: int, k: int, s: int,
         .astype(jnp.float32)
 
 
+def _spread_labels(points, iters=40):
+    """De-overlap 2-D label positions by iterative pairwise repulsion
+    (capability of the reference's optional adjustText extra,
+    reference lib/rating.py:1222-1234): labels closer than ~2% of the
+    plot span push each other apart; the anchor points stay put."""
+    pts = np.asarray(points, np.float64).copy()
+    if len(pts) < 2:
+        return pts
+    span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])),
+               1e-9)
+    min_d = 0.02 * span
+    for _ in range(iters):
+        diff = pts[:, None, :] - pts[None, :, :]      # (N, N, 2)
+        dist = np.sqrt((diff ** 2).sum(-1))
+        np.fill_diagonal(dist, np.inf)
+        close = dist < min_d
+        if not close.any():
+            break
+        # unit push away from every too-close neighbor; exactly
+        # coincident pairs separate along per-index directions
+        with np.errstate(invalid='ignore', divide='ignore'):
+            unit = diff / dist[..., None]
+        ang = np.linspace(0, 2 * np.pi, len(pts), endpoint=False)
+        fallback = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        unit = np.where(np.isfinite(unit), unit,
+                        fallback[:, None, :])
+        push = (unit * close[..., None]).sum(axis=1)
+        norm = np.sqrt((push ** 2).sum(-1, keepdims=True))
+        push = np.where(norm > 0, push / np.maximum(norm, 1e-12), 0.0)
+        pts = pts + push * (min_d * 0.25)
+    return pts
+
+
 class Rater:
     """A character-level LSTM language model for rating text (TPU)."""
 
@@ -1850,7 +1883,7 @@ class Rater:
         prj = PCA(n_components=2).fit_transform(wgt)
         plt.figure(figsize=(11.7, 8.3))
         plt.plot(prj[:, 0], prj[:, 1], 'bo', markersize=2)
-        for year, xy in enumerate(prj):
+        for year, xy in enumerate(_spread_labels(prj)):
             plt.text(xy[0], xy[1], str(year) + 'x', c='b', size='xx-small')
         plt.tick_params(left=False, right=False, bottom=False,
                         labelleft=False, labelbottom=False)

@@ -321,7 +321,7 @@ def main():
 
     # ---- incremental generation (explicit-state beam sampling) ----
     gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
-    gen_cps_med = gen_stream_med = None
+    gen_cps_med = gen_stream_med = gen_long_cps = None
     try:
         base_gen = max(numpy_baseline_generate_chars_per_sec(
             params_np, width, depth) for _ in range(3))
@@ -354,6 +354,19 @@ def main():
         print('tpu generation device-side: %.0f chars/s '
               '(%.1f us/char marginal)' % (gen_dev_cps, slope * 1e6),
               file=sys.stderr)
+        # long-form serving point: 4096 chars amortize the fixed
+        # ~27 ms dispatch RTT 4x (at 1024 chars the RTT alone caps
+        # e2e at ~38k chars/s whatever the kernel does)
+        GEN_LONG = 4096
+        rater.generate('abc', GEN_LONG)  # warmup bucket 4096
+        best_l = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rater.generate('abc', GEN_LONG)
+            best_l = min(best_l, time.perf_counter() - t0)
+        gen_long_cps = GEN_LONG / best_l
+        print('tpu generation (%d chars e2e): %.0f chars/s (%.3fs)'
+              % (GEN_LONG, gen_long_cps, best_l), file=sys.stderr)
         # serving-style: 32 prompts generated in ONE vmapped dispatch
         S = 32
         prompts = ['abc%d' % s for s in range(S)]
@@ -453,6 +466,12 @@ def main():
         if gen_dev_cps is not None:
             extra['generate_device_chars_per_sec'] = \
                 round(gen_dev_cps, 1)
+        if gen_long_cps is not None:
+            extra['generate_long_chars_per_sec'] = \
+                round(gen_long_cps, 1)
+            if base_gen:
+                extra['generate_long_vs_baseline'] = \
+                    round(gen_long_cps / base_gen, 2)
         if base_gen:
             extra['numpy_baseline_generate_chars_per_sec'] = \
                 round(base_gen, 1)

@@ -170,6 +170,10 @@ def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
         xemb = jnp.dot(onehot, emb, precision=EX)
         state2 = jnp.concatenate([xemb, hs2], axis=1)
         return ((state2, new_cost), (new_char, backptr, new_cost))
+    # unroll 2: measured unroll=8 saves ~17% device-side (16.2 -> 13.5
+    # us/char) but the 8x program takes MINUTES per length bucket to
+    # compile through the tunneled compile service — unacceptable for
+    # the five buckets the serving driver warms (docs/ROADMAP.md)
     (state, cost), (chars, backptrs, costs) = jax.lax.scan(
         step, (state, cost), None, length=length, unroll=2)
     # per-step cost records allow ranking at ANY step <= length, so the

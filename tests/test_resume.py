@@ -124,3 +124,55 @@ def test_resume_restores_best_and_patience(corpus, tmp_path):
     assert len(rc.history['val_loss']) == 4
     # best val tracks the minimum over ALL epochs including pre-restart
     assert min(rc.history['val_loss']) <= min(rb.history['val_loss'])
+
+
+def test_mesh_resume_matches_uninterrupted(tmp_path):
+    """Sharding-aware resume: a mesh (dp/tp) training run snapshots
+    host-side state; the resumed run re-applies the mesh shardings
+    (training.py shard_fn) and continues — the trajectory matches an
+    uninterrupted mesh run."""
+    import jax
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    from ocrd_keraslm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    files = []
+    for name in ('a_b_1800', 'c_d_1810'):
+        p = tmp_path / (name + '.txt')
+        p.write_text(''.join(
+            'abcdefgh '[i] for i in rng.integers(0, 9, 4000)))
+        files.append(str(p))
+
+    def run(epochs, resume_dir=None, tag='m'):
+        old = training.EPOCHS
+        training.EPOCHS = epochs
+        try:
+            random.seed(21)
+            np.random.seed(23)
+            r = Rater()
+            r.width, r.depth, r.length = 16, 2, 32
+            r.stateful = True
+            r.batch_size = 8
+            r.mesh = make_mesh(8, model_parallel=2,
+                               devices=jax.devices('cpu'))
+            r.ckpt_dir = str(tmp_path / ('ck_' + tag))
+            if resume_dir:
+                r.resume_dir = str(resume_dir)
+            r.configure()
+            r.train(files)
+            return r
+        finally:
+            training.EPOCHS = old
+
+    ra = run(3, tag='a')
+    assert ra.status == 2
+    snap = tmp_path / 'snap_mesh'
+    rb = run(2, resume_dir=snap, tag='b')   # epochs 1-2, snapshotted
+    rc = run(3, resume_dir=snap, tag='c')   # resumes onto the mesh
+    assert rc.status == 2
+    assert len(rc.history['loss']) == 3
+    for key in ra.history:
+        np.testing.assert_allclose(
+            rc.history[key], ra.history[key], rtol=1e-4,
+            err_msg='mesh-resumed %s diverged' % key)

@@ -145,6 +145,23 @@ def train_rater(rater, data, val_data=None) -> None:
         from .utils import orbaxio
         resume = orbaxio.load_train_state(resume_dir)
         ckpt_mgr = orbaxio.TrainCheckpointer(resume_dir)
+        if resume is not None:
+            # a snapshot from a DIFFERENT run configuration cannot be
+            # continued (params/opt shapes and the data layout would
+            # mismatch): warn and start fresh, same spirit as the
+            # reference's topology check for -m continuation
+            topo = resume['meta'].get('topology') or {}
+            want = {'width': rater.width, 'depth': rater.depth,
+                    'length': rater.length,
+                    'stateful': bool(rater.stateful),
+                    'train_streams': bool(rater.train_streams),
+                    'batch_size': rater.batch_size}
+            if topo and topo != want:
+                rater.logger.warning(
+                    'ignoring train-state snapshot in %s: it was '
+                    'written by a different configuration (%s vs %s)',
+                    resume_dir, topo, want)
+                resume = None
 
     plan = split_data(
         files, stateful=rater.stateful, length=rater.length,
@@ -291,6 +308,11 @@ def train_rater(rater, data, val_data=None) -> None:
                              if plan.window_split is not None
                              else None),
             'mapping': rater.vocab.to_codepoints().tolist(),
+            'topology': {'width': rater.width, 'depth': rater.depth,
+                         'length': rater.length,
+                         'stateful': bool(rater.stateful),
+                         'train_streams': bool(rater.train_streams),
+                         'batch_size': rater.batch_size},
         })
 
     import time as _time

@@ -176,3 +176,30 @@ def test_mesh_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(
             rc.history[key], ra.history[key], rtol=1e-4,
             err_msg='mesh-resumed %s diverged' % key)
+
+
+def test_resume_ignores_mismatched_topology(corpus, tmp_path):
+    """A snapshot written by a different run configuration must be
+    ignored (warn + fresh start), not crash with shape mismatches."""
+    snap = tmp_path / 'snap3'
+    rb = _train(corpus, tmp_path, 2, resume_dir=snap, tag='f')
+    assert rb.status == 2
+    # different width: the old snapshot cannot be continued
+    old = training.EPOCHS
+    training.EPOCHS = 1
+    try:
+        random.seed(11)
+        np.random.seed(13)
+        r = Rater()
+        r.width, r.depth, r.length = 24, 1, 16  # width changed
+        r.batch_size = 32
+        r.stateful = True
+        r.train_streams = True
+        r.ckpt_dir = str(tmp_path / 'ckpt_f2')
+        r.resume_dir = str(snap)
+        r.configure()
+        r.train(corpus)
+    finally:
+        training.EPOCHS = old
+    assert r.status == 2
+    assert len(r.history['loss']) == 1  # fresh run, not a continuation

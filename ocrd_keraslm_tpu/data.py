@@ -24,7 +24,7 @@ import logging
 from dataclasses import dataclass, field
 from math import ceil
 from random import shuffle
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 

@@ -22,11 +22,10 @@ same checkpoint format, but a TPU-native execution model:
 """
 from __future__ import annotations
 
-import json
 import logging
 import os
 from functools import partial
-from math import ceil, exp, log
+from math import exp, log
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

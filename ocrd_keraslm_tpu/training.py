@@ -23,7 +23,7 @@ import os
 import signal
 import sys
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .data import (Batch, gen_stateful_parity, gen_stateful_streams,
+from .data import (gen_stateful_parity, gen_stateful_streams,
                    gen_stateless, split_data)
 from .models.lstm_lm import (LMConfig, forward_seq, regularization_loss,
                              sequence_xent, zero_carry)

@@ -300,7 +300,7 @@ def main():
     # (rate_best_batch): documents stack in the MXU row dimension, so
     # a serving batch decodes ~3x faster than the same documents
     # sequentially through the single-document (latency) kernel.
-    decode_batch = decode_batch_med = None
+    decode_batch = decode_batch_med = decode_batch32 = None
     try:
         if pages:
             rater.rate_best_batch(pages, beam_width=16)  # warm/compile
@@ -316,6 +316,21 @@ def main():
             print('tpu decode (%d-doc batch, beam 16, 4 alts): '
                   '%.0f chars/s (best %.3fs, median %.3fs)'
                   % (n_pages, decode_batch, best, med), file=sys.stderr)
+            # scaling point: 32 docs = 4 kernel groups, same compiled
+            # shapes (more host prep overlaps more device compute)
+            pages32 = pages + pages
+            rater.rate_best_batch(pages32, beam_width=16)
+            times = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                rater.rate_best_batch(pages32, beam_width=16)
+                times.append(time.perf_counter() - t0)
+            best32 = min(times)
+            decode_batch32 = len(pages32) * n_edges / best32
+            print('tpu decode (32-doc batch): %.0f chars/s '
+                  '(best %.3fs, median %.3fs)'
+                  % (decode_batch32, best32,
+                     sorted(times)[len(times) // 2]), file=sys.stderr)
     except Exception as err:
         print('batch decode bench failed: %r' % err, file=sys.stderr)
 
@@ -454,6 +469,9 @@ def main():
                 round(decode_batch_med, 1),
             'decode_batch_vs_baseline':
                 round(decode_batch / base_dec, 2)})
+        if decode_batch32 is not None:
+            extra['decode_batch32_chars_per_sec'] = \
+                round(decode_batch32, 1)
     if train_cps is not None:
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),

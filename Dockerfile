@@ -11,7 +11,7 @@ COPY bench.py __graft_entry__.py ./
 RUN pip install --no-cache-dir "jax[tpu]" -f \
       https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     || pip install --no-cache-dir jax
-RUN pip install --no-cache-dir numpy h5py click networkx lxml optax \
+RUN pip install --no-cache-dir numpy h5py click networkx lxml optax orbax-checkpoint \
     && pip install --no-cache-dir -e . --no-deps
 
 ENTRYPOINT []

@@ -22,7 +22,7 @@ help:
 	@echo "  docker        build the docker image"
 
 deps:
-	$(PIP) install jax numpy h5py click networkx lxml optax
+	$(PIP) install jax numpy h5py click networkx lxml optax orbax-checkpoint
 
 install:
 	$(PIP) install -e . --no-deps --no-build-isolation

@@ -275,42 +275,40 @@ def main():
         decode_document()
         print('decode compile+warmup: %.1fs'
               % (time.perf_counter() - t0), file=sys.stderr)
-        times = []
-        # best-of-8: the tunneled service stalls ~120 ms every few
-        # calls; smaller rep counts often never escape a stall window.
-        # The median is reported alongside so the number stays honest
-        # under contention.
-        for _ in range(8):
-            t0 = time.perf_counter()
-            outs = decode_document()
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        med = sorted(times)[len(times) // 2]
-        decode = n_pages * n_edges / best
-        decode_med = n_pages * n_edges / med
-        print('tpu decode (%d-page doc, beam 16, 4 alts): %.0f chars/s '
-              '(best %.3fs, median %.3fs for %d edges)'
-              % (n_pages, decode, best, med, n_pages * n_edges),
-              file=sys.stderr)
     except Exception as err:
         print('decode bench failed: %r' % err, file=sys.stderr)
 
     # ---- document-batched decode (serving shape) ----
     # N INDEPENDENT documents through the doc-batched fused kernel
-    # (rate_best_batch): documents stack in the MXU row dimension, so
-    # a serving batch decodes ~3x faster than the same documents
-    # sequentially through the single-document (latency) kernel.
+    # (rate_best_batch): documents stack in the MXU row dimension —
+    # a serving batch decodes faster than the same documents through
+    # the pipelined single-document (latency) path.
+    # The reps of the two paths INTERLEAVE so the tunneled service's
+    # drifting contention (stalls of ~120 ms every few calls) hits
+    # both comparably; best + median are reported for each.
     decode_batch = decode_batch_med = decode_batch32 = None
     try:
         if pages:
             rater.rate_best_batch(pages, beam_width=16)  # warm/compile
-            times = []
+            times_single = []
+            times_batch = []
             for _ in range(8):
                 t0 = time.perf_counter()
+                decode_document()
+                times_single.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
                 rater.rate_best_batch(pages, beam_width=16)
-                times.append(time.perf_counter() - t0)
-            best = min(times)
-            med = sorted(times)[len(times) // 2]
+                times_batch.append(time.perf_counter() - t0)
+            best = min(times_single)
+            med = sorted(times_single)[len(times_single) // 2]
+            decode = n_pages * n_edges / best
+            decode_med = n_pages * n_edges / med
+            print('tpu decode (%d-page doc, beam 16, 4 alts): '
+                  '%.0f chars/s (best %.3fs, median %.3fs for %d edges)'
+                  % (n_pages, decode, best, med, n_pages * n_edges),
+                  file=sys.stderr)
+            best = min(times_batch)
+            med = sorted(times_batch)[len(times_batch) // 2]
             decode_batch = n_pages * n_edges / best
             decode_batch_med = n_pages * n_edges / med
             print('tpu decode (%d-doc batch, beam 16, 4 alts): '

@@ -13,7 +13,7 @@ shape-changing), so one jitted train/eval step serves the whole epoch
 with no recompilation.  In stateful mode, in addition to the
 reference-parity single-stream layout (batch_size=1, windows in file
 order), there is a TPU-native **parallel-streams** layout: each file is
-cut into ``batch`size`` contiguous streams which advance in lockstep,
+cut into ``batch_size`` contiguous streams which advance in lockstep,
 one (h, c) carry per stream — the standard truncated-BPTT batching that
 keeps the MXU fed (batch 128 instead of 1) while preserving recurrence
 within each stream.

@@ -109,8 +109,8 @@ def load_model(path: str
 # to ``ep_NNNN`` only when complete, so a kill -9 mid-write leaves the
 # previous snapshot intact and the loader only ever sees finished
 # snapshots.  Saves are ASYNC (ocp.AsyncCheckpointer): the write of
-# epoch N overlaps the compute of epoch N+1 and is finalized (waited
-# for + renamed) at the next save or at close().  Sharding-awareness:
+# epoch N overlaps the compute of epoch N+1, and a background thread
+# commits (renames) as soon as the write lands.  Sharding-awareness:
 # leaves are materialized host-side before saving, and training.py
 # re-applies its mesh sharding (shard_fn) after restore, so a mesh run
 # resumes onto the same mesh layout.

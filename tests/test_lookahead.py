@@ -81,13 +81,14 @@ def _make_pages(rater, rng, n_pages=3, n_edges=12):
     return pages
 
 
-def test_lookahead_equals_concatenated_decode(tmp_path):
+@pytest.mark.parametrize('seed', [7, 19, 42])
+def test_lookahead_equals_concatenated_decode(tmp_path, seed):
     """Per-page decode with lookahead lock-in must reproduce EXACTLY
     the decode of all pages as ONE concatenated lattice (the global
     best path) — the reference's workflow invariant.  Immediate mode
     only guarantees each page's locally best hypothesis."""
     r = _make_rater(tmp_path)
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     pages = _make_pages(r, rng)
 
     # ONE concatenated lattice = ground-truth global best path

@@ -416,14 +416,17 @@ def main():
         opt_state = _OPT.init(params)
         p = params
         rngk = jax.random.PRNGKey(0)
+        up = jax.default_backend() == 'tpu'  # Pallas fwd+bwd kernels
         p, opt_state, carry, loss, nll, acc = train_step(
-            p, opt_state, cfg, x, zs, y, mask, carry, rngk)  # compile
+            p, opt_state, cfg, x, zs, y, mask, carry, rngk,
+            use_pallas=up)  # compile
         float(loss)
         t0 = time.perf_counter()
         reps = 5
         for _ in range(reps):
             p, opt_state, carry, loss, nll, acc = train_step(
-                p, opt_state, cfg, x, zs, y, mask, carry, rngk)
+                p, opt_state, cfg, x, zs, y, mask, carry, rngk,
+                use_pallas=up)
         float(loss)
         dt = (time.perf_counter() - t0) / reps
         train_cps = B * T / dt

@@ -18,10 +18,15 @@ elementwise ops — entirely on-chip:
 Gate order i, f, g, o; activations sigmoid/tanh — bit-identical math to
 ``models.lstm_lm.lstm_gates`` (parity-tested).
 
-A custom VJP recomputes the backward pass through the jnp ``lax.scan``
-reference implementation, so the kernel is safe to use under
-``jax.grad`` (training defaults to the jnp path anyway; XLA fuses it
-well, and gradients stay exact).
+The custom VJP runs the BACKWARD recurrence as a second Pallas kernel
+(reverse time grid): per step it recomputes the gate pre-activations
+from the saved (h, c) sequences (one extra matmul instead of storing
+(B, T, 4W) activations), forms the gate derivatives, emits the input-
+projection cotangent block, chains the recurrent (dh, dc) carries in
+VMEM scratch, and accumulates the recurrent-kernel gradient in a VMEM
+scratch that is written once at the end.  An exact jnp fallback
+(``jax.vjp`` through the ``lax.scan`` reference) is kept for interpret
+mode and as the parity baseline.
 """
 from __future__ import annotations
 
@@ -45,7 +50,7 @@ def _gate_math(z: jnp.ndarray, c: jnp.ndarray, W: int
 
 
 def _lstm_scan_kernel(xp_ref, rec_ref, h0_ref, c0_ref,
-                      hall_ref, hT_ref, cT_ref,
+                      hall_ref, call_ref, hT_ref, cT_ref,
                       h_scr, c_scr):
     t = pl.program_id(0)
     n_t = pl.num_programs(0)
@@ -64,6 +69,7 @@ def _lstm_scan_kernel(xp_ref, rec_ref, h0_ref, c0_ref,
     h_scr[:] = h_new
     c_scr[:] = c_new
     hall_ref[0] = h_new
+    call_ref[0] = c_new  # residual for the backward kernel
 
     @pl.when(t == n_t - 1)
     def _():
@@ -71,17 +77,15 @@ def _lstm_scan_kernel(xp_ref, rec_ref, h0_ref, c0_ref,
         cT_ref[:] = c_new
 
 
-def _lstm_scan_pallas_impl(x_proj: jnp.ndarray, h0: jnp.ndarray,
-                           c0: jnp.ndarray, recurrent: jnp.ndarray
-                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent):
     """x_proj: (B, T, 4W); h0, c0: (B, W); recurrent: (W, 4W).
-    Returns (h_all (B, T, W), hT, cT)."""
+    Returns (h_all (B, T, W), c_all (T, B, W) time-major, hT, cT)."""
     B, T, F = x_proj.shape
     W = h0.shape[-1]
     # time-major so each grid step's block is a well-tiled (B, 4W) slab
     xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4W)
     interpret = jax.default_backend() != 'tpu'
-    h_all, hT, cT = pl.pallas_call(
+    h_all, c_all, hT, cT = pl.pallas_call(
         _lstm_scan_kernel,
         grid=(T,),
         in_specs=[
@@ -97,12 +101,15 @@ def _lstm_scan_pallas_impl(x_proj: jnp.ndarray, h0: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, W), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, W), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((T, B, W), jnp.float32),
             jax.ShapeDtypeStruct((T, B, W), jnp.float32),
             jax.ShapeDtypeStruct((B, W), jnp.float32),
             jax.ShapeDtypeStruct((B, W), jnp.float32),
@@ -113,12 +120,129 @@ def _lstm_scan_pallas_impl(x_proj: jnp.ndarray, h0: jnp.ndarray,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * W * F + 10 * T * B * F,
-            bytes_accessed=4 * (T * B * F + W * F + T * B * W),
+            bytes_accessed=4 * (T * B * F + W * F + 2 * T * B * W),
             transcendentals=4 * T * B * W,
         ),
         interpret=interpret,
     )(xp_tm, recurrent, h0, c0)
+    return h_all, c_all, hT, cT
+
+
+def _lstm_scan_pallas_impl(x_proj: jnp.ndarray, h0: jnp.ndarray,
+                           c0: jnp.ndarray, recurrent: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    h_all, _, hT, cT = _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent)
     return jnp.swapaxes(h_all, 0, 1), hT, cT
+
+
+def _lstm_bwd_kernel(xp_ref, hprev_ref, cprev_ref, ccur_ref,
+                     dhout_ref, rec_ref, recT_ref, dhT_ref, dcT_ref,
+                     dxp_ref, dU_ref, dh0_ref, dc0_ref,
+                     dh_scr, dc_scr, dU_scr):
+    """Reverse-time backward step (index maps feed blocks in reverse
+    time order).  Recomputes z and the gates from the saved states —
+    one extra (B, W) x (W, 4W) matmul instead of a (B, T, 4W)
+    activation residual."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[:] = dhT_ref[:]
+        dc_scr[:] = dcT_ref[:]
+        dU_scr[:] = jnp.zeros_like(dU_scr)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_cur = ccur_ref[0]
+    W = h_prev.shape[-1]
+
+    z = xp_ref[0] + jnp.dot(h_prev, rec_ref[:],
+                            preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+    f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+    g = jnp.tanh(z[:, 2 * W:3 * W])
+    o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+
+    dh_total = dhout_ref[0] + dh_scr[:]
+    tc = jnp.tanh(c_cur)
+    do = dh_total * tc
+    dc_total = dc_scr[:] + dh_total * o * (1.0 - tc * tc)
+    di = dc_total * g
+    df = dc_total * c_prev
+    dg = dc_total * i
+    dz = jnp.concatenate([
+        di * i * (1.0 - i),
+        df * f * (1.0 - f),
+        dg * (1.0 - g * g),
+        do * o * (1.0 - o),
+    ], axis=1)                                  # (B, 4W)
+    dxp_ref[0] = dz
+    dh_scr[:] = jnp.dot(dz, recT_ref[:],
+                        preferred_element_type=jnp.float32)
+    dc_scr[:] = dc_total * f
+    # dU += h_prev^T @ dz (contract over batch)
+    dU_scr[:] = dU_scr[:] + jax.lax.dot_general(
+        h_prev, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(t == n_t - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+        dU_ref[:] = dU_scr[:]
+
+
+def _lstm_bwd_pallas(xp_tm, hprev_tm, cprev_tm, call_tm, dhout_tm,
+                     recurrent, dhT, dcT):
+    """All sequence arrays time-major (T, B, *).  Returns
+    (dxp_tm (T, B, 4W), dU (W, 4W), dh0 (B, W), dc0 (B, W))."""
+    T, B, F = xp_tm.shape
+    W = hprev_tm.shape[-1]
+    recT = jnp.swapaxes(recurrent, 0, 1)  # (4W, W)
+    interpret = jax.default_backend() != 'tpu'
+    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731 — reverse time
+    fix = lambda t: (0, 0)             # noqa: E731
+    return pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, F), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, F), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, W), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, F), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, F), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, F), jnp.float32),
+            jax.ShapeDtypeStruct((W, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, W), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((W, F), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * T * B * W * F + 20 * T * B * F,
+            bytes_accessed=4 * (2 * T * B * F + 2 * W * F
+                                + 4 * T * B * W),
+            transcendentals=5 * T * B * W,
+        ),
+        interpret=interpret,
+    )(xp_tm, hprev_tm, cprev_tm, call_tm, dhout_tm, recurrent, recT,
+      dhT, dcT)
 
 
 def _jnp_scan(x_proj, h0, c0, recurrent):
@@ -132,13 +256,24 @@ def lstm_scan_pallas(x_proj, h0, c0, recurrent):
 
 
 def _fwd(x_proj, h0, c0, recurrent):
-    out = _lstm_scan_pallas_impl(x_proj, h0, c0, recurrent)
-    return out, (x_proj, h0, c0, recurrent)
+    h_all_tm, c_all_tm, hT, cT = _lstm_scan_pallas_raw(
+        x_proj, h0, c0, recurrent)
+    out = (jnp.swapaxes(h_all_tm, 0, 1), hT, cT)
+    return out, (x_proj, h0, c0, recurrent, h_all_tm, c_all_tm)
 
 
 def _bwd(residuals, cotangents):
-    _, vjp = jax.vjp(_jnp_scan, *residuals)
-    return vjp(cotangents)
+    x_proj, h0, c0, recurrent, h_all_tm, c_all_tm = residuals
+    dh_all, dhT, dcT = cotangents
+    xp_tm = jnp.swapaxes(x_proj, 0, 1)
+    # previous-state sequences: h_{t-1}, c_{t-1} rows (t=0 -> h0/c0)
+    hprev_tm = jnp.concatenate([h0[None], h_all_tm[:-1]], axis=0)
+    cprev_tm = jnp.concatenate([c0[None], c_all_tm[:-1]], axis=0)
+    dhout_tm = jnp.swapaxes(dh_all, 0, 1)
+    dxp_tm, dU, dh0, dc0 = _lstm_bwd_pallas(
+        xp_tm, hprev_tm, cprev_tm, c_all_tm, dhout_tm, recurrent,
+        dhT, dcT)
+    return jnp.swapaxes(dxp_tm, 0, 1), dh0, dc0, dU
 
 
 lstm_scan_pallas.defvjp(_fwd, _bwd)

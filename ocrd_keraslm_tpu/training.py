@@ -59,9 +59,10 @@ def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
 
 
 def _loss_fn(params, cfg: LMConfig, x, zs, y, mask, carry, rng,
-             train: bool, x_mask=None):
+             train: bool, x_mask=None, use_pallas=False):
     logits, carry = forward_seq(params, cfg, x, list(zs), carry,
-                                train=train, rng=rng, x_mask=x_mask)
+                                train=train, rng=rng, x_mask=x_mask,
+                                use_pallas=use_pallas)
     if y.ndim == 1:  # stateless windowed: predict only the next char
         logits = logits[:, -1, :]
     nll, acc = sequence_xent(logits, y, mask)
@@ -74,14 +75,19 @@ def _loss_fn(params, cfg: LMConfig, x, zs, y, mask, carry, rng,
 _OPT = make_optimizer()
 
 
-@partial(jax.jit, static_argnames='cfg', donate_argnums=(0, 1, 7))
+@partial(jax.jit, static_argnames=('cfg', 'use_pallas'),
+         donate_argnums=(0, 1, 7))
 def train_step(params, opt_state, cfg: LMConfig, x, zs, y, mask, carry,
-               rng, x_mask=None):
+               rng, x_mask=None, use_pallas=False):
     # the optimizer transform _OPT is closed over (optax transforms are
-    # not hashable for static jit args)
+    # not hashable for static jit args).  use_pallas routes the LSTM
+    # recurrence through the Pallas forward + BACKWARD kernels
+    # (ops/lstm_cell.py) — the gradient pass measured 7.0 -> 3.9 ms on
+    # the B=128 T=256 flagship step; the jnp scan is the CPU/parity
+    # path
     (loss, (nll, acc, carry)), grads = jax.value_and_grad(
         _loss_fn, has_aux=True)(params, cfg, x, zs, y, mask, carry, rng,
-                                True, x_mask)
+                                True, x_mask, use_pallas)
     updates, opt_state = _OPT.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, carry, loss, nll, acc
@@ -315,6 +321,13 @@ def train_rater(rater, data, val_data=None) -> None:
                          'batch_size': rater.batch_size},
         })
 
+    # Pallas fused recurrence (fwd + bwd kernels) for the unsharded
+    # TPU step; the jnp scan serves CPU (interpret mode is slow) and
+    # the mesh path (GSPMD does not partition pallas_call operands)
+    fast_recurrence = bool(getattr(rater, 'use_pallas', False)
+                           and mesh is None
+                           and rater.compute_dtype == 'float32')
+
     import time as _time
     first_step_logged = False
     try:
@@ -350,7 +363,8 @@ def train_rater(rater, data, val_data=None) -> None:
                      acc) = train_step(
                         params, opt_state, cfg, batch.x,
                         tuple(batch.zs), batch.y, batch.mask, carry,
-                        sub, batch.x_mask)
+                        sub, batch.x_mask,
+                        use_pallas=fast_recurrence)
                 if not first_step_logged:
                     # compile-vs-step observability (SURVEY §5.1/5.5)
                     float(loss)

@@ -195,3 +195,37 @@ def test_bfloat16_compute_close_to_f32(setup, rng):
     p_ref = jax.nn.softmax(ref, axis=-1)
     p_out = jax.nn.softmax(out, axis=-1)
     assert float(jnp.max(jnp.abs(p_ref - p_out))) < 0.03
+
+
+def test_pallas_scan_gradients_match_jnp(rng):
+    """The Pallas BACKWARD kernel (reverse-time grid, recomputed
+    gates, VMEM-accumulated dU) must reproduce the jnp scan's
+    gradients for every input: x_proj, h0, c0, recurrent — including
+    cotangents on h_all AND the final carry."""
+    from ocrd_keraslm_tpu.models.lstm_lm import _layer_scan_jnp
+    from ocrd_keraslm_tpu.ops.lstm_cell import lstm_scan_pallas
+    B, T, W = 3, 7, 8
+    x_proj = jnp.asarray(rng.standard_normal((B, T, 4 * W)),
+                         jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    rec = jnp.asarray(rng.standard_normal((W, 4 * W)) * 0.3,
+                      jnp.float32)
+    wh = jnp.asarray(rng.standard_normal((B, T, W)), jnp.float32)
+    whT = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    wcT = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+
+    def loss(fn, xp, h, c, r):
+        h_all, hT, cT = fn(xp, h, c, r)
+        return (jnp.sum(h_all * wh) + jnp.sum(hT * whT)
+                + jnp.sum(cT * wcT))
+
+    g_ref = jax.grad(lambda *a: loss(_layer_scan_jnp, *a),
+                     argnums=(0, 1, 2, 3))(x_proj, h0, c0, rec)
+    g_pal = jax.grad(lambda *a: loss(lstm_scan_pallas, *a),
+                     argnums=(0, 1, 2, 3))(x_proj, h0, c0, rec)
+    for name, a, b in zip(('dx_proj', 'dh0', 'dc0', 'drecurrent'),
+                          g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg='gradient mismatch for %s' % name)

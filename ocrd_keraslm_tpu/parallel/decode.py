@@ -72,8 +72,6 @@ def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
     -> (records (S, E, 8, 128), stateF, costF)`` with S = mesh data
     size.
     """
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.decode_kernel import decode_lattice_pallas_batch
 
     key = ('fused', mesh, N, E, A, L, K, D, W, v_pad, v_real,
@@ -94,11 +92,11 @@ def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
 
     d1 = P(DATA_AXIS)
     repl = P()
-    fn = jax.jit(shard_map(
+    fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(repl, repl, repl, repl, d1, d1, d1, d1, d1, d1),
         out_specs=(d1, d1, d1),
-        check_rep=False))
+        check_vma=False))
     _CACHE[key] = fn
     return fn
 
@@ -108,8 +106,6 @@ def make_fused_batch_walk(mesh: Mesh, N: int, K: int):
     decode: per chip, ``walk_records_batch`` over its own records.
     ``fn(records (S, E, 8, 128), k_in (S, N)) -> (k_out (S, N),
     walks (S, N, E, 2))``."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.decode_kernel import walk_records_batch
 
     key = ('walk', mesh, N, K)
@@ -123,7 +119,7 @@ def make_fused_batch_walk(mesh: Mesh, N: int, K: int):
         return k_out[None], walks[None]
 
     d1 = P(DATA_AXIS)
-    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(d1, d1),
-                           out_specs=(d1, d1), check_rep=False))
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(d1, d1),
+                               out_specs=(d1, d1), check_vma=False))
     _CACHE[key] = fn
     return fn

@@ -379,6 +379,168 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             cost_ref[:] = cost0_ref[:]
 
         t = pid
+        if L == 1:
+            fast_edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                           emb_ref, embT_ref, wcat_ref, bias_ref,
+                           rec_out_ref, state_ref, cost_ref)
+        else:
+            edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                      emb_ref, embT_ref, wcat_ref, bias_ref,
+                      rec_out_ref, state_ref, cost_ref)
+
+        @pl.when(pid == n_p - 1)
+        def _():
+            stateF_ref[:] = state_ref[:]
+            costF_ref[:] = cost_ref[:]
+
+    def fast_edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                       emb_ref, embT_ref, wcat_ref, bias_ref,
+                       rec_out_ref, state_ref, cost_ref):
+        """Single-char-alternative (L == 1) edge: the char step depends
+        only on the PARENT state, so the LSTM stack, tied-softmax
+        logits, and logsumexp run at NK parent rows instead of NKA
+        candidate rows (~3x fewer MACs at N=8/K=16/A=4 — this kernel
+        is MXU-compute-bound, measured).  Candidate-space work is just
+        exact one-hot picks of the current-char logit, the shared
+        rank/top-K/records code, and a parent-indexed state select.
+        Cost semantics and selection order are IDENTICAL to
+        ``edge_body``: per-row dot products are unchanged, only their
+        batching differs."""
+        char_a = chars_ref[t][:, 0:1].astype(jnp.float32)  # (NA, 1)
+        m_a = mask_ref[t][:, 0:1]                          # (NA, 1)
+        conf_a = conf_ref[t][:, 0:1]                       # (NA, 1)
+        valid_a = valid_ref[t]                             # (NA, 1)
+        state = state_ref[:]                               # (NK, S)
+
+        # ---- LSTM stack + softmax stats at NK parent rows ----
+        new_h, new_c = [], []
+        inp = None
+        for d in range(D):
+            if d == 0:
+                operand = state[:, 0:2 * W]
+            else:
+                operand = jnp.concatenate(
+                    [inp, state[:, (1 + d) * W:(2 + d) * W]], axis=1)
+            z = (jnp.dot(operand, wcat_ref[d],
+                         preferred_element_type=jnp.float32)
+                 + bias_ref[d])
+            i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+            f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+            g = jnp.tanh(z[:, 2 * W:3 * W])
+            o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+            c2 = f * state[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
+            h2 = o * jnp.tanh(c2)
+            new_h.append(h2)
+            new_c.append(c2)
+            inp = h2
+        viota_nk = jax.lax.broadcasted_iota(jnp.int32, (NK, V), 1)
+        logits = jnp.dot(inp, embT_ref[:],
+                         preferred_element_type=jnp.float32)  # (NK, V)
+        logits = jnp.where(viota_nk < V_real, logits, -BIG)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        lse = mx + jnp.log(
+            jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
+
+        # ---- candidate space: exact expansions + one-hot picks ----
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (NKA, 1), 0)
+        iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, NKA), 1)
+        colK = jax.lax.broadcasted_iota(jnp.int32, (NKA, NK), 1)
+        Rexp = ((row_i // KA == colK // K) &
+                ((row_i % KA) // A == colK % K)).astype(jnp.float32)
+        colA = jax.lax.broadcasted_iota(jnp.int32, (NKA, NA), 1)
+        Texp = ((row_i // KA == colA // A) &
+                (row_i % A == colA % A)).astype(jnp.float32)
+
+        # parent-level logits and [lse | cost] -> candidate rows (two
+        # matmuls keep lane widths 128-aligned)
+        logitsE = jnp.dot(Rexp, logits, precision=EXACT,
+                          preferred_element_type=jnp.float32)  # (NKA, V)
+        lc = jnp.concatenate([lse, cost_ref[:]], axis=1)
+        lcE = jnp.dot(Rexp, lc, precision=EXACT,
+                      preferred_element_type=jnp.float32)   # (NKA, 2)
+        lseE = lcE[:, 0:1]
+        costE = lcE[:, 1:2]
+        # per-alternative [char | mask | conf | valid] -> candidates
+        alt4 = jnp.concatenate([char_a, m_a, conf_a, valid_a], axis=1)
+        altE = jnp.dot(Texp, alt4, precision=EXACT,
+                       preferred_element_type=jnp.float32)  # (NKA, 4)
+        char_c = altE[:, 0:1].astype(jnp.int32)
+        m_c = altE[:, 1:2]
+        conf_c = altE[:, 2:3]
+        valid_c = altE[:, 3:4]
+        lane_iota_v = jax.lax.broadcasted_iota(jnp.int32, (NKA, V), 1)
+        onehot_c = (lane_iota_v == char_c).astype(jnp.float32)
+        logit_cur = jnp.sum(onehot_c * logitsE, axis=-1, keepdims=True)
+        nll2 = (lseE - logit_cur) * INV_LN2
+        acc = m_c * (lm_weight * nll2 + (1.0 - lm_weight) * conf_c)
+
+        # ---- totals + per-doc top-K (IDENTICAL to edge_body) ----
+        total_col = jnp.where(valid_c > 0.5, costE + acc, BIG)
+        total_col = jnp.minimum(total_col, BIG)          # (NKA, 1)
+        total_row = jnp.transpose(total_col)             # (1, NKA)
+        same_doc = (row_i // KA) == (iota_row // KA)     # (NKA, NKA)
+        prec = (same_doc &
+                ((total_col < total_row) |
+                 ((total_col == total_row) &
+                  (row_i % KA < iota_row % KA)))).astype(jnp.float32)
+        ranks_row = jnp.dot(jnp.ones((1, NKA), jnp.float32), prec,
+                            preferred_element_type=jnp.float32)
+        ranks_i = ranks_row.astype(jnp.int32)            # (1, NKA)
+        rowK = jax.lax.broadcasted_iota(jnp.int32, (NK, 1), 0)
+        colKA = jax.lax.broadcasted_iota(jnp.int32, (NK, NKA), 1)
+        Sbig = ((jnp.broadcast_to(ranks_i, (NK, NKA)) == rowK % K) &
+                (rowK // K == colKA // KA)).astype(jnp.float32)
+        cost_ref[:] = jnp.dot(Sbig, total_col, precision=EXACT,
+                              preferred_element_type=jnp.float32)
+
+        # ---- records (IDENTICAL to edge_body) ----
+        ranks_col = jnp.transpose(ranks_i)               # (NKA, 1)
+        colNK = jax.lax.broadcasted_iota(jnp.int32, (NKA, NK), 1)
+        SbigT = ((jnp.broadcast_to(ranks_col, (NKA, NK)) == colNK % K) &
+                 (row_i // KA == colNK // K)).astype(jnp.float32)
+        parent_row = ((iota_row % KA) // A).astype(jnp.float32)
+        alt_row = (iota_row % A).astype(jnp.float32)
+        featsT = jnp.concatenate([parent_row, alt_row, total_row],
+                                 axis=0)                 # (3, NKA)
+        selT = jnp.dot(featsT, SbigT, precision=EXACT,
+                       preferred_element_type=jnp.float32)  # (3, NK)
+        pad_cols = LANE - NK
+        if pad_cols:
+            selT = jnp.concatenate(
+                [selT, jnp.zeros((3, pad_cols), jnp.float32)], axis=1)
+        rec = jnp.concatenate(
+            [selT, jnp.zeros((5, LANE), jnp.float32)], axis=0)
+        rec_out_ref[t] = rec
+
+        # ---- new beam state from PARENT-indexed tables ----
+        # chosen candidate j: parent k, current char, mask via Sbig
+        parent_c = ((row_i % KA) // A).astype(jnp.float32)
+        chf = jnp.concatenate(
+            [parent_c, char_c.astype(jnp.float32), m_c], axis=1)
+        chosen = jnp.dot(Sbig, chf, precision=EXACT,
+                         preferred_element_type=jnp.float32)  # (NK, 3)
+        parent_abs = ((rowK // K) * K +
+                      chosen[:, 0:1].astype(jnp.int32))   # (NK, 1)
+        char_sel = chosen[:, 1:2].astype(jnp.int32)
+        m_sel = chosen[:, 2:3]
+        colNK2 = jax.lax.broadcasted_iota(jnp.int32, (NK, NK), 1)
+        Sparent = (colNK2 == parent_abs).astype(jnp.float32)
+        # stepped (h, c) and the unstepped packed state of the chosen
+        # parent, selected in ONE matmul
+        cat = jnp.concatenate(new_h + new_c + [state], axis=1)
+        selcat = jnp.dot(Sparent, cat, precision=EXACT,
+                         preferred_element_type=jnp.float32)
+        hc_sel = selcat[:, 0:2 * D * W]
+        parent_packed = selcat[:, 2 * D * W:]
+        onehot_sel = (viota_nk == char_sel).astype(jnp.float32)
+        xemb_sel = jnp.dot(onehot_sel, emb_ref[:], precision=EXACT,
+                           preferred_element_type=jnp.float32)
+        stepped = jnp.concatenate([xemb_sel, hc_sel], axis=1)
+        state_ref[:] = jnp.where(m_sel > 0, stepped, parent_packed)
+
+    def edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                  emb_ref, embT_ref, wcat_ref, bias_ref,
+                  rec_out_ref, state_ref, cost_ref):
         chars_row = chars_ref[t].astype(jnp.float32)  # (NA, L)
         mask_row = mask_ref[t]                        # (NA, L)
         conf_row = conf_ref[t]                        # (NA, L)
@@ -473,11 +635,6 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
         rec = jnp.concatenate(
             [selT, jnp.zeros((5, LANE), jnp.float32)], axis=0)
         rec_out_ref[t] = rec
-
-        @pl.when(pid == n_p - 1)
-        def _():
-            stateF_ref[:] = state_ref[:]
-            costF_ref[:] = cost_ref[:]
 
     return kernel, S
 

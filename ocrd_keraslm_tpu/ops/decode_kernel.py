@@ -101,6 +101,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
     S = (2 * D + 1) * W  # [xemb | h_0.. | c_0..]
 
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
+               steps_ref,                         # SMEM (E, 1)
                emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
                state0_ref, cost0_ref,             # init
                rec_out_ref, stateF_ref, costF_ref,  # outputs
@@ -119,7 +120,8 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
         # pure index change)
         for u in range(EU):
             edge_body(pid * EU + u, chars_ref, mask_ref, conf_ref,
-                      valid_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
+                      valid_ref, steps_ref, emb_ref, embT_ref,
+                      wcat_ref, bias_ref,
                       rec_out_ref, state_ref, costf_ref)
 
         @pl.when(pid == n_p - 1)
@@ -128,7 +130,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
             costF_ref[:] = costf_ref[:]
 
     def edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
-                  emb_ref, embT_ref, wcat_ref, bias_ref,
+                  steps_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
                   rec_out_ref, state_ref, costf_ref):
         # per-edge rows via dynamic indexing of VMEM-resident arrays:
         # per-step streamed blocks cost ~30-40us/step in pipeline DMA
@@ -169,15 +171,29 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
 
         validE = tile_lane(valid_row)
 
-        acc = jnp.zeros((1, LANE), jnp.float32)
-
-        # ---- char steps (unrolled) ----
-        for step_t in range(L):
-            char_sub = tile_sub(chars_row[:, step_t:step_t + 1])
-            m_col = mask_row[:, step_t:step_t + 1]
+        # ---- char steps: static single step for the L == 1 bucket
+        # (the latency shape), else a fori_loop bounded by the
+        # PER-EDGE max alternative length (SMEM scalar) — padded steps
+        # are fully-masked no-ops, so skipping them is exact, and
+        # short edges in a mixed-length block (1-char glyphs next to
+        # merged runs) stop paying for the L bucket ----
+        def char_step_at(step_t, stateE, acc):
+            if L == 1:
+                char_col = chars_row[:, 0:1]
+                m_col = mask_row[:, 0:1]
+                conf_col = conf_row[:, 0:1]
+            else:
+                sel = lane_iota_L == step_t
+                char_col = jnp.sum(jnp.where(sel, chars_row, 0),
+                                   axis=1, keepdims=True)
+                m_col = jnp.sum(jnp.where(sel, mask_row, 0.0),
+                                axis=1, keepdims=True)
+                conf_col = jnp.sum(jnp.where(sel, conf_row, 0.0),
+                                   axis=1, keepdims=True)
+            char_sub = tile_sub(char_col)
             m_sub = tile_sub(m_col)
             m_lane = tile_lane(m_col)
-            conf_lane = tile_lane(conf_row[:, step_t:step_t + 1])
+            conf_lane = tile_lane(conf_col)
             onehot_cur = (lane_iota_v == char_sub).astype(jnp.float32)
 
             stateE_new, nll2 = _char_step(
@@ -190,7 +206,17 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
             acc = acc + m_lane * (lm_weight * nll2_lane +
                                   (1.0 - lm_weight) * conf_lane)
             keep = m_sub > 0
-            stateE = jnp.where(keep, stateE_new, stateE)
+            return jnp.where(keep, stateE_new, stateE), acc
+
+        acc0 = jnp.zeros((1, LANE), jnp.float32)
+        if L == 1:
+            stateE, acc = char_step_at(0, stateE, acc0)
+        else:
+            lane_iota_L = jax.lax.broadcasted_iota(jnp.int32, (A, L), 1)
+            stateE, acc = jax.lax.fori_loop(
+                0, steps_ref[t, 0],
+                lambda s, c: char_step_at(s, c[0], c[1]),
+                (stateE, acc0))
 
         # ---- totals + top-K selection (lane vectors only) ----
         total = costE + acc
@@ -256,7 +282,7 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
                           beam: int, depth: int, width: int,
                           v_pad: int, v_real: int, lm_weight: float,
                           device_walk: bool = False,
-                          edge_unroll: int = 1):
+                          edge_unroll: int = 1, alt_steps=None):
     """One-dispatch fused lattice decode.
 
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
@@ -272,6 +298,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     E, A, L = n_edges, n_alts, alt_len
     D, W, K, V = depth, width, beam, v_pad
     EU = edge_unroll if E % edge_unroll == 0 else 1
+    if alt_steps is None:
+        alt_steps = jnp.full((E, 1), L, jnp.int32)
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight, EU)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
@@ -283,6 +311,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             vmem((E, A, L), lambda t: (0, 0, 0)),
             vmem((E, A, L), lambda t: (0, 0, 0)),
             vmem((E, A, 1), lambda t: (0, 0, 0)),
+            pl.BlockSpec((E, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
             vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
@@ -305,8 +335,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             pltpu.VMEM((K, S), jnp.float32),
             pltpu.VMEM((1, LANE), jnp.float32),
         ],
-    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, emb, embT, wcat,
-      bias, state0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps, emb,
+      embT, wcat, bias, state0, cost0)
 
     bp = records[:, 0, :beam]
     alt = records[:, 1, :beam]
@@ -366,6 +396,7 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
     # Texp tiles each doc's A alternative rows into its K*A candidate
     # rows (both block-diagonal over docs).
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
+               steps_ref,                               # SMEM (E, 1)
                emb_ref, embT_ref, wcat_ref, bias_ref,   # VMEM weights
                state0_ref, cost0_ref,                   # init
                rec_out_ref, stateF_ref, costF_ref,      # outputs
@@ -385,7 +416,7 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
                            rec_out_ref, state_ref, cost_ref)
         else:
             edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
-                      emb_ref, embT_ref, wcat_ref, bias_ref,
+                      steps_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
                       rec_out_ref, state_ref, cost_ref)
 
         @pl.when(pid == n_p - 1)
@@ -539,7 +570,7 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
         state_ref[:] = jnp.where(m_sel > 0, stepped, parent_packed)
 
     def edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
-                  emb_ref, embT_ref, wcat_ref, bias_ref,
+                  steps_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
                   rec_out_ref, state_ref, cost_ref):
         chars_row = chars_ref[t].astype(jnp.float32)  # (NA, L)
         mask_row = mask_ref[t]                        # (NA, L)
@@ -565,14 +596,25 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
         validE = jnp.dot(Texp, valid_row, precision=EXACT,
                          preferred_element_type=jnp.float32)  # (NKA, 1)
 
-        acc = jnp.zeros((NKA, 1), jnp.float32)
+        # ---- char steps, costs in COLUMN space.  The loop bound is
+        # the PER-EDGE max alternative length (SMEM scalar): padded
+        # steps beyond it are fully-masked no-ops (state kept, acc
+        # += 0), so skipping them is exact — and most edges in a
+        # mixed-length group are far shorter than the L bucket
+        # (1-char glyph alternatives next to 8-char merged runs) ----
+        t_lim = steps_ref[t, 0]
+        lane_iota_L = jax.lax.broadcasted_iota(jnp.int32, (NA, L), 1)
 
-        # ---- char steps (unrolled), costs in COLUMN space ----
-        for step_t in range(L):
+        def char_body(step_t, carry):
+            stateE, acc = carry
+            sel = lane_iota_L == step_t
             col3 = jnp.concatenate(
-                [chars_row[:, step_t:step_t + 1],
-                 mask_row[:, step_t:step_t + 1],
-                 conf_row[:, step_t:step_t + 1]], axis=1)   # (NA, 3)
+                [jnp.sum(jnp.where(sel, chars_row, 0.0), axis=1,
+                         keepdims=True),
+                 jnp.sum(jnp.where(sel, mask_row, 0.0), axis=1,
+                         keepdims=True),
+                 jnp.sum(jnp.where(sel, conf_row, 0.0), axis=1,
+                         keepdims=True)], axis=1)           # (NA, 3)
             sub3 = jnp.dot(Texp, col3, precision=EXACT,
                            preferred_element_type=jnp.float32)
             # float char ids are exact (< 2^24) -> int for the one-hot
@@ -587,7 +629,11 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             acc = acc + m_sub * (lm_weight * nll2 +
                                  (1.0 - lm_weight) * conf_sub)
             keep = m_sub > 0
-            stateE = jnp.where(keep, stateE_new, stateE)
+            return jnp.where(keep, stateE_new, stateE), acc
+
+        stateE, acc = jax.lax.fori_loop(
+            0, t_lim, char_body,
+            (stateE, jnp.zeros((NKA, 1), jnp.float32)))
 
         # ---- totals + per-doc top-K via rank matmul ----
         total_col = jnp.where(validE > 0.5, costE + acc, BIG)
@@ -648,12 +694,14 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
                                 n_docs: int, n_edges: int, n_alts: int,
                                 alt_len: int, beam: int, depth: int,
                                 width: int, v_pad: int, v_real: int,
-                                lm_weight: float):
+                                lm_weight: float, alt_steps=None):
     """One-dispatch fused decode of N INDEPENDENT documents.
 
     alt_chars/mask/conf_bits: (E, N*A, L) doc-major per-edge rows;
     alt_valid: (E, N*A, 1); state0: (N*K, S) packed per-doc beams;
-    cost0: (N*K, 1) column costs (BIG = dead slot).
+    cost0: (N*K, 1) column costs (BIG = dead slot); alt_steps:
+    (E, 1) int32 per-edge char-step bound (max alternative length over
+    the group at that edge; None = the full L bucket every edge).
 
     Returns (records (E, 8, 128) with rows [bp | alt | cost] over
     doc-major NK lanes, stateF (N*K, S), costF (N*K, 1)).
@@ -664,6 +712,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
         raise ValueError('batched fused decode: N*K must be <= 128 '
                          'and N*K*A <= 512 (got N=%d K=%d A=%d)'
                          % (N, K, A))
+    if alt_steps is None:
+        alt_steps = jnp.full((E, 1), L, jnp.int32)
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_batch_kernel(N, D, K, A, L, W, V, v_real,
                                    lm_weight)
@@ -676,6 +726,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
             vmem((E, N * A, L), lambda t: (0, 0, 0)),
             vmem((E, N * A, L), lambda t: (0, 0, 0)),
             vmem((E, N * A, 1), lambda t: (0, 0, 0)),
+            pl.BlockSpec((E, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
             vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
@@ -698,8 +750,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
             pltpu.VMEM((N * K, S), jnp.float32),
             pltpu.VMEM((N * K, 1), jnp.float32),
         ],
-    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, emb, embT, wcat,
-      bias, state0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps, emb,
+      embT, wcat, bias, state0, cost0)
     return records, stateF, costF
 
 

@@ -1445,6 +1445,13 @@ class Rater:
                 E = _bucket(len(block), E_BUCKETS)
                 alt_chars, alt_mask, alt_conf, alt_valid = \
                     self._fill_decode_arrays(block, E, A, L)
+            # per-edge char-step bounds: short edges in a mixed-length
+            # block stop paying for the L bucket (exact — padded steps
+            # are fully-masked no-ops)
+            steps = None
+            if L > 1:
+                steps = alt_mask.sum(axis=2).max(axis=1) \
+                    .astype(np.int32)[:, None]
             packed, state, cost = decode_lattice_pallas(
                 wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
                 alt_chars, alt_mask, alt_conf,
@@ -1452,7 +1459,8 @@ class Rater:
                 state, cost,
                 n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D,
                 width=W, v_pad=wts['v_pad'], v_real=wts['v_real'],
-                lm_weight=float(lm_weight), device_walk=single)
+                lm_weight=float(lm_weight), device_walk=single,
+                alt_steps=steps)
             packed_blocks.append(packed)
         return (('single' if single else 'blocks'), edges,
                 packed_blocks, K), (state, cost)
@@ -1563,6 +1571,13 @@ class Rater:
                                 axis=1).reshape(E, G * A, L)
                 valid = np.stack([p[3] for p in per],
                                  axis=1).reshape(E, G * A)[..., None]
+                # per-edge char-step bounds (see decode_kernel):
+                # short edges in a mixed-length group stop paying for
+                # the L bucket
+                steps = None
+                if L > 1:
+                    steps = mask.sum(axis=2).max(axis=1) \
+                        .astype(np.int32)[:, None]
                 if S_sh == 1:
                     rec, state, cost = decode_lattice_pallas_batch(
                         emb, wts['embT'], wts['wcat'], wts['bias'],
@@ -1570,13 +1585,15 @@ class Rater:
                         n_docs=N, n_edges=E, n_alts=A, alt_len=L,
                         beam=K, depth=D, width=W, v_pad=wts['v_pad'],
                         v_real=wts['v_real'],
-                        lm_weight=float(lm_weight))
+                        lm_weight=float(lm_weight), alt_steps=steps)
                 else:
                     # docs doc-major: shard s takes docs [s*N, (s+1)*N)
                     from .parallel.decode import make_fused_batch_decode
                     fn = make_fused_batch_decode(
                         mesh, N, E, A, L, K, D, W, wts['v_pad'],
                         wts['v_real'], float(lm_weight))
+                    if steps is None:
+                        steps = np.full((E, 1), L, np.int32)
                     rec, state, cost = fn(
                         emb, wts['embT'], wts['wcat'], wts['bias'],
                         chars.reshape(E, S_sh, N * A, L)
@@ -1587,7 +1604,7 @@ class Rater:
                             .transpose(1, 0, 2, 3).copy(),
                         valid.reshape(E, S_sh, N * A, 1)
                              .transpose(1, 0, 2, 3).copy(),
-                        state, cost)
+                        steps, state, cost)
                 recs.append(rec)
             # walk the backpointers ON DEVICE (blocks in reverse,
             # starting slot chained between them); the fetch is then

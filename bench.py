@@ -332,6 +332,65 @@ def main():
     except Exception as err:
         print('batch decode bench failed: %r' % err, file=sys.stderr)
 
+    # ---- realistic-lattice serving decode ----
+    # OCR-shaped content: words of high-confidence single-alternative
+    # chars (merged into runs by the prep) with 1-2 ambiguous
+    # multi-alternative glyphs per word — the mixed-length regime the
+    # per-edge dynamic char-step bounds serve (synthetic all-4-alt
+    # pages above are the uniform L=1 regime).
+    decode_real = decode_real_med = None
+    try:
+        if pages:
+            def make_realistic(n_words, seed):
+                rngr = np.random.default_rng(seed)
+                g = nx.DiGraph()
+                g.add_node(0)
+                node = 0
+                for _ in range(n_words):
+                    wlen = int(rngr.integers(3, 9))
+                    amb = set(rngr.integers(0, wlen, size=2))
+                    for j in range(wlen):
+                        if j in amb:
+                            tes = [TextEquivType(
+                                Unicode=chars[rngr.integers(len(chars))],
+                                conf=float(rngr.uniform(0.6, 0.95)),
+                                index=i)
+                                for i in range(int(rngr.integers(2, 5)))]
+                        else:
+                            tes = [TextEquivType(
+                                Unicode=chars[rngr.integers(len(chars))],
+                                conf=0.95, index=0)]
+                        g.add_edge(node, node + 1, element='c%d' % node,
+                                   alternatives=tes)
+                        node += 1
+                    g.add_edge(node, node + 1, element='s%d' % node,
+                               alternatives=[TextEquivType(
+                                   Unicode=' ', conf=1.0, index=0)])
+                    node += 1
+                return g, node
+            rdocs = []
+            rchars = 0
+            for s in range(16):
+                g, n = make_realistic(160, s)
+                rdocs.append(g)
+                rchars += n
+            rater.rate_best_batch(rdocs, beam_width=16)  # warm/compile
+            times = []
+            for _ in range(8):
+                t0 = time.perf_counter()
+                rater.rate_best_batch(rdocs, beam_width=16)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            decode_real = rchars / times[0]
+            decode_real_med = rchars / times[len(times) // 2]
+            print('tpu decode (16 realistic docs, %d chars): '
+                  '%.0f chars/s (best %.3fs, median %.3fs)'
+                  % (rchars, decode_real, times[0],
+                     times[len(times) // 2]), file=sys.stderr)
+    except Exception as err:
+        print('realistic decode bench failed: %r' % err,
+              file=sys.stderr)
+
     # ---- incremental generation (explicit-state beam sampling) ----
     gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
     gen_cps_med = gen_stream_med = gen_long_cps = None
@@ -473,6 +532,11 @@ def main():
         if decode_batch32 is not None:
             extra['decode_batch32_chars_per_sec'] = \
                 round(decode_batch32, 1)
+        if decode_real is not None:
+            extra['decode_realistic_chars_per_sec'] = \
+                round(decode_real, 1)
+            extra['decode_realistic_chars_per_sec_median'] = \
+                round(decode_real_med, 1)
     if train_cps is not None:
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),

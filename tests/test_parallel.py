@@ -285,6 +285,90 @@ def test_sharded_fused_batch_decode_matches_sequential():
         np.testing.assert_allclose(e1, e2, atol=1e-3)
 
 
+def test_sharded_fused_batch_decode_per_shard_step_bounds():
+    """Per-SHARD char-step bounds (parallel/decode.py steps (S, E, 1)):
+    when one shard's documents carry long merged runs (L > 1 edges) and
+    the other shard's documents only 1-char alternatives, each chip's
+    fori_loop runs to its own docs' max alternative length — and the
+    results must still match per-document fused decodes exactly."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    import networkx as nx
+
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import train_tiny_model
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        model, _ = train_tiny_model(os.path.join(d, 'm.h5'),
+                                    'abcd ' * 400, steps=300)
+        r = Rater()
+        r.load_config(model)
+        r.stateful, r.incremental = False, True
+        r.configure()
+        r.load_weights(model)
+
+    chars = 'abcd '
+
+    def long_run_graph(seed):
+        # alternatives only at the first char: the rest of the text is
+        # a single-alternative run that merges into multi-char edges
+        g = nx.DiGraph()
+        g.add_node(0)
+        text = ('abcd ' * 4)[:14 + seed]
+        for e, true in enumerate(text):
+            if e == 0:
+                wrong = chars[(chars.index(true) + 1 + seed) % 5]
+                tes = [TextEquivType(Unicode=true, conf=0.8, index=0),
+                       TextEquivType(Unicode=wrong, conf=0.75,
+                                     index=1)]
+            else:
+                tes = [TextEquivType(Unicode=true, conf=0.9, index=0)]
+            g.add_edge(e, e + 1, element='e%d' % e, alternatives=tes)
+        return g
+
+    def char_alt_graph(seed):
+        # 2 alternatives at EVERY char: all edges stay 1-char
+        g = nx.DiGraph()
+        g.add_node(0)
+        text = ('abcd ' * 4)[:14 + seed]
+        for e, true in enumerate(text):
+            wrong = chars[(chars.index(true) + 1 + seed) % 5]
+            tes = [TextEquivType(Unicode=true, conf=0.8, index=0),
+                   TextEquivType(Unicode=wrong, conf=0.75, index=1)]
+            g.add_edge(e, e + 1, element='e%d' % e, alternatives=tes)
+        return g
+
+    # doc-major over 2 shards: shard 0 gets the merged-run docs,
+    # shard 1 the 1-char-edge docs -> different per-shard step bounds
+    graphs = [long_run_graph(0), long_run_graph(1),
+              char_alt_graph(0), char_alt_graph(1)]
+
+    r.fused_decode = True
+    try:
+        seq = []
+        for g in graphs:
+            path, ent, _ = r.rate_best_device(g, 0, len(g) - 1,
+                                              beam_width=4)
+            seq.append((path, ent))
+        r.mesh = make_mesh(2, model_parallel=1,
+                           devices=jax.devices('cpu')[:2])
+        batch = r.rate_best_batch(graphs, beam_width=4)
+    finally:
+        r.fused_decode = False
+        r.mesh = None
+    assert len(batch) == len(graphs)
+    for (p1, e1), (p2, e2) in zip(seq, batch):
+        assert ''.join(te.Unicode for _, te, _ in p1) == \
+            ''.join(te.Unicode for _, te, _ in p2)
+        np.testing.assert_allclose(e1, e2, atol=1e-3)
+
+
 def test_variable_length_training_over_mesh(tmp_path):
     """Stateless variable-length training (the Rater default) must work
     over a mesh: the sharded step takes the per-window x_mask with

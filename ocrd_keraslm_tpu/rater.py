@@ -1134,7 +1134,7 @@ class Rater:
                 max(maxlen_raw,
                     DECODE_MERGE_MAX if self.merge_runs else 1, 1),
                 (1, 2, 4, 8, 16, 32, 64))
-            E_fit = _bucket(len(edges_raw), (64, 256, 1024))
+            E_fit = _bucket(len(edges_raw), self._E_BUCKETS)
             if beam_width <= FUSED_MAX_BEAM and \
                     maxlen_raw <= FUSED_MAX_ALT_LEN and \
                     self._fused_decode_fits(128, 4, L_fit, E_fit):
@@ -1156,7 +1156,7 @@ class Rater:
         # fixed block buckets: long pages chain blocks of <= 1024 edges
         # through the device-resident beam carry, so ONE compiled shape
         # serves any page length (tunnel compiles cost minutes)
-        E_BUCKETS = (64, 256, 1024)
+        E_BUCKETS = self._E_BUCKETS
         E_MAX = E_BUCKETS[-1]
         maxlen = max(max((len(ids) for ids in pe['alt_ids']),
                          default=1) for pe in edges)
@@ -1443,7 +1443,9 @@ class Rater:
         # K*A <= 128 lanes (callers gate beam_width <= FUSED_MAX_BEAM)
         K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
         A = 4
-        E_BUCKETS = (64, 256, 1024)
+        # instance attribute so tests can force multi-block chaining
+        # at small scale (the blocks path otherwise needs >1024 edges)
+        E_BUCKETS = self._E_BUCKETS
         E_MAX = E_BUCKETS[-1]
         arrays = None
         if edges and isinstance(edges[0], dict) and \

@@ -173,6 +173,72 @@ def test_native_decode_prep_end_to_end_parity():
         [(e, t.Unicode, round(s, 5)) for e, t, s in path_p]
 
 
+def test_native_multiblock_walk_strides_match_python():
+    """Regression: chained single-document blocks have DIVERGENT row
+    strides between the two fill producers — the native whole-doc fill
+    emits E_MAX rows per block, the Python fill buckets the last
+    block's real length — and _walk_traceback must account rows from
+    the fetched blocks themselves (rater.py).  Forces E_MAX=16 via the
+    _E_BUCKETS override so 40 edges chain 3 blocks (native strides
+    16/16/16 vs Python 16/16/8)."""
+    import numpy as np
+    import pytest
+    import jax
+    import networkx as nx
+    from ocrd_keraslm_tpu import native
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.rater import Rater
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+
+    if native.load_decode_prep() is None:
+        pytest.skip('native decode prep unavailable')
+
+    r = Rater()
+    chars = list('abcdefgh ')
+    r.vocab.grow(chars)
+    r.width, r.depth, r.length = 16, 2, 32
+    r.voc_size = len(r.vocab)
+    r.cfg = LMConfig(width=16, depth=2, length=32,
+                     voc_size=len(r.vocab), stateful=True,
+                     variable_length=False)
+    r.params = init_params(r.cfg, jax.random.PRNGKey(2))
+    r.status = 2
+    r.fused_decode = True
+    r._E_BUCKETS = (8, 16)  # instance override: tiny chained blocks
+
+    rng = np.random.default_rng(11)
+    g = nx.DiGraph()
+    g.add_node(0)
+    for e in range(40):
+        # 3-alternative edges everywhere defeat run merging, so the
+        # prepared edge count stays 40 (> 2 blocks of 16)
+        tes = [TextEquivType(Unicode=chars[rng.integers(8)],
+                             conf=float(c), index=i)
+               for i, c in enumerate(rng.uniform(0.2, 1, 3))]
+        g.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+
+    def run(disable_native):
+        import ocrd_keraslm_tpu.native as nat
+        saved = nat._PREP_LIB, nat._PREP_TRIED
+        if disable_native:
+            nat._PREP_LIB, nat._PREP_TRIED = None, True
+        try:
+            pending, tb = r.rate_best_device_begin(g, 0, 40,
+                                                   beam_width=8)
+            assert pending[0] == 'blocks', pending[0]
+            pending = r.fetch_pendings([pending])[0]
+            return r.rate_best_device_finish(pending)
+        finally:
+            nat._PREP_LIB, nat._PREP_TRIED = saved
+
+    path_n, ent_n = run(False)
+    path_p, ent_p = run(True)
+    assert abs(ent_n - ent_p) < 1e-4
+    assert [(e, t.Unicode, round(s, 5)) for e, t, s in path_n] == \
+        [(e, t.Unicode, round(s, 5)) for e, t, s in path_p]
+    assert len(path_n) == 40
+
+
 def test_prefetcher_sentinel_lands_with_slow_consumer():
     """A fast producer must not drop the end-of-stream sentinel when
     the queue is full (that deadlocked the consumer in get())."""

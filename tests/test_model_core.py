@@ -229,3 +229,32 @@ def test_pallas_scan_gradients_match_jnp(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg='gradient mismatch for %s' % name)
+
+
+def test_embedding_plots_smoke(tmp_path):
+    """The three embedding-analysis plots (reference
+    rating.py:1169-1238) render non-empty image files from a bare
+    param set: char/context autocorrelation heatmaps + 2-D PCA
+    projection with de-overlapped decade labels."""
+    import matplotlib
+    matplotlib.use('Agg')
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
+    from ocrd_keraslm_tpu.rater import Rater
+
+    r = Rater()
+    r.vocab.grow(list('abcdefgh '))
+    r.width, r.depth, r.length = 16, 1, 16
+    r.voc_size = len(r.vocab)
+    r.cfg = LMConfig(width=16, depth=1, length=16,
+                     voc_size=r.voc_size, stateful=True,
+                     variable_length=False)
+    r.params = init_params(r.cfg, jax.random.PRNGKey(3))
+    r.status = 2
+
+    paths = [tmp_path / name for name in
+             ('char.png', 'ctx.png', 'proj.png')]
+    r.plot_char_embeddings_similarity(str(paths[0]))
+    r.plot_context_embeddings_similarity(str(paths[1]))
+    r.plot_context_embeddings_projection(str(paths[2]))
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 100, p

@@ -70,8 +70,7 @@ def brute_force(rater, alts, lm_weight):
                          (1 - lm_weight) * -math.log2(te.conf))
                 x = np.array([idx], np.int32)
         return cost
-    n_alts = len(alts[0])
-    best = min(itertools.product(range(n_alts), repeat=len(alts)),
+    best = min(itertools.product(*[range(len(a)) for a in alts]),
                key=path_cost)
     return best, path_cost(best)
 
@@ -114,6 +113,77 @@ def test_batch_decode_matches_exhaustive(fused):
                                   lm_weight=lm_weight, beam_width=27)
     for (graph, alts, want_choice, want_cost, n_edges), \
             (path, entropy) in zip(docs, batch):
+        got_choice = tuple(alts[e].index(te)
+                           for e, (_, te, _) in enumerate(path))
+        assert got_choice == want_choice
+        assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)
+
+
+def random_multichar_lattice(rng, n_edges, n_alts, max_len=3):
+    """Lattice whose alternatives have MIXED lengths (1..max_len
+    chars): the fused kernels' per-edge dynamic char-step bounds
+    (ops/decode_kernel.py alt_steps) and run merging both engage."""
+    graph = nx.DiGraph()
+    graph.add_node(0)
+    alts = []
+    for e in range(n_edges):
+        if e % 3 == 2:
+            # single-alternative edge: triggers run merging
+            tes = [TextEquivType(
+                Unicode='abcdefghijk'[rng.integers(11)], conf=0.95,
+                index=0)]
+        else:
+            tes = [TextEquivType(
+                Unicode=''.join('abcdefghijk'[rng.integers(11)]
+                                for _ in range(rng.integers(1,
+                                                            max_len + 1))),
+                conf=float(rng.uniform(0.5, 1.0)), index=i)
+                for i in range(n_alts)]
+        alts.append(tes)
+        graph.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+    return graph, alts
+
+
+@pytest.mark.parametrize('seed', [21, 22])
+@pytest.mark.parametrize('fused', [False, True])
+def test_decoders_match_exhaustive_multichar(seed, fused):
+    """Mixed-length alternatives (1-3 chars) + merged runs: the device
+    decoders must still find the exhaustive-search optimum with its
+    exact cost (per-char LM cost + whole-alternative conf cost)."""
+    rng = np.random.default_rng(seed)
+    rater = make_rater(seed)
+    rater.fused_decode = fused
+    lm_weight = 0.7
+    n_edges, n_alts = 5, 2
+    graph, alts = random_multichar_lattice(rng, n_edges, n_alts)
+    want_choice, want_cost = brute_force(rater, alts, lm_weight)
+    path, entropy, _ = rater.rate_best_device(
+        graph, 0, n_edges, lm_weight=lm_weight, beam_width=27)
+    got_choice = tuple(alts[e].index(te)
+                       for e, (_, te, _) in enumerate(path))
+    assert got_choice == want_choice
+    assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)
+
+
+@pytest.mark.parametrize('fused', [False, True])
+def test_batch_decode_matches_exhaustive_multichar(fused):
+    """Document-batched decode over mixed-length-alternative lattices
+    (per-edge dynamic step bounds in the fused kernel) must find every
+    document's exhaustive optimum."""
+    rater = make_rater(7)
+    rater.fused_decode = fused
+    lm_weight = 0.6
+    docs = []
+    for seed in (31, 32, 33):
+        rng = np.random.default_rng(seed)
+        n_edges = 3 + seed % 3
+        graph, alts = random_multichar_lattice(rng, n_edges, 2)
+        want_choice, want_cost = brute_force(rater, alts, lm_weight)
+        docs.append((graph, alts, want_choice, want_cost))
+    batch = rater.rate_best_batch([d[0] for d in docs],
+                                  lm_weight=lm_weight, beam_width=27)
+    for (graph, alts, want_choice, want_cost), (path, entropy) in \
+            zip(docs, batch):
         got_choice = tuple(alts[e].index(te)
                            for e, (_, te, _) in enumerate(path))
         assert got_choice == want_choice

@@ -159,3 +159,44 @@ def test_gc_paused_restores_collector_state(rater):
         assert not gc.isenabled()
     finally:
         gc.enable()
+
+
+def test_empty_alternative_consistent_across_engines(rater):
+    """An empty-string alternative (deleted-character hypothesis) is
+    FREE under the reference's per-char cost model (no chars -> no LM
+    or conf cost, reference rating.py:797-851 extends char-by-char);
+    all three engines must agree on path and entropy, and the host
+    path must survive the lock-in flush."""
+    def make():
+        g = nx.DiGraph()
+        g.add_node(0)
+        for e in range(4):
+            if e == 1:
+                tes = [TextEquivType(Unicode='', conf=0.6, index=0),
+                       TextEquivType(Unicode='ab', conf=0.99,
+                                     index=1)]
+            else:
+                tes = [TextEquivType(Unicode='abc'[e % 3], conf=0.9,
+                                     index=0),
+                       TextEquivType(Unicode='d', conf=0.8, index=1)]
+            g.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+        return g
+
+    results = {}
+    p, ent, tb = rater.rate_best(make(), 0, 4, beam_width=8)
+    pf, entf, _ = rater.next_path(tb[0], ([], tb[1]))
+    results['host'] = ([te.Unicode for _, te, _ in p + pf],
+                       ent + entf)
+    for fused in (False, True):
+        rater.fused_decode = fused
+        try:
+            p, ent, _ = rater.rate_best_device(make(), 0, 4,
+                                               beam_width=8)
+        finally:
+            rater.fused_decode = False
+        results['fused' if fused else 'xla'] = (
+            [te.Unicode for _, te, _ in p], ent)
+    texts = {k: v[0] for k, v in results.items()}
+    assert texts['host'] == texts['xla'] == texts['fused'], texts
+    ents = [v[1] for v in results.values()]
+    assert max(ents) - min(ents) < 1e-2, results

@@ -243,6 +243,28 @@ def _gc_paused(fn):
     return wrapper
 
 
+def _linear_edges(graph):
+    """Edge data dicts of a LINEAR lattice in topological order.
+
+    The device engines run the edge list as a sequential chain (one
+    beam round per edge), so a branching DAG passed here would
+    silently decode as if its edges were consecutive.  The wrapper
+    only builds chains (reference wrapper/rate.py:343-424 likewise),
+    but ``rate_best`` (the host engine) accepts general DAGs — reject
+    non-chains here with a pointer there instead of corrupting.
+    """
+    triples = sorted(graph.edges(data=True))
+    prev_v = None
+    for u, v, _ in triples:
+        if prev_v is not None and u != prev_v:
+            raise ValueError(
+                'device decoding requires a linear lattice, but edge '
+                '%r does not continue node %r; use rate_best() for '
+                'general DAG lattices' % ((u, v), prev_v))
+        prev_v = v
+    return [d for _, _, d in triples]
+
+
 def _alt_steps(alt_mask):
     """Per-edge char-step bound for the fused kernels' ``fori_loop``
     (ops/decode_kernel.py): the longest real alternative at each edge.
@@ -983,8 +1005,7 @@ class Rater:
         # pass — the per-edge g.edges[e] view lookup alone cost ~1.2ms
         # per 1000-edge page (profiled); the data dict is never
         # compared because (u, v) pairs are unique
-        raw_list = [[d for _, _, d in sorted(g.edges(data=True))]
-                    for g in graphs]
+        raw_list = [_linear_edges(g) for g in graphs]
         # sizes/maxlen via the native C++ scan when available: the
         # fused path can then skip the Python edge prep entirely
         # (native decode_fill does merge + vectorize + fill in C++)
@@ -1113,7 +1134,7 @@ class Rater:
 
         # (u, v) pairs are unique, so the data dict in the sort key is
         # never compared (see rate_best_batch)
-        edges_raw = [d for _, _, d in sorted(graph.edges(data=True))]
+        edges_raw = _linear_edges(graph)
         if not edges_raw:
             return ('done', [], 0.0), device_traceback
         if self.fused_decode:

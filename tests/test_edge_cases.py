@@ -200,3 +200,33 @@ def test_empty_alternative_consistent_across_engines(rater):
     assert texts['host'] == texts['xla'] == texts['fused'], texts
     ents = [v[1] for v in results.values()]
     assert max(ents) - min(ents) < 1e-2, results
+
+
+def test_branching_dag_host_decodes_device_rejects(rater):
+    """rate_best is a general-DAG search (reference rating.py:763-773
+    walks out_edges in topological order); the device engines run a
+    sequential edge chain, so they must REJECT a branching lattice
+    instead of silently decoding its edges as consecutive."""
+    g = nx.DiGraph()
+    g.add_node(0)
+    # diamond: 0 -> 1 -> 3 (text 'ab') vs 0 -> 2 -> 3 (text 'dc')
+    g.add_edge(0, 1, element='e01', alternatives=[
+        TextEquivType(Unicode='a', conf=0.9, index=0)])
+    g.add_edge(1, 3, element='e13', alternatives=[
+        TextEquivType(Unicode='b', conf=0.9, index=0)])
+    g.add_edge(0, 2, element='e02', alternatives=[
+        TextEquivType(Unicode='d', conf=0.9, index=0)])
+    g.add_edge(2, 3, element='e23', alternatives=[
+        TextEquivType(Unicode='c', conf=0.9, index=0)])
+
+    path, ent, tb = rater.rate_best(g, 0, 3, beam_width=4)
+    pathf, entf, _ = rater.next_path(tb[0], ([], tb[1]))
+    text = ''.join(te.Unicode for _, te, _ in path + pathf)
+    # the training text is 'abcd ' cycles: 'ab' must beat 'dc'
+    assert text == 'ab', text
+    assert np.isfinite(ent + entf)
+
+    with pytest.raises(ValueError, match='linear lattice'):
+        rater.rate_best_device(g, 0, 3, beam_width=4)
+    with pytest.raises(ValueError, match='linear lattice'):
+        rater.rate_best_batch([g], beam_width=4)

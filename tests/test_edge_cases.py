@@ -230,3 +230,40 @@ def test_branching_dag_host_decodes_device_rejects(rater):
         rater.rate_best_device(g, 0, 3, beam_width=4)
     with pytest.raises(ValueError, match='linear lattice'):
         rater.rate_best_batch([g], beam_width=4)
+
+
+def test_lm_weight_extremes_consistent_across_engines(rater):
+    """lm_weight=0.0 (pure OCR confidence) and 1.0 (pure LM) flow
+    through different folding in each engine, and the fused path's
+    weight cache deliberately excludes lm_weight from its key
+    (rater._decode_weights): alternating weights across calls must not
+    reuse stale folded costs, and all engines must agree."""
+    def make():
+        g = nx.DiGraph()
+        g.add_node(0)
+        # LM prefers the training text 'abcd '; OCR conf prefers the
+        # wrong char -> the two weights pick DIFFERENT paths
+        for e, true in enumerate('abcd'):
+            wrong = 'dcba'[e]
+            tes = [TextEquivType(Unicode=true, conf=0.55, index=0),
+                   TextEquivType(Unicode=wrong, conf=0.95, index=1)]
+            g.add_edge(e, e + 1, element='g%d' % e, alternatives=tes)
+        return g
+
+    for lm_weight, expect in ((1.0, 'abcd'), (0.0, 'dcba')):
+        texts = {}
+        p, ent, tb = rater.rate_best(make(), 0, 4,
+                                     lm_weight=lm_weight, beam_width=8)
+        pf, entf, _ = rater.next_path(tb[0], ([], tb[1]))
+        texts['host'] = ''.join(te.Unicode for _, te, _ in p + pf)
+        for fused in (False, True):
+            rater.fused_decode = fused
+            try:
+                p, ent, _ = rater.rate_best_device(
+                    make(), 0, 4, lm_weight=lm_weight, beam_width=8)
+            finally:
+                rater.fused_decode = False
+            texts['fused' if fused else 'xla'] = \
+                ''.join(te.Unicode for _, te, _ in p)
+        assert texts['host'] == texts['xla'] == texts['fused'] \
+            == expect, (lm_weight, texts)

@@ -1146,29 +1146,47 @@ class Rater:
             # models / huge charsets must also fit the VMEM-resident
             # weight + intermediate budget — anything larger decodes
             # through the (exact, unbounded) XLA path.
-            maxlen_raw = max(
-                (len(te.Unicode) for pe in edges_raw
-                 for te in pe['alternatives'][:4]), default=1)
-            # post-merge L bound: runs merge up to DECODE_MERGE_MAX
-            # chars, single long alternatives keep their raw length
-            L_fit = _bucket(
-                max(maxlen_raw,
-                    DECODE_MERGE_MAX if self.merge_runs else 1, 1),
-                (1, 2, 4, 8, 16, 32, 64))
-            E_fit = _bucket(len(edges_raw), self._E_BUCKETS)
+            from . import native
+            scan = native.decode_scan(edges_raw, self.merge_runs,
+                                      DECODE_MERGE_MAX)
+            if scan is not None and scan[0] > 0:
+                # native scan: POST-merge (n_prep, maxlen).  Merged
+                # runs cap at DECODE_MERGE_MAX (8) << the 64-char
+                # kernel bound, so gating on the post-merge maxlen is
+                # equivalent to the raw gate — and it replaces a
+                # per-TextEquiv Python pass (~1 ms per 1000-edge page,
+                # profiled) while sizing the VMEM probe to the ACTUAL
+                # post-merge L/E buckets the fill will use.
+                maxlen_gate = scan[1]
+                L_fit = _bucket(max(maxlen_gate, 1),
+                                (1, 2, 4, 8, 16, 32, 64))
+                E_fit = _bucket(max(scan[0], 1), self._E_BUCKETS)
+            else:
+                maxlen_gate = max(
+                    (len(te.Unicode) for pe in edges_raw
+                     for te in pe['alternatives'][:4]), default=1)
+                # post-merge L bound: runs merge up to
+                # DECODE_MERGE_MAX chars, single long alternatives
+                # keep their raw length
+                L_fit = _bucket(
+                    max(maxlen_gate,
+                        DECODE_MERGE_MAX if self.merge_runs else 1, 1),
+                    (1, 2, 4, 8, 16, 32, 64))
+                E_fit = _bucket(len(edges_raw), self._E_BUCKETS)
             if beam_width <= FUSED_MAX_BEAM and \
-                    maxlen_raw <= FUSED_MAX_ALT_LEN and \
+                    maxlen_gate <= FUSED_MAX_ALT_LEN and \
                     self._fused_decode_fits(128, 4, L_fit, E_fit):
                 return self._rate_best_pallas(edges_raw,
                                               device_traceback,
                                               context, lm_weight,
                                               beam_width,
-                                              defer_walk=defer_walk)
+                                              defer_walk=defer_walk,
+                                              scan=scan)
             self.logger.info(
                 'fused decode unavailable (beam_width %d > %d, '
                 'alternative length %d > %d chars, or width/vocab '
                 'beyond the VMEM budget): using XLA path',
-                beam_width, FUSED_MAX_BEAM, maxlen_raw,
+                beam_width, FUSED_MAX_BEAM, maxlen_gate,
                 FUSED_MAX_ALT_LEN)
         edges = self._prepare_decode_edges(edges_raw)
         D, W = self.depth, self.width
@@ -1449,7 +1467,8 @@ class Rater:
         return weights
 
     def _rate_best_pallas(self, edges, device_traceback, context,
-                          lm_weight, beam_width, defer_walk=False):
+                          lm_weight, beam_width, defer_walk=False,
+                          scan=None):
         """Fused-kernel decode dispatch (see ops/decode_kernel.py):
         same block chaining, pending format, and host traceback as the
         XLA path (finish happens in ``rate_best_device_finish``); the
@@ -1472,8 +1491,9 @@ class Rater:
         if edges and isinstance(edges[0], dict) and \
                 'alternatives' in edges[0]:
             from . import native
-            scan = native.decode_scan(edges, self.merge_runs,
-                                      DECODE_MERGE_MAX)
+            if scan is None:  # not pre-scanned by the dispatch gate
+                scan = native.decode_scan(edges, self.merge_runs,
+                                          DECODE_MERGE_MAX)
             if scan is not None and scan[0] > 0:
                 n_prep, maxlen = scan
                 L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))

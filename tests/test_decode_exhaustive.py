@@ -188,3 +188,50 @@ def test_batch_decode_matches_exhaustive_multichar(fused):
                            for e, (_, te, _) in enumerate(path))
         assert got_choice == want_choice
         assert abs(entropy - want_cost) < 1e-2, (entropy, want_cost)
+
+
+@pytest.mark.parametrize('fused', [False, True])
+def test_decode_context_variable_consistent(fused):
+    """Decoding with a non-zero metadata context: the fused kernel
+    folds the context embedding into the layer-0 bias
+    (rater._decode_weights), the XLA engine feeds explicit context
+    arrays, the host engine embeds per step — all three must agree,
+    and the context must actually change the result costs."""
+    rater = make_rater(9)
+    # context embeddings init tiny (std 0.001, reference parity);
+    # scale them so the folded bias is consequential in this test
+    rater.params['context_embeddings'] = [
+        e * 2000 for e in rater.params['context_embeddings']]
+    rng = np.random.default_rng(41)
+    graph, alts = random_lattice(rng, 5, 3)
+
+    def run_device(ctx):
+        rater.fused_decode = fused
+        try:
+            g = nx.DiGraph()
+            g.add_node(0)
+            for e in range(5):
+                g.add_edge(e, e + 1, element='g%d' % e,
+                           alternatives=alts[e])
+            path, ent, _ = rater.rate_best_device(
+                g, 0, 5, context=ctx, lm_weight=0.7, beam_width=27)
+        finally:
+            rater.fused_decode = False
+        return [te.Unicode for _, te, _ in path], ent
+
+    def run_host(ctx):
+        p, ent, tb = rater.rate_best(graph, 0, 5, context=ctx,
+                                     lm_weight=0.7, beam_width=27)
+        pf, entf, _ = rater.next_path(tb[0], ([], tb[1]))
+        return [te.Unicode for _, te, _ in p + pf], ent + entf
+
+    for ctx in ([3], [17]):
+        text_d, ent_d = run_device(ctx)
+        text_h, ent_h = run_host(ctx)
+        assert text_d == text_h, (ctx, text_d, text_h)
+        assert abs(ent_d - ent_h) < 1e-2, (ctx, ent_d, ent_h)
+    # the context variable must be live: different contexts ->
+    # different path costs (random context embeddings)
+    _, e3 = run_device([3])
+    _, e17 = run_device([17])
+    assert abs(e3 - e17) > 1e-4, (e3, e17)

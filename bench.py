@@ -566,6 +566,27 @@ def main():
                 round(gen_stream_med, 1)
         extra['generate_streams_vs_baseline'] = \
             round(gen_stream_cps / base_gen, 2)
+    # machine-of-the-day probe: per-dispatch round-trip of a trivial
+    # device op.  The tunneled service stalls intermittently; min =
+    # the link floor, median-vs-min spread explains best-vs-median
+    # spread in the metrics above (documented in docs/ROADMAP.md).
+    try:
+        tiny = jax.jit(lambda v: v + 1.0)
+        x = _jnp.zeros((8,))
+        float(tiny(x)[0])  # compile
+        rtts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            float(tiny(x)[0])
+            rtts.append((time.perf_counter() - t0) * 1e3)
+        rtts.sort()
+        extra['rtt_ms_min'] = round(rtts[0], 2)
+        extra['rtt_ms_median'] = round(rtts[len(rtts) // 2], 2)
+        print('device round-trip: %.1f ms min, %.1f ms median'
+              % (rtts[0], rtts[len(rtts) // 2]), file=sys.stderr)
+    except Exception as err:
+        print('rtt probe failed: %r' % err, file=sys.stderr)
+
     print(json.dumps({
         'metric': 'rating_chars_per_sec',
         'value': round(tpu, 1),

@@ -35,10 +35,10 @@ test:
 test-training:
 	mkdir -p /tmp/keraslm_gt
 	$(PYTHON) -c "import random; random.seed(0); words=['die','der','und','nicht','ist','von','zu','mit','sich','auf','wird','aber','kant','vernunft']; [open('/tmp/keraslm_gt/%s.txt'%n,'w').write('\n'.join(' '.join(random.choices(words,k=12)) for _ in range(200))) for n in ('goethe_werke_1808','kant_kritik_1781','schiller_werke_1781')]"
-	KERASLM_PLATFORM=cpu keraslm-rate train -m /tmp/keraslm_gt/model.h5 -w 32 -d 1 -l 64 -e 3 /tmp/keraslm_gt/
-	KERASLM_PLATFORM=cpu keraslm-rate test -m /tmp/keraslm_gt/model.h5 /tmp/keraslm_gt/kant_kritik_1781.txt
-	KERASLM_PLATFORM=cpu keraslm-rate apply -m /tmp/keraslm_gt/model.h5 "die vernunft"
-	KERASLM_PLATFORM=cpu keraslm-rate generate -m /tmp/keraslm_gt/model.h5 -n 10 "die "
+	KERASLM_PLATFORM=cpu $(PYTHON) -m ocrd_keraslm_tpu.scripts.run train -m /tmp/keraslm_gt/model.h5 -w 32 -d 1 -l 64 -e 3 /tmp/keraslm_gt/
+	KERASLM_PLATFORM=cpu $(PYTHON) -m ocrd_keraslm_tpu.scripts.run test -m /tmp/keraslm_gt/model.h5 /tmp/keraslm_gt/kant_kritik_1781.txt
+	KERASLM_PLATFORM=cpu $(PYTHON) -m ocrd_keraslm_tpu.scripts.run apply -m /tmp/keraslm_gt/model.h5 "die vernunft"
+	KERASLM_PLATFORM=cpu $(PYTHON) -m ocrd_keraslm_tpu.scripts.run generate -m /tmp/keraslm_gt/model.h5 -n 10 "die "
 	KERASLM_TEST_TRAINING=1 $(PYTHON) -m pytest $(TESTDIR)/test_quality.py::test_train_to_reference_quality -q
 
 # flagship German model for the quality-parity tests (fast on TPU,

@@ -252,17 +252,43 @@ def _linear_edges(graph):
     only builds chains (reference wrapper/rate.py:343-424 likewise),
     but ``rate_best`` (the host engine) accepts general DAGs — reject
     non-chains here with a pointer there instead of corrupting.
+
+    A successor-map walk (O(E), no sort) rather than a sorted edge
+    list: chain order must not depend on node labels, so a linear
+    lattice whose labels are not monotonic (e.g. relabeled by subgraph
+    extraction) still decodes in path order.
     """
-    triples = sorted(graph.edges(data=True))
-    prev_v = None
-    for u, v, _ in triples:
-        if prev_v is not None and u != prev_v:
+    succ = {}
+    tails = set()
+    for u, v, d in graph.edges(data=True):
+        if u in succ or u == v:
             raise ValueError(
-                'device decoding requires a linear lattice, but edge '
-                '%r does not continue node %r; use rate_best() for '
-                'general DAG lattices' % ((u, v), prev_v))
-        prev_v = v
-    return [d for _, _, d in triples]
+                'device decoding requires a linear lattice, but node '
+                '%r has multiple outgoing edges; use rate_best() for '
+                'general DAG lattices' % (u,))
+        succ[u] = (v, d)
+        tails.add(v)
+    if not succ:
+        return []
+    starts = [u for u in succ if u not in tails]
+    if len(starts) != 1:
+        raise ValueError(
+            'device decoding requires a linear lattice (single '
+            'chain), but found %d start nodes; use rate_best() for '
+            'general DAG lattices' % len(starts))
+    node = starts[0]
+    out = []
+    for _ in range(len(succ)):
+        if node not in succ:
+            raise ValueError(
+                'device decoding requires a linear lattice, but the '
+                'chain from %r ends after %d of %d edges (merge node '
+                'or disconnected component); use rate_best() for '
+                'general DAG lattices' % (starts[0], len(out),
+                                          len(succ)))
+        node, d = succ[node]
+        out.append(d)
+    return out
 
 
 def _alt_steps(alt_mask):
@@ -1000,11 +1026,9 @@ class Rater:
         from . import native
         from .parallel.decode import make_batch_decode
         mesh = getattr(self, 'mesh', None)
-        # sorted() on (u, v, data) triples keeps the topological order
-        # of sorted(g.edges) but yields the data dicts in the SAME
-        # pass — the per-edge g.edges[e] view lookup alone cost ~1.2ms
-        # per 1000-edge page (profiled); the data dict is never
-        # compared because (u, v) pairs are unique
+        # _linear_edges yields the data dicts in its single O(E) walk —
+        # a per-edge g.edges[e] view lookup alone cost ~1.2ms per
+        # 1000-edge page (profiled)
         raw_list = [_linear_edges(g) for g in graphs]
         # sizes/maxlen via the native C++ scan when available: the
         # fused path can then skip the Python edge prep entirely
@@ -1132,8 +1156,6 @@ class Rater:
         """
         from .ops.beam_device import decode_lattice_device
 
-        # (u, v) pairs are unique, so the data dict in the sort key is
-        # never compared (see rate_best_batch)
         edges_raw = _linear_edges(graph)
         if not edges_raw:
             return ('done', [], 0.0), device_traceback

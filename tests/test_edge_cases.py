@@ -267,3 +267,55 @@ def test_lm_weight_extremes_consistent_across_engines(rater):
                 ''.join(te.Unicode for _, te, _ in p)
         assert texts['host'] == texts['xla'] == texts['fused'] \
             == expect, (lm_weight, texts)
+
+
+def test_relabeled_linear_chain_decodes_in_path_order(rater):
+    """Chain order must come from the successor structure, not node
+    labels (rater._linear_edges): a linear lattice whose labels are
+    non-monotonic (e.g. relabeled by subgraph extraction) decodes to
+    the same text as the 0..N-labeled chain on both device engines."""
+    labels = [100, 7, 55, 3, 42]  # 100 -> 7 -> 55 -> 3 -> 42
+    g = nx.DiGraph()
+    for i, char in enumerate('abcd'):
+        wrong = 'dcba'[i]
+        g.add_edge(labels[i], labels[i + 1], element='e%d' % i,
+                   alternatives=[
+                       TextEquivType(Unicode=char, conf=0.6, index=0),
+                       TextEquivType(Unicode=wrong, conf=0.6,
+                                     index=1)])
+    # with equal confidences the LM (trained on 'abcd ') must pick
+    # 'abcd' — which only happens if the edges run in PATH order;
+    # label-sorted order would step the chars as 3,7,42,55,100
+    path, ent, _ = rater.rate_best_device(g, labels[0], labels[-1],
+                                          beam_width=4)
+    text = ''.join(te.Unicode for _, te, _ in path)
+    assert text == 'abcd', text
+    assert np.isfinite(ent)
+    (batch_res,) = rater.rate_best_batch([g], beam_width=4)
+    btext = ''.join(te.Unicode for _, te, _ in batch_res[0])
+    assert btext == 'abcd', btext
+
+
+def test_non_chain_lattices_still_rejected(rater):
+    """Merge nodes, parallel components, and detached cycles are not
+    chains; the device engines must reject them (rater._linear_edges),
+    not decode some arbitrary edge order."""
+    te = [TextEquivType(Unicode='a', conf=0.9, index=0)]
+    merge = nx.DiGraph()  # 0 -> 2 <- 1 (two starts)
+    merge.add_edge(0, 2, element='m0', alternatives=te)
+    merge.add_edge(1, 2, element='m1', alternatives=te)
+    two = nx.DiGraph()  # 0 -> 1, 5 -> 6 (disconnected)
+    two.add_edge(0, 1, element='t0', alternatives=te)
+    two.add_edge(5, 6, element='t1', alternatives=te)
+    cyc = nx.DiGraph()  # 0 -> 1 -> 2 plus a detached 5 <-> 6 cycle
+    cyc.add_edge(0, 1, element='c0', alternatives=te)
+    cyc.add_edge(1, 2, element='c1', alternatives=te)
+    cyc.add_edge(5, 6, element='c2', alternatives=te)
+    cyc.add_edge(6, 5, element='c3', alternatives=te)
+    loop = nx.DiGraph()  # self-loop
+    loop.add_edge(0, 0, element='l0', alternatives=te)
+    for g, end in ((merge, 2), (two, 6), (cyc, 2), (loop, 0)):
+        with pytest.raises(ValueError, match='linear lattice'):
+            rater.rate_best_device(g, 0, end, beam_width=4)
+        with pytest.raises(ValueError, match='linear lattice'):
+            rater.rate_best_batch([g], beam_width=4)

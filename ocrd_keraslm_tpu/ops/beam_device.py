@@ -283,6 +283,10 @@ def generate_streams(rater, prefixes: List[str], length: int,
     The reference has no such API — its ``generate``
     (/root/reference/ocrd_keraslm/lib/rating.py:642-709) handles one
     prefix per call with one device round-trip per character.
+
+    When ``rater.mesh`` is set, the stream axis is additionally
+    sharded over the mesh data axis (parallel/generate.py): n_data
+    chips each run their own slice of the prompts per dispatch.
     """
     if not context:
         context = rater.underspecify_contexts()
@@ -292,29 +296,26 @@ def generate_streams(rater, prefixes: List[str], length: int,
     enc = [rater.vocab.encode(p) for p in prefixes]
     maxp = max(len(e) for e in enc)
     P = bucket_unbounded(maxp, (64, 256, 1024, 4096))
-    prefix_ids = np.zeros((S, P), np.int32)
-    prefix_mask = np.zeros((S, P), np.float32)
-    for s, ids in enumerate(enc):
+    from ..parallel.generate import data_size, make_stream_generate
+    mesh = getattr(rater, 'mesh', None)
+    # pad the stream count to a multiple of the mesh data axis so the
+    # sharded stream dim divides evenly (pad rows repeat stream 0 and
+    # are discarded after the fetch)
+    S_pad = -(-S // data_size(mesh)) * data_size(mesh) if mesh else S
+    prefix_ids = np.zeros((S_pad, P), np.int32)
+    prefix_mask = np.zeros((S_pad, P), np.float32)
+    for s in range(S_pad):
+        ids = enc[s] if s < S else enc[0]
         prefix_ids[s, :len(ids)] = ids
         prefix_mask[s, :max(len(ids) - 1, 0)] = 1.0
     length = int(length)
     run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
-    key = (emb.shape, wcat.shape[0], int(v_real), run_length, length)
-    fn = _STREAMS_CACHE.get(key)
-    if fn is None:
-        rl, ol, vr = run_length, length, int(v_real)
-
-        def _one(emb_, embT_, wcat_, bias_, pids, pmask):
-            return generate_device_best(emb_, embT_, wcat_, bias_,
-                                        pids, pmask, rl, ol, vr)
-        fn = jax.jit(jax.vmap(_one,
-                              in_axes=(None, None, None, None, 0, 0)))
-        _STREAMS_CACHE[key] = fn
+    fn = make_stream_generate(mesh, run_length, length, int(v_real))
     seqs, costs = fn(emb, embT, wcat, bias, jnp.asarray(prefix_ids),
                      jnp.asarray(prefix_mask))
-    seqs = np.asarray(seqs)          # (S, length)
-    costs = np.asarray(costs)        # (S,)
+    seqs = np.asarray(seqs)[:S]      # (S, length)
+    costs = np.asarray(costs)[:S]    # (S,)
     out = []
     for s in range(S):
         if costs[s] >= 1e38:
@@ -324,9 +325,6 @@ def generate_streams(rater, prefixes: List[str], length: int,
                    ''.join(rater.vocab.i2c.get(int(i), '')
                            for i in seqs[s]))
     return out
-
-
-_STREAMS_CACHE: dict = {}
 
 
 # ----------------------------------------------------------------------

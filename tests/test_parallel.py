@@ -404,3 +404,38 @@ def test_variable_length_training_over_mesh(tmp_path):
     assert r.status == 2
     assert all(np.isfinite(v) for v in r.history['val_loss'])
     assert r.history['loss'][-1] < r.history['loss'][0]
+
+
+def test_sharded_generation_matches_single_device():
+    """generate_batch over a data-parallel mesh must return the same
+    strings as the unsharded vmapped beam (streams sharded over the
+    data axis, weights replicated; parallel/generate.py).  A stream
+    count NOT divisible by the data axis exercises the pad rows."""
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    from ocrd_keraslm_tpu.parallel.mesh import make_mesh
+    from ocrd_keraslm_tpu.rater import Rater
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import train_tiny_model
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        model, _ = train_tiny_model(os.path.join(d, 'm.h5'),
+                                    'abcd ' * 400, steps=300)
+        r = Rater()
+        r.load_config(model)
+        r.stateful, r.incremental = False, True
+        r.configure()
+        r.load_weights(model)
+
+    prefixes = ['abcd a', 'bcd ab', 'cd abc', 'd abcd', ' abcd ']
+    assert len(prefixes) % 4 != 0  # force padding on the 4-wide mesh
+    base = r.generate_batch(prefixes, 12)
+    single = r.generate(prefixes[0], 12)
+    r.mesh = make_mesh(4, model_parallel=1,
+                       devices=jax.devices('cpu')[:4])
+    sharded = r.generate_batch(prefixes, 12)
+    assert sharded == base
+    assert single and sharded[0] == single[0]

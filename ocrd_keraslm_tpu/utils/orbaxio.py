@@ -70,10 +70,28 @@ def load_config(path: str) -> Tuple[LMConfig, Vocab, Dict[str, Any]]:
     return cfg, vocab, meta.get('history', {})
 
 
+def _restore_numpy(ckptr, path: str):
+    """Restore a pytree checkpoint to HOST numpy leaves.
+
+    Restoring without explicit ``restore_args`` makes Orbax replay the
+    sharding layout stored in the checkpoint — which is wrong (and
+    warns) when the restoring process has a different device topology
+    than the saver (e.g. resume a mesh run on one chip, or vice
+    versa).  Numpy leaves are topology-free; the consumers re-shard
+    (training re-applies its mesh shard_fn after restore, the rater
+    uploads on first use)."""
+    import orbax.checkpoint as ocp
+    item = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item)
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def load_weights(path: str, cfg: LMConfig) -> Params:
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), 'params'))
+    return _restore_numpy(
+        ckptr, os.path.join(os.path.abspath(path), 'params'))
 
 
 def load_model(path: str
@@ -196,5 +214,5 @@ def load_train_state(path: str) -> Optional[Dict[str, Any]]:
     with open(os.path.join(snap, 'meta.json'), encoding='utf-8') as fh:
         meta = json.load(fh)
     ckptr = ocp.PyTreeCheckpointer()
-    state = ckptr.restore(os.path.join(snap, 'state'))
+    state = _restore_numpy(ckptr, os.path.join(snap, 'state'))
     return {'state': state, 'meta': meta}

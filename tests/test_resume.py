@@ -203,3 +203,55 @@ def test_resume_ignores_mismatched_topology(corpus, tmp_path):
         training.EPOCHS = old
     assert r.status == 2
     assert len(r.history['loss']) == 1  # fresh run, not a continuation
+
+
+def test_cross_topology_resume(tmp_path):
+    """A snapshot written by a MESH run resumes on a single device
+    (and matches the uninterrupted mesh trajectory): restore yields
+    topology-free host numpy leaves (utils/orbaxio._restore_numpy),
+    not the saver's sharding layout."""
+    import jax
+    if len(jax.devices('cpu')) < 8:
+        pytest.skip('needs 8 virtual CPU devices')
+    from ocrd_keraslm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    files = []
+    for name in ('a_b_1800', 'c_d_1810'):
+        p = tmp_path / (name + '.txt')
+        p.write_text(''.join(
+            'abcdefgh '[i] for i in rng.integers(0, 9, 4000)))
+        files.append(str(p))
+
+    def run(epochs, mesh, resume_dir=None, tag='x'):
+        old = training.EPOCHS
+        training.EPOCHS = epochs
+        try:
+            random.seed(21)
+            np.random.seed(23)
+            r = Rater()
+            r.width, r.depth, r.length = 16, 2, 32
+            r.stateful = True
+            r.batch_size = 8
+            if mesh:
+                r.mesh = make_mesh(8, model_parallel=2,
+                                   devices=jax.devices('cpu'))
+            r.ckpt_dir = str(tmp_path / ('ck_' + tag))
+            if resume_dir:
+                r.resume_dir = str(resume_dir)
+            r.configure()
+            r.train(files)
+            return r
+        finally:
+            training.EPOCHS = old
+
+    ra = run(3, mesh=True, tag='a')          # uninterrupted mesh run
+    snap = tmp_path / 'snap_cross'
+    run(2, mesh=True, resume_dir=snap, tag='b')   # snapshot epochs 1-2
+    rc = run(3, mesh=False, resume_dir=snap, tag='c')  # resume, NO mesh
+    assert rc.status == 2
+    assert len(rc.history['loss']) == 3      # continued, not restarted
+    for key in ra.history:
+        np.testing.assert_allclose(
+            rc.history[key], ra.history[key], rtol=1e-3,
+            err_msg='cross-topology resumed %s diverged' % key)

@@ -413,19 +413,6 @@ def main():
         print('tpu generation (fringe 256): %.0f chars/s best, '
               '%.0f median (%.3fs best for %d chars)'
               % (gen_cps, gen_cps_med, best, GEN_N), file=sys.stderr)
-        # device-side marginal cost (separating the tunneled dispatch
-        # RTT, ~30-110 ms/call here, from the ~20 us/char the chip
-        # actually spends): slope between two scan lengths
-        t_short = 1e30
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rater.generate('abc', 256)
-            t_short = min(t_short, time.perf_counter() - t0)
-        slope = max((best - t_short) / (GEN_N - 256), 1e-9)
-        gen_dev_cps = 1.0 / slope
-        print('tpu generation device-side: %.0f chars/s '
-              '(%.1f us/char marginal)' % (gen_dev_cps, slope * 1e6),
-              file=sys.stderr)
         # long-form serving point: 4096 chars amortize the fixed
         # ~27 ms dispatch RTT 4x (at 1024 chars the RTT alone caps
         # e2e at ~38k chars/s whatever the kernel does)
@@ -437,6 +424,23 @@ def main():
             rater.generate('abc', GEN_LONG)
             best_l = min(best_l, time.perf_counter() - t0)
         gen_long_cps = GEN_LONG / best_l
+        # device-side marginal cost (separating the tunneled dispatch
+        # RTT, ~30-110 ms/call here, from the ~10-20 us/char the chip
+        # actually spends): slope between the 256- and 4096-char scan
+        # lengths.  The far end must be the LONG point: 3840 extra
+        # chars are ~40 ms of device time, well above RTT jitter,
+        # whereas a 1024-char far end (768 x ~11 us = 8 ms) drowned in
+        # a ~5 ms RTT swing and once measured a 0.0 us/char marginal.
+        t_short = 1e30
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rater.generate('abc', 256)
+            t_short = min(t_short, time.perf_counter() - t0)
+        slope = max((best_l - t_short) / (GEN_LONG - 256), 1e-7)
+        gen_dev_cps = 1.0 / slope
+        print('tpu generation device-side: %.0f chars/s '
+              '(%.1f us/char marginal)' % (gen_dev_cps, slope * 1e6),
+              file=sys.stderr)
         print('tpu generation (%d chars e2e): %.0f chars/s (%.3fs)'
               % (GEN_LONG, gen_long_cps, best_l), file=sys.stderr)
         # serving-style: 32 prompts generated in ONE vmapped dispatch

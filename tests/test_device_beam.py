@@ -209,3 +209,16 @@ def test_wide_beam_near_tie_diversity(overfit_rater):
             assert dev_cost <= host_cost + 1e-3, (
                 'trial %d beam %d: device %.4f bits vs host+clustering '
                 '%.4f bits' % (trial, beam, dev_cost, host_cost))
+
+
+def test_device_generate_variants_match_host(overfit_rater):
+    """variants>1 exercises the device multi-variant traceback
+    (ops/beam_device.generate_beam fetches the full backpointer
+    matrices and reconstructs the k cheapest paths): strings AND
+    order must match the host beam."""
+    from ocrd_keraslm_tpu.ops.beam_device import generate_beam
+    r = overfit_rater
+    host = r._generate_host('abcd ab', 6, variants=3)
+    dev = generate_beam(r, 'abcd ab', 6, None, 3)
+    assert len(host) >= 2 and len(dev) == len(host)
+    assert dev == host

@@ -25,7 +25,7 @@ those thresholds only existed to bound Python queue growth).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -30,7 +30,7 @@ the process boundary over the Gloo CPU backend standing in for DCN).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -12,17 +12,14 @@ New capability relative to the single-process reference (SURVEY.md
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.lstm_lm import LMConfig, forward_seq, regularization_loss, sequence_xent
 from ..training import make_optimizer
-from .mesh import (DATA_AXIS, batch_shardings, carry_sharding,
+from .mesh import (batch_shardings, carry_sharding,
                    param_shardings)
 
 

@@ -99,7 +99,6 @@ def make_tiny_model(path, chars='abcdefghijklmnopqrstuvwxyz '
 def train_tiny_model(path, text, width=16, depth=1, length=16,
                      steps=300):
     """Train a tiny model to (over)fit ``text`` quickly; save to path."""
-    from ocrd_keraslm_tpu.data import Batch
     from ocrd_keraslm_tpu.models.lstm_lm import zero_carry
     from ocrd_keraslm_tpu.training import _OPT, train_step
 

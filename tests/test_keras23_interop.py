@@ -13,10 +13,13 @@ from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
 from ocrd_keraslm_tpu.utils import h5io
 
 
-@pytest.fixture(scope='module')
-def params_cfg():
-    cfg = LMConfig(width=12, depth=2, length=16, voc_size=20,
-                   contexts=((200, 10),))
+@pytest.fixture(scope='module', params=[1, 2, 3],
+                ids=['d1', 'd2', 'd3'])
+def params_cfg(request):
+    """Depths 1-3 exercise the positional layer-name loops (lstm_1..,
+    cu_dnnlstm_1..) the published models only use at depth 2."""
+    cfg = LMConfig(width=12, depth=request.param, length=16,
+                   voc_size=20, contexts=((200, 10),))
     params = init_params(cfg, jax.random.PRNGKey(7))
     params = jax.tree_util.tree_map(np.asarray, params)
     return params, cfg

@@ -298,13 +298,15 @@ class KerasRate:
         for input_file in self.input_files:
             page_id = input_file.pageId
             self._base_logger.info('preparing page %s', page_id)
-            pcgts = self._load_page(input_file, page_id)
-            if pcgts is None:
-                continue
-            file_id = self._make_file_id(input_file)
-            if self._output_exists(file_id):
-                continue
             try:
+                # inside the policy guard: a non-PAGE input is a page
+                # failure (SKIP/COPY/ABORT), not a silent skip
+                pcgts = self._load_page(input_file, page_id)
+                if pcgts is None:
+                    continue
+                file_id = self._make_file_id(input_file)
+                if self._output_exists(file_id):
+                    continue
                 if device_mode:
                     rec, device_tb = self.process_page_pcgts_device_begin(
                         pcgts, device_tb, file_id, page_id)
@@ -538,9 +540,12 @@ class KerasRate:
         try:
             return parse_page(path)
         except Exception as err:
-            self._base_logger.error('non-PAGE input for page %s: %s',
-                                    page_id, err)
-            return None
+            # surface as a page FAILURE so the caller's
+            # OCRD_MISSING_OUTPUT policy applies (ABORT raises, COPY
+            # copies the input file, the failure ratio counts it) —
+            # only an absent file is a silent skip (above)
+            raise ValueError('non-PAGE input for page %s: %s'
+                             % (page_id, err)) from err
 
     def _make_file_id(self, input_file) -> str:
         if input_file.fileGrp == self.output_file_grp:

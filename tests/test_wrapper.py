@@ -170,3 +170,60 @@ def test_existing_output_skip(tmp_path):
     proc.process_workspace(ws)
     n2 = len(list(ws.mets.find_files(fileGrp='OCR-D-LM')))
     assert n1 == n2 == 1
+
+
+@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'ABORT', 'RATIO'])
+def test_missing_output_policy_on_corrupt_page(tmp_path, policy,
+                                               monkeypatch):
+    """A non-PAGE input mid-document is a page FAILURE under the
+    OCRD_MISSING_OUTPUT policy (reference behavior model: OCR-D core
+    routes page errors through SKIP/COPY/ABORT and the
+    OCRD_MAX_MISSING_OUTPUTS ratio), not a silent skip: SKIP keeps
+    the other pages' outputs, COPY emits the input file as fallback,
+    ABORT raises, and a tight ratio raises 'too many failures'."""
+    pages = {
+        'phys_0001': [['Was', 'ist', 'Aufklärung']],
+        'phys_0002': [['der', 'Mensch', 'denkt']],
+        'phys_0003': [['die', 'Vernunft', 'siegt']],
+    }
+    ws = build_workspace(str(tmp_path), pages)
+    bad = os.path.join(str(tmp_path), 'OCR-D-OCR',
+                       'OCR-D-OCR_phys_0002.xml')
+    with open(bad, 'w', encoding='utf-8') as fh:
+        fh.write('this is not XML <<<')
+    model = make_tiny_model(tmp_path / 'model.h5',
+                            chars='abcdefghijklmnorstuvwzäßAVEMW ü\n'
+                                  'kfgpD')
+    if policy == 'RATIO':
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.1')
+    else:
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', policy)
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': True,
+                                'device_decoding': True,
+                                'beam_width': 3})
+    proc.setup()
+    if policy in ('ABORT', 'RATIO'):
+        with pytest.raises((ValueError, RuntimeError)) as exc:
+            proc.process_workspace(ws)
+        if policy == 'RATIO':
+            assert 'too many failures' in str(exc.value)
+        return
+    proc.process_workspace(ws)
+    outputs = {f.pageId: f for f in ws.mets.find_files(
+        fileGrp='OCR-D-LM')}
+    # the good pages decode despite the mid-document failure
+    assert 'phys_0001' in outputs and 'phys_0003' in outputs
+    if policy == 'COPY':
+        assert 'phys_0002' in outputs
+        with open(os.path.join(ws.directory,
+                               outputs['phys_0002'].local_filename),
+                  encoding='utf-8') as fh:
+            assert fh.read() == 'this is not XML <<<'
+    else:
+        assert 'phys_0002' not in outputs

@@ -239,7 +239,7 @@ class KerasRate:
                 raise
             except Exception as err:
                 self._handle_page_error(err, page_id, input_file)
-                return None
+                return 'failed'
 
         inputs = self.input_files
         if n_par > 1 and len(inputs) > 1:
@@ -248,7 +248,10 @@ class KerasRate:
                 prepped = list(pool.map(prep, inputs))
         else:
             prepped = [prep(f) for f in inputs]
-        pages = [p for p in prepped if p is not None]
+        nr_failed = sum(1 for p in prepped if p == 'failed')
+        pages = [p for p in prepped
+                 if p is not None and not isinstance(p, str)]
+        self._check_missing_ratio(nr_failed, nr_failed + len(pages))
         if not pages:
             return
         all_confidences = self.rater.rate_batch(
@@ -260,19 +263,23 @@ class KerasRate:
             try:
                 self._apply_confidences(pcgts, text, confidences, level)
                 self._write_page(pcgts, file_id, page_id)
+                return True
             except KeyboardInterrupt:
                 raise
             except Exception as err:
                 self._handle_page_error(err, page_id, input_file)
+                return False
 
         work = list(zip(pages, all_confidences))
         if n_par > 1 and len(work) > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=n_par) as pool:
-                list(pool.map(finish, work))
+                done = list(pool.map(finish, work))
         else:
-            for item in work:
-                finish(item)
+            done = [finish(item) for item in work]
+        nr_failed += sum(1 for ok in done if not ok)
+        self._check_missing_ratio(nr_failed, nr_failed +
+                                  sum(1 for ok in done if ok))
 
     def _apply_confidences(self, pcgts, text, confidences, level):
         apply_confidences(text, confidences, level,
@@ -617,6 +624,16 @@ class KerasRate:
             except Exception:  # noqa: BLE001 — fallback of a fallback
                 self._base_logger.exception(
                     'COPY fallback failed for page %s', page_id)
+
+    def _check_missing_ratio(self, nr_failed: int, total: int) -> None:
+        """Raise once the failed-page share exceeds
+        OCRD_MAX_MISSING_OUTPUTS (disabled at <= 0), mirroring the
+        stateful loops' inline accounting."""
+        max_missing = self._max_missing_ratio()
+        if nr_failed and 0 < max_missing < nr_failed / max(total, 1):
+            raise RuntimeError(
+                'too many failures with missing output (%d of %d)'
+                % (nr_failed, total))
 
     @staticmethod
     def _max_missing_ratio() -> float:

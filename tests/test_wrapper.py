@@ -227,3 +227,44 @@ def test_missing_output_policy_on_corrupt_page(tmp_path, policy,
             assert fh.read() == 'this is not XML <<<'
     else:
         assert 'phys_0002' not in outputs
+
+
+@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'RATIO'])
+def test_missing_output_policy_stateless(tmp_path, policy, monkeypatch):
+    """The batched scoring path (alternative_decoding=false) applies
+    the same OCRD_MISSING_OUTPUT policy + OCRD_MAX_MISSING_OUTPUTS
+    accounting to a corrupt page as the stateful loops."""
+    pages = {
+        'phys_0001': [['Was', 'ist', 'Aufklärung']],
+        'phys_0002': [['der', 'Mensch', 'denkt']],
+        'phys_0003': [['die', 'Vernunft', 'siegt']],
+    }
+    ws = build_workspace(str(tmp_path), pages)
+    bad = os.path.join(str(tmp_path), 'OCR-D-OCR',
+                       'OCR-D-OCR_phys_0002.xml')
+    with open(bad, 'w', encoding='utf-8') as fh:
+        fh.write('not XML at all')
+    model = make_tiny_model(tmp_path / 'model.h5',
+                            chars='abcdefghijklmnorstuvwzäßAVEMW ü\n'
+                                  'kfgpD')
+    if policy == 'RATIO':
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.1')
+    else:
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', policy)
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': False})
+    proc.setup()
+    if policy == 'RATIO':
+        with pytest.raises(RuntimeError, match='too many failures'):
+            proc.process_workspace(ws)
+        return
+    proc.process_workspace(ws)
+    outputs = {f.pageId: f for f in ws.mets.find_files(
+        fileGrp='OCR-D-LM')}
+    assert 'phys_0001' in outputs and 'phys_0003' in outputs
+    assert ('phys_0002' in outputs) == (policy == 'COPY')

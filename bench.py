@@ -498,6 +498,63 @@ def main():
     except Exception as err:
         print('train bench failed: %r' % err, file=sys.stderr)
 
+    # ---- scale-regime probe: large-model train-step MFU ----
+    # The flagship w128-d2 model is latency-bound BY CONSTRUCTION
+    # (see roofline note below), so its MFU says nothing about the
+    # framework.  This probe measures the same train_step at a
+    # production-LM size (w512 x d4, bf16 recurrent core, 256
+    # streams): per time step the recurrence is a (512,512)@(512,2048)
+    # matmul per layer — real MXU tiles — so the measured MFU shows
+    # what the training stack reaches once the model is big enough to
+    # fill the hardware.
+    scale_mfu = None
+    try:
+        import jax.numpy as jnp
+
+        from ocrd_keraslm_tpu.models.lstm_lm import (LMConfig,
+                                                     init_params,
+                                                     zero_carry)
+        from ocrd_keraslm_tpu.training import _OPT, train_step
+        SW, SD, SV = 512, 4, 512
+        scfg = LMConfig(width=SW, depth=SD, length=256, voc_size=SV,
+                        compute_dtype='bfloat16')
+        sparams = init_params(scfg, jax.random.PRNGKey(7))
+        B, T = 512, 256  # B=1024 exceeds the remote-compile helper
+        x = jnp.asarray(rng.integers(1, SV, (B, T)), jnp.int32)
+        y = jnp.asarray(rng.integers(1, SV, (B, T)), jnp.int32)
+        mask = jnp.ones((B, T), jnp.float32)
+        zs = (jnp.zeros((B,), jnp.int32),)
+        carry = zero_carry(scfg, B)
+        opt_state = _OPT.init(sparams)
+        rngk = jax.random.PRNGKey(0)
+        p = sparams
+        p, opt_state, carry, loss, nll, acc = train_step(
+            p, opt_state, scfg, x, zs, y, mask, carry, rngk)  # compile
+        float(loss)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            p, opt_state, carry, loss, nll, acc = train_step(
+                p, opt_state, scfg, x, zs, y, mask, carry, rngk)
+        float(loss)
+        dt = (time.perf_counter() - t0) / reps
+        scale_cps = B * T / dt
+        # fwd FLOPs/char: x-proj + h-proj (width -> 4*width) per layer
+        # + tied softmax; train ~= 3x fwd (fwd + 2x bwd matmuls)
+        fwd_fpc = 2 * (2 * SW * 4 * SW * SD + SW * SV)
+        train_flops = 3.0 * fwd_fpc * scale_cps
+        peak = 197e12  # v5e bf16 peak FLOP/s (single chip)
+        if jax.default_backend() != 'tpu':
+            peak = None
+        scale_mfu = (train_flops / peak * 100.0) if peak else None
+        print('scale probe (w%d d%d bf16, %dx%d): %.0f chars/s, '
+              '%.1f ms/step, %.1f TFLOP/s%s'
+              % (SW, SD, B, T, scale_cps, dt * 1e3, train_flops / 1e12,
+                 (', MFU %.1f%% of v5e' % scale_mfu) if scale_mfu
+                 else ''), file=sys.stderr)
+    except Exception as err:
+        print('scale probe failed: %r' % err, file=sys.stderr)
+
     # roofline context for every number above: this model is ~230 KB
     # of weights (w128 d2) with a strictly sequential recurrence —
     # per char the chip does ~0.8 MFLOP over ~0.9 MB of VMEM-resident
@@ -545,6 +602,8 @@ def main():
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),
             'train_vs_baseline_est': round(train_cps / base_train, 2)})
+    if scale_mfu is not None:
+        extra['train_w512d4_bf16_mfu_pct'] = round(scale_mfu, 1)
     if gen_cps is not None:
         extra['generate_chars_per_sec'] = round(gen_cps, 1)
         if gen_cps_med is not None:

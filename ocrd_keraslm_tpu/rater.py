@@ -210,7 +210,7 @@ def _fused_batch_beam_init(nl_emb, s_sh: int, n: int, k: int, s: int,
     """Fresh per-document beam for the doc-batched fused decode, built
     ON DEVICE (a host-built init cost a blocking ~320KB upload plus a
     sync on the newline-embedding fetch, per call)."""
-    big = 1.0e30  # ops.decode_kernel.BIG (dead-slot cost)
+    from .ops.decode_kernel import BIG as big  # dead-slot cost
     state = jnp.zeros((s_sh, n * k, s), jnp.float32)
     state = state.at[:, :, :w].set(nl_emb[None, None, :])
     rows = jnp.arange(n * k)
@@ -998,8 +998,10 @@ class Rater:
         out.add_node(0)
         node = 0
         for g in graphs:
-            for e in sorted(g.edges):
-                data = g.edges[e]
+            # _linear_edges walks the successor map, so chain order is
+            # label-independent (a label sort would silently reorder
+            # lattices with non-monotonic node labels)
+            for data in _linear_edges(g):
                 out.add_edge(node, node + 1, **data)
                 node += 1
         return out

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import sys
 
 import click
 
@@ -169,6 +170,12 @@ def main():
     wrapper/cli.py:6-9), fall back to the standalone CLI otherwise.
     Force the standalone stack with KERASLM_STANDALONE=1."""
     from .ocrd_adapter import genuine_ocrd_available
+    # the standalone subcommands (worker / server / mets-server) have
+    # no genuine-CLI equivalent — route them to the standalone group
+    # even when the real core is installed, so they stay reachable
+    if len(sys.argv) > 1 and \
+            sys.argv[1] in ocrd_keraslm_rate.commands:
+        return ocrd_keraslm_rate()
     if genuine_ocrd_available():
         from ocrd.decorators import (ocrd_cli_options,
                                      ocrd_cli_wrap_processor)

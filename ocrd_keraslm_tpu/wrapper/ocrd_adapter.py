@@ -97,8 +97,20 @@ def make_processor_class() -> type:
                 self.rater.batch_size = 1
             self.rater.configure()
             self.rater.load_weights(model)
-            self._device_tb = None  # cross-page beam carry
+            self._device_tb = None  # cross-page beam carry (device)
+            self._host_tb = None    # cross-page traceback (host)
             self._context = None
+            if self.parameter.get('lookahead_writeback'):
+                # the genuine core writes each page as soon as
+                # process_page_pcgts returns, so deferring page N
+                # until page N+1 confirms the crossing point is not
+                # expressible here — only the standalone processor
+                # implements it (wrapper/rate.py)
+                self.logger.warning(
+                    'lookahead_writeback is not supported under the '
+                    'genuine OCR-D core (pages are written as '
+                    'returned); decoding finalizes each page '
+                    'immediately')
             self.logger.debug("Loaded model_file '%s'", model)
 
         def process_page_pcgts(self, *input_pcgts, page_id=None):
@@ -115,13 +127,30 @@ def make_processor_class() -> type:
                 return OcrdPageResult(pcgts)
             graph, start, end = _rate.page_get_linear_graph_at(
                 level, pcgts, logger=self.logger)
-            path, entropy, self._device_tb = \
-                self.rater.rate_best_device(
+            if self.parameter.get('device_decoding', True):
+                path, entropy, self._device_tb = \
+                    self.rater.rate_best_device(
+                        graph, start, end,
+                        device_traceback=self._device_tb,
+                        context=self._context,
+                        lm_weight=float(self.parameter['lm_weight']),
+                        beam_width=int(self.parameter['beam_width']))
+            else:
+                # host engine with cross-page traceback carry; the
+                # page locks into its own best path immediately (the
+                # core writes it on return — see the setup() note on
+                # lookahead_writeback).  The previous page was fully
+                # flushed, so the locked segment (p1) plus the flush
+                # (p2) together cover exactly this page's edges.
+                p1, e1, tb = self.rater.rate_best(
                     graph, start, end,
-                    device_traceback=self._device_tb,
+                    start_traceback=self._host_tb,
                     context=self._context,
                     lm_weight=float(self.parameter['lm_weight']),
                     beam_width=int(self.parameter['beam_width']))
+                p2, e2, self._host_tb = self.rater.next_path(
+                    tb[0], ([], tb[1]))
+                path, entropy = p1 + p2, e1 + e2
             _rate._page_update_from_path(level, path, entropy,
                                          logger=self.logger)
             _rate.page_update_higher_textequiv_levels(level, pcgts)

@@ -348,12 +348,18 @@ class KerasRate:
                     self._copy_page_file(input_file)
                 nr_errors[err.__class__.__name__] += 1
                 nr_failed += 1
+                # early abort only when the ratio is ALREADY hopeless
+                # (even if every remaining page succeeds) — the
+                # processed-pages ratio is enforced at end-of-run.
+                # Dividing by successes-so-far here would spuriously
+                # abort device mode, where successes are only counted
+                # in the finish loop below.
                 max_missing = self._max_missing_ratio()
                 if 0 < max_missing < \
-                        nr_failed / max(nr_failed + nr_succeeded, 1):
+                        nr_failed / max(len(self.input_files), 1):
                     raise RuntimeError(
                         'too many failures with %s output (%d of %d, %s)'
-                        % (reason, nr_failed, nr_failed + nr_succeeded,
+                        % (reason, nr_failed, len(self.input_files),
                            dict(nr_errors)))
         # device mode: all pages were dispatched (the beam carry chains
         # on device with no host sync); batch-fetch all results in as
@@ -375,9 +381,24 @@ class KerasRate:
             # are then still written in forward page order below.
             slot = 0
             for pi in range(len(device_pending) - 1, -1, -1):
-                (results[pi], slot) = self.rater.rate_best_device_finish(
-                    device_pending[pi][0], start_slot=slot,
-                    return_entry=True)
+                try:
+                    (results[pi], slot) = \
+                        self.rater.rate_best_device_finish(
+                            device_pending[pi][0], start_slot=slot,
+                            return_entry=True)
+                except KeyboardInterrupt:
+                    raise
+                except Exception:
+                    if missing_policy == 'ABORT':
+                        raise
+                    # leave results[pi] = None: the forward write loop
+                    # re-attempts the finish and applies the page
+                    # error policy (SKIP/COPY + failure accounting)
+                    # there; restart the lookahead chain at rank 0
+                    self._base_logger.exception(
+                        'lookahead walk failed on page %s',
+                        device_pending[pi][3])
+                    slot = 0
         for pi, rec in enumerate(device_pending):
             page_id = rec[3]
             input_file = rec[4]

@@ -294,6 +294,11 @@ def test_relabeled_linear_chain_decodes_in_path_order(rater):
     (batch_res,) = rater.rate_best_batch([g], beam_width=4)
     btext = ''.join(te.Unicode for _, te, _ in batch_res[0])
     assert btext == 'abcd', btext
+    # concat_graphs must also chain by successor structure, not a
+    # label sort (its output uses fresh monotonic labels 0..N)
+    whole = rater.concat_graphs([g])
+    order = [whole.edges[(i, i + 1)]['element'] for i in range(4)]
+    assert order == ['e0', 'e1', 'e2', 'e3'], order
 
 
 def test_non_chain_lattices_still_rejected(rater):

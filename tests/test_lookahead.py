@@ -145,3 +145,45 @@ def test_lookahead_workspace_write_order(tmp_path):
     mtimes = [os.stat(p).st_mtime_ns for p in
               sorted(paths)]  # page1, page2, page3
     assert mtimes == sorted(mtimes)
+
+
+def test_lookahead_walk_failure_falls_back(tmp_path, monkeypatch):
+    """A failing reverse-walk on ONE page must not abort the document
+    (the OCRD_MISSING_OUTPUT policy owns page errors): the page falls
+    back to its local rank-0 path in the forward write loop and every
+    page's output is still written."""
+    from ocrd_keraslm_tpu.wrapper.mets import Workspace
+    from ocrd_keraslm_tpu.wrapper.rate import KerasRate
+    ws_dir = tmp_path / 'ws'
+    ws_dir.mkdir()
+    pages = {'page%d' % i: [['the', 'fox'], ['dog', 'ran']]
+             for i in range(1, 4)}
+    build_workspace(str(ws_dir), pages)
+    model = make_tiny_model(tmp_path / 'model.h5')
+    monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+    monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
+    proc = KerasRate(workspace=Workspace(str(ws_dir)),
+                     input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': True,
+                                'lookahead_writeback': True})
+    proc.setup()
+    orig = proc.rater.rate_best_device_finish
+    calls = {'walks': 0}
+
+    def flaky(pending, start_slot=0, return_entry=False):
+        if return_entry:
+            calls['walks'] += 1
+            if calls['walks'] == 2:     # middle page of the reverse walk
+                raise RuntimeError('injected walk failure')
+        return orig(pending, start_slot=start_slot,
+                    return_entry=return_entry)
+
+    monkeypatch.setattr(proc.rater, 'rate_best_device_finish', flaky)
+    proc.process_workspace(proc.workspace)
+    assert calls['walks'] == 3
+    ws = Workspace(str(ws_dir))
+    outs = list(ws.mets.find_files(fileGrp='OCR-D-LM'))
+    assert len(outs) == 3   # the failed walk re-ran in the write loop

@@ -172,7 +172,8 @@ def test_existing_output_skip(tmp_path):
     assert n1 == n2 == 1
 
 
-@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'ABORT', 'RATIO'])
+@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'ABORT', 'RATIO',
+                                    'RATIO_OK'])
 def test_missing_output_policy_on_corrupt_page(tmp_path, policy,
                                                monkeypatch):
     """A non-PAGE input mid-document is a page FAILURE under the
@@ -197,6 +198,13 @@ def test_missing_output_policy_on_corrupt_page(tmp_path, policy,
     if policy == 'RATIO':
         monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
         monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.1')
+    elif policy == 'RATIO_OK':
+        # 1 failure of 3 pages = 0.33 < 0.5: must NOT abort.  (In
+        # device mode successes are only counted in the finish loop,
+        # so a dispatch-loop ratio over successes-so-far would see
+        # 1/1 = 1.0 at the failure and spuriously abort the document.)
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.5')
     else:
         monkeypatch.setenv('OCRD_MISSING_OUTPUT', policy)
         monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
@@ -229,7 +237,8 @@ def test_missing_output_policy_on_corrupt_page(tmp_path, policy,
         assert 'phys_0002' not in outputs
 
 
-@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'RATIO'])
+@pytest.mark.parametrize('policy', ['SKIP', 'COPY', 'RATIO',
+                                    'RATIO_OK'])
 def test_missing_output_policy_stateless(tmp_path, policy, monkeypatch):
     """The batched scoring path (alternative_decoding=false) applies
     the same OCRD_MISSING_OUTPUT policy + OCRD_MAX_MISSING_OUTPUTS
@@ -250,6 +259,10 @@ def test_missing_output_policy_stateless(tmp_path, policy, monkeypatch):
     if policy == 'RATIO':
         monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
         monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.1')
+    elif policy == 'RATIO_OK':
+        # 1 of 3 pages = 0.33 < 0.5 tolerated: must not abort
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '0.5')
     else:
         monkeypatch.setenv('OCRD_MISSING_OUTPUT', policy)
         monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')

@@ -18,7 +18,11 @@ max_workers=1).  This module is NEW capability, designed TPU-first:
 
 Sequence parallelism is deliberately absent: the recurrence is
 sequential in T by definition; the batch/hypothesis dimension is the
-scaling dimension here (SURVEY.md §5.7).
+scaling dimension here (SURVEY.md §5.7).  Expert parallelism likewise
+has no surface — the model family is a dense LSTM stack, no MoE
+layers exist to shard.  Pipeline parallelism (depth-staged GPipe for
+deep stacks) lives in ``parallel/pipeline.py`` over a (data, pipe)
+mesh.
 """
 from __future__ import annotations
 

@@ -1,0 +1,379 @@
+"""Pipeline-parallel training: depth-staged LSTM over a ``pipe`` mesh axis.
+
+The reference is single-process (SURVEY.md §2 parallelism note); this
+module is NEW capability completing the sharding triad for TRAINING:
+``data`` (batch), ``model`` (vocab TP, parallel/train.py) and — here —
+``pipe``: the layer stack is cut into contiguous stages, one per device
+along the pipe axis, and microbatches stream through the stages
+GPipe-style.  TPU-first design decisions:
+
+* The schedule is ONE ``lax.scan`` over ``n_micro + n_stages - 1``
+  ticks inside ``jax.shard_map``; stage hand-off is a single
+  ``lax.ppermute`` of the (microbatch, T, width) activation block per
+  tick (rides ICI, no host involvement).
+* The BACKWARD pipeline is not hand-written: differentiating through
+  the scan+ppermute forward makes JAX's transpose rules emit the
+  reverse schedule (ppermute transposes to the opposite shift), so
+  forward and backward can never drift apart.
+* Per-stage parameters are stacked on a leading ``(n_stages, ...)``
+  axis and sharded on ``pipe``; layer-0's wider input kernel
+  (width + context dims) is zero-padded so the stack is homogeneous —
+  padded rows receive exactly-zero gradients (their inputs are zero)
+  and stay zero under Adam.
+* The tied char embedding is REPLICATED across stages (stage 0 embeds,
+  the last stage projects logits through its transpose); its gradient
+  is the AD transpose of the replicated in_spec — a psum over the mesh.
+* Composes with data parallelism: the mesh is ``(data, pipe)``; each
+  data column runs its own pipeline, and gradient all-reduce over
+  ``data`` again falls out of the shard_map transpose.
+
+Dropout note: the single-chip step draws one variational mask per
+hidden layer by sequentially splitting the rng (models/lstm_lm.py
+forward_seq); here each layer's mask comes from ``fold_in(rng,
+global_layer_index)`` so stages need no rng hand-off.  Statistically
+equivalent, bitwise different — parity tests run with dropout 0.
+
+No reference counterpart (nearest concept: the layer stack itself,
+/root/reference/ocrd_keraslm/lib/rating.py:106-154).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.lstm_lm import (LMConfig, _layer_scan_jnp, lstm_gates,
+                              regularization_loss)
+from ..training import make_optimizer
+from .mesh import DATA_AXIS
+
+PIPE_AXIS = 'pipe'
+
+
+def make_pipe_mesh(n_devices: Optional[int] = None,
+                   pipe_parallel: int = 2,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, pipe) mesh over the given/available devices."""
+    if devices is None:
+        if jax.default_backend() == 'cpu':
+            devices = jax.devices('cpu')
+        else:
+            devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    assert n_devices % pipe_parallel == 0, \
+        'n_devices must be divisible by pipe_parallel'
+    grid = devices.reshape(n_devices // pipe_parallel, pipe_parallel)
+    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
+
+
+# ----------------------------------------------------------------------
+# canonical <-> pipeline parameter/carry layout
+# ----------------------------------------------------------------------
+
+def pack_pipeline_params(params, cfg: LMConfig, n_stages: int):
+    """Stack per-layer LSTM params into homogeneous (n_stages,
+    layers_per_stage, ...) arrays; kernels zero-pad to the layer-0
+    input width (width + context dims)."""
+    D, W, I = cfg.depth, cfg.width, cfg.input_dim
+    assert D % n_stages == 0, \
+        'depth %d not divisible by %d pipeline stages' % (D, n_stages)
+    ls = D // n_stages
+    kernels, recs, biases = [], [], []
+    for layer in range(D):
+        k = np.asarray(params['lstm'][layer]['kernel'])
+        if k.shape[0] < I:  # layers > 0: pad input rows with zeros
+            k = np.concatenate(
+                [k, np.zeros((I - k.shape[0], 4 * W), k.dtype)], 0)
+        kernels.append(k)
+        recs.append(np.asarray(params['lstm'][layer]['recurrent']))
+        biases.append(np.asarray(params['lstm'][layer]['bias']))
+    return {
+        'char_embedding': jnp.asarray(params['char_embedding']),
+        'context_embeddings': [jnp.asarray(e) for e in
+                               params['context_embeddings']],
+        'kernel': jnp.asarray(np.stack(kernels)
+                              .reshape(n_stages, ls, I, 4 * W)),
+        'recurrent': jnp.asarray(np.stack(recs)
+                                 .reshape(n_stages, ls, W, 4 * W)),
+        'bias': jnp.asarray(np.stack(biases)
+                            .reshape(n_stages, ls, 4 * W)),
+    }
+
+
+def unpack_pipeline_params(packed, cfg: LMConfig):
+    """Back to the canonical param pytree (padded rows sliced off)."""
+    D, W, I = cfg.depth, cfg.width, cfg.input_dim
+    kernel = np.asarray(packed['kernel']).reshape(D, I, 4 * W)
+    rec = np.asarray(packed['recurrent']).reshape(D, W, 4 * W)
+    bias = np.asarray(packed['bias']).reshape(D, 4 * W)
+    lstm = []
+    for layer in range(D):
+        in_dim = I if layer == 0 else W
+        lstm.append({'kernel': jnp.asarray(kernel[layer, :in_dim]),
+                     'recurrent': jnp.asarray(rec[layer]),
+                     'bias': jnp.asarray(bias[layer])})
+    return {'char_embedding': jnp.asarray(packed['char_embedding']),
+            'context_embeddings': [jnp.asarray(e) for e in
+                                   packed['context_embeddings']],
+            'lstm': lstm}
+
+
+def pack_carry(carry, n_stages: int):
+    """(depth, B, W) carry pair -> (n_stages, layers_per_stage, B, W)."""
+    h, c = carry
+    D = h.shape[0]
+    ls = D // n_stages
+    shp = (n_stages, ls) + h.shape[1:]
+    return h.reshape(shp), c.reshape(shp)
+
+
+def unpack_carry(pcarry):
+    h, c = pcarry
+    shp = (h.shape[0] * h.shape[1],) + h.shape[2:]
+    return h.reshape(shp), c.reshape(shp)
+
+
+# ----------------------------------------------------------------------
+# the staged forward (runs inside shard_map; args are LOCAL shards)
+# ----------------------------------------------------------------------
+
+def _stage_forward(packed, cfg: LMConfig, x, zs, y, mask, pcarry, rng,
+                   n_stages: int, n_micro: int, train: bool):
+    """One pipeline-parallel forward: returns per-device partial sums
+    (nll_sum, mask_sum, correct_sum) and the updated local carry.
+
+    Local shapes: x/y/mask (B_loc, T); zs[i] (B_loc,); packed['kernel']
+    (1, L_s, I, 4W) (leading pipe shard); pcarry (1, L_s, B_loc, W).
+    """
+    W, I = cfg.width, cfg.input_dim
+    C = I - W
+    p = jax.lax.axis_index(PIPE_AXIS)
+    kernel = packed['kernel'][0]        # (L_s, I, 4W)
+    recurrent = packed['recurrent'][0]  # (L_s, W, 4W)
+    bias = packed['bias'][0]            # (L_s, 4W)
+    emb = packed['char_embedding']      # (V, W) replicated
+    L_s = kernel.shape[0]
+    B_loc, T = x.shape
+    assert B_loc % n_micro == 0, \
+        'local batch %d not divisible by %d microbatches' % (B_loc,
+                                                             n_micro)
+    mb = B_loc // n_micro
+    M = n_micro
+
+    # microbatch-major views
+    x_m = x.reshape(M, mb, T)
+    y_m = y.reshape(M, mb, T)
+    mask_m = mask.reshape(M, mb, T)
+    zs_m = [z.reshape(M, mb) for z in zs]
+    h0, c0 = pcarry
+    # (L_s, B_loc, W) -> (M, L_s, mb, W) carry slots per microbatch
+    def to_slots(a):
+        return jnp.swapaxes(a[0].reshape(L_s, M, mb, W), 0, 1)
+    carry_h, carry_c = to_slots(h0), to_slots(c0)
+
+    drop = train and cfg.dropout > 0 and rng is not None
+    if drop:
+        # one variational mask per GLOBAL layer index (see module doc)
+        keeps = []
+        for l in range(L_s):
+            sub = jax.random.fold_in(rng, p * L_s + l)
+            keeps.append(jax.random.bernoulli(
+                sub, 1.0 - cfg.dropout, (M, mb, 1, W)))
+        keeps = jnp.stack(keeps)  # (L_s, M, mb, 1, W)
+
+    is_first = (p == 0)
+    is_last = (p == n_stages - 1)
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def tick(state, t):
+        R, c_h, c_c, s_nll, s_cnt, s_cor = state
+        m_idx = t - p
+        valid = jnp.logical_and(m_idx >= 0, m_idx < M)
+        m = jnp.clip(m_idx, 0, M - 1)
+        # stage hand-off: stage p receives stage p-1's last output
+        recv = jax.lax.ppermute(R, PIPE_AXIS, perm) \
+            if n_stages > 1 else R
+        # stage 0 sources the embedded microbatch instead
+        t0 = jnp.clip(t, 0, M - 1)
+        x_mb = jax.lax.dynamic_index_in_dim(x_m, t0, 0, False)
+        feats = [emb[x_mb]]
+        for z_r, table in zip(zs_m, packed['context_embeddings']):
+            z_mb = jax.lax.dynamic_index_in_dim(z_r, t0, 0, False)
+            feats.append(table[z_mb][:, None, :]
+                         .repeat(T, axis=1))  # time-constant context
+        embedded = jnp.concatenate(feats, axis=-1)       # (mb, T, I)
+        padded = jnp.pad(recv, ((0, 0), (0, 0), (0, C)))
+        inp = jnp.where(is_first, embedded, padded)
+        h_in = jax.lax.dynamic_index_in_dim(c_h, m, 0, False)
+        c_in = jax.lax.dynamic_index_in_dim(c_c, m, 0, False)
+        h_out, c_out = [], []
+        for l in range(L_s):
+            x_proj = jnp.einsum('btd,df->btf', inp, kernel[l],
+                                preferred_element_type=jnp.float32) \
+                + bias[l]
+            h_all, hT, cT = _layer_scan_jnp(x_proj, h_in[l], c_in[l],
+                                            recurrent[l])
+            h_out.append(hT)
+            c_out.append(cT)
+            if drop:
+                keep = jax.lax.dynamic_index_in_dim(keeps[l], m, 0,
+                                                    False)
+                dropped = h_all * keep / (1.0 - cfg.dropout)
+                # global layer 0 output is NOT dropped (forward_seq)
+                h_all = jnp.where(jnp.logical_and(is_first, l == 0),
+                                  h_all, dropped)
+            inp = jnp.pad(h_all, ((0, 0), (0, 0), (0, C)))
+        out = inp[..., :W]                               # (mb, T, W)
+        # carry write-back (only when this tick processed a real mb)
+        old_h = jax.lax.dynamic_index_in_dim(c_h, m, 0, False)
+        old_c = jax.lax.dynamic_index_in_dim(c_c, m, 0, False)
+        new_h = jnp.where(valid, jnp.stack(h_out), old_h)
+        new_c = jnp.where(valid, jnp.stack(c_out), old_c)
+        c_h = jax.lax.dynamic_update_index_in_dim(c_h, new_h, m, 0)
+        c_c = jax.lax.dynamic_update_index_in_dim(c_c, new_c, m, 0)
+        # last stage: loss contribution of microbatch m
+        logits = jnp.einsum('btw,vw->btv', out, emb,
+                            preferred_element_type=jnp.float32)
+        y_mb = jax.lax.dynamic_index_in_dim(y_m, m, 0, False)
+        m_mb = jax.lax.dynamic_index_in_dim(mask_m, m, 0, False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, y_mb[..., None],
+                                   axis=-1)[..., 0]
+        cor = (jnp.argmax(logits, axis=-1) == y_mb) \
+            .astype(jnp.float32)
+        take = (jnp.logical_and(valid, is_last)
+                .astype(jnp.float32))
+        s_nll = s_nll + take * jnp.sum(nll * m_mb)
+        s_cnt = s_cnt + take * jnp.sum(m_mb)
+        s_cor = s_cor + take * jnp.sum(cor * m_mb)
+        return (out, c_h, c_c, s_nll, s_cnt, s_cor), None
+
+    R0 = jnp.zeros((mb, T, W), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+    state0 = (R0, carry_h, carry_c, zero, zero, zero)
+    state, _ = jax.lax.scan(tick, state0,
+                            jnp.arange(M + n_stages - 1))
+    _, c_h, c_c, s_nll, s_cnt, s_cor = state
+
+    def from_slots(a):  # (M, L_s, mb, W) -> (1, L_s, B_loc, W)
+        return jnp.swapaxes(a, 0, 1).reshape(1, L_s, B_loc, W)
+    return (s_nll, s_cnt, s_cor), (from_slots(c_h), from_slots(c_c))
+
+
+# ----------------------------------------------------------------------
+# jitted train step over the (data, pipe) mesh
+# ----------------------------------------------------------------------
+
+def _packed_shardings(mesh: Mesh, packed):
+    repl = NamedSharding(mesh, P())
+    stack = NamedSharding(mesh, P(PIPE_AXIS))
+    return {'char_embedding': repl,
+            'context_embeddings': [repl for _ in
+                                   packed['context_embeddings']],
+            'kernel': stack, 'recurrent': stack, 'bias': stack}
+
+
+def _opt_shardings(mesh: Mesh, opt_state, pspec):
+    repl = NamedSharding(mesh, P())
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=repl, mu=pspec,
+                                          nu=pspec)
+        if isinstance(node, tuple) and hasattr(node, '_fields'):
+            return type(node)(*(rec(x) for x in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(x) for x in node)
+        return jax.tree_util.tree_map(lambda _: repl, node)
+    return rec(opt_state)
+
+
+def make_pipeline_train_step(mesh: Mesh, cfg: LMConfig, n_micro: int,
+                             optimizer=None):
+    """Return (jit_step, shard_fn) for pipeline-parallel training.
+
+    ``jit_step(packed, opt_state, x, zs, y, mask, pcarry, rng)`` runs
+    one GPipe-scheduled train step over the (data, pipe) mesh and
+    returns ``(packed, opt_state, pcarry, loss, nll, acc)``;
+    ``shard_fn(packed, opt_state, pcarry)`` places the states.
+    Build ``packed`` with :func:`pack_pipeline_params` and ``pcarry``
+    with :func:`pack_carry`; round-trip via the unpack functions.
+    """
+    n_stages = int(mesh.shape[PIPE_AXIS])
+    assert cfg.depth % n_stages == 0
+    if cfg.variable_length:
+        raise NotImplementedError(
+            'pipeline training covers the stateful-streams layout; '
+            'variable-length masked windows use the dp/tp step '
+            '(parallel/train.py)')
+    opt = optimizer or make_optimizer()
+
+    dspec = P(DATA_AXIS)
+    pipe_stack = P(PIPE_AXIS)
+    carry_spec = P(PIPE_AXIS, None, DATA_AXIS, None)
+    in_specs_params = {
+        'char_embedding': P(),
+        'context_embeddings': [P() for _ in cfg.contexts],
+        'kernel': pipe_stack, 'recurrent': pipe_stack,
+        'bias': pipe_stack}
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_specs_params, P(DATA_AXIS, None),
+                       tuple(dspec for _ in cfg.contexts),
+                       P(DATA_AXIS, None), P(DATA_AXIS, None),
+                       (carry_spec, carry_spec), P()),
+             out_specs=((P(), P(), P()), (carry_spec, carry_spec)),
+             check_vma=False)
+    def staged(packed, x, zs, y, mask, pcarry, rng):
+        sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
+                                      mask, pcarry, rng, n_stages,
+                                      n_micro, train=True)
+        sums = tuple(jax.lax.psum(jax.lax.psum(s, PIPE_AXIS),
+                                  DATA_AXIS) for s in sums)
+        return sums, carry2
+
+    def step(packed, opt_state, x, zs, y, mask, pcarry, rng):
+        def loss_fn(pk):
+            (s_nll, s_cnt, s_cor), carry2 = staged(
+                pk, x, zs, y, mask, pcarry, rng)
+            denom = jnp.maximum(s_cnt, 1.0)
+            nll = s_nll / denom
+            acc = s_cor / denom
+            return nll + regularization_loss(pk), (nll, acc, carry2)
+        (loss, (nll, acc, carry2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(packed)
+        updates, opt_state = opt.update(grads, opt_state, packed)
+        packed = optax.apply_updates(packed, updates)
+        return packed, opt_state, carry2, loss, nll, acc
+
+    def shard_fn(packed, opt_state, pcarry):
+        pspec = _packed_shardings(mesh, packed)
+        cs = NamedSharding(mesh, carry_spec)
+        return (jax.device_put(packed, pspec),
+                jax.device_put(opt_state,
+                               _opt_shardings(mesh, opt_state, pspec)),
+                jax.device_put(pcarry, (cs, cs)))
+
+    def jit_step(packed, opt_state):
+        pspec = _packed_shardings(mesh, packed)
+        ospec = _opt_shardings(mesh, opt_state, pspec)
+        bs = NamedSharding(mesh, P(DATA_AXIS, None))
+        zspec = tuple(NamedSharding(mesh, dspec) for _ in cfg.contexts)
+        cs = NamedSharding(mesh, carry_spec)
+        rs = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(pspec, ospec, bs, zspec, bs, bs, (cs, cs),
+                          rs),
+            out_shardings=(pspec, ospec, (cs, cs), rs, rs, rs),
+            donate_argnums=(0, 1, 6))
+
+    return jit_step, shard_fn

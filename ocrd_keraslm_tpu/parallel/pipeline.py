@@ -377,3 +377,127 @@ def make_pipeline_train_step(mesh: Mesh, cfg: LMConfig, n_micro: int,
             donate_argnums=(0, 1, 6))
 
     return jit_step, shard_fn
+
+
+# ----------------------------------------------------------------------
+# canonical-interface variant (drop-in for training.train_rater)
+# ----------------------------------------------------------------------
+
+def _pack_params_jnp(params, cfg: LMConfig, n_stages: int):
+    """Device-side pack (traceable): canonical -> pipeline layout."""
+    D, W, I = cfg.depth, cfg.width, cfg.input_dim
+    ls = D // n_stages
+    kernels = []
+    for layer in range(D):
+        k = params['lstm'][layer]['kernel']
+        if k.shape[0] < I:
+            k = jnp.pad(k, ((0, I - k.shape[0]), (0, 0)))
+        kernels.append(k)
+    return {
+        'char_embedding': params['char_embedding'],
+        'context_embeddings': list(params['context_embeddings']),
+        'kernel': jnp.stack(kernels).reshape(n_stages, ls, I, 4 * W),
+        'recurrent': jnp.stack(
+            [params['lstm'][m]['recurrent'] for m in range(D)]
+        ).reshape(n_stages, ls, W, 4 * W),
+        'bias': jnp.stack(
+            [params['lstm'][m]['bias'] for m in range(D)]
+        ).reshape(n_stages, ls, 4 * W),
+    }
+
+
+def make_pipeline_train_step_canonical(mesh: Mesh, cfg: LMConfig,
+                                       n_micro: int, optimizer=None):
+    """Pipeline-parallel train step on CANONICAL params/carry.
+
+    Drop-in for ``training.train_rater``'s sharded-step slot (same
+    signature as ``parallel.train.make_sharded_train_step``'s
+    product): params, optimizer state and carry keep the canonical
+    single-chip layout (so validation, checkpointing, NaN recovery and
+    resume are untouched); the pack to the staged layout and the
+    unpack of the gradients happen INSIDE the jitted step as pure
+    device layout ops.  Trade-off vs :func:`make_pipeline_train_step`:
+    params are replicated across stages between steps (no per-stage
+    parameter memory scaling) — the pipeline distributes the layer
+    COMPUTE, which is the relevant axis for deep stacks of this model
+    family.
+    """
+    n_stages = int(mesh.shape[PIPE_AXIS])
+    assert cfg.depth % n_stages == 0, \
+        'depth %d not divisible by %d pipeline stages' % (cfg.depth,
+                                                          n_stages)
+    if cfg.variable_length:
+        raise NotImplementedError(
+            'pipeline training covers the stateful-streams layout; '
+            'variable-length masked windows use the dp/tp step '
+            '(parallel/train.py)')
+    opt = optimizer or make_optimizer()
+    dspec = P(DATA_AXIS)
+    carry_spec = P(PIPE_AXIS, None, DATA_AXIS, None)
+    in_specs_params = {
+        'char_embedding': P(),
+        'context_embeddings': [P() for _ in cfg.contexts],
+        'kernel': P(PIPE_AXIS), 'recurrent': P(PIPE_AXIS),
+        'bias': P(PIPE_AXIS)}
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_specs_params, P(DATA_AXIS, None),
+                       tuple(dspec for _ in cfg.contexts),
+                       P(DATA_AXIS, None), P(DATA_AXIS, None),
+                       (carry_spec, carry_spec), P()),
+             out_specs=((P(), P(), P()), (carry_spec, carry_spec)),
+             check_vma=False)
+    def staged(packed, x, zs, y, mask, pcarry, rng):
+        sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
+                                      mask, pcarry, rng, n_stages,
+                                      n_micro, train=True)
+        sums = tuple(jax.lax.psum(jax.lax.psum(s, PIPE_AXIS),
+                                  DATA_AXIS) for s in sums)
+        return sums, carry2
+
+    def step(params, opt_state, x, zs, y, mask, carry, rng):
+        pcarry = pack_carry(carry, n_stages)
+
+        def loss_fn(p):
+            packed = _pack_params_jnp(p, cfg, n_stages)
+            (s_nll, s_cnt, s_cor), carry2 = staged(
+                packed, x, zs, y, mask, pcarry, rng)
+            denom = jnp.maximum(s_cnt, 1.0)
+            nll = s_nll / denom
+            acc = s_cor / denom
+            return nll + regularization_loss(p), (nll, acc, carry2)
+        (loss, (nll, acc, carry2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, unpack_carry(carry2), loss, nll, acc
+
+    def shard_fn(params, opt_state):
+        repl = NamedSharding(mesh, P())
+        pspec = jax.tree_util.tree_map(lambda _: repl, params)
+        return (jax.device_put(params, pspec),
+                jax.device_put(
+                    opt_state,
+                    jax.tree_util.tree_map(lambda _: repl, opt_state)),
+                pspec)
+
+    def jit_step(params, opt_state, n_contexts, stateful_targets,
+                 variable_length=False):
+        assert not variable_length
+        repl = NamedSharding(mesh, P())
+        pspec = jax.tree_util.tree_map(lambda _: repl, params)
+        ospec = jax.tree_util.tree_map(lambda _: repl, opt_state)
+        bs = NamedSharding(mesh, P(DATA_AXIS, None))
+        zspec = tuple(NamedSharding(mesh, dspec)
+                      for _ in range(n_contexts))
+        # canonical (depth, B, W) carry: batch dim on the data axis
+        cs = NamedSharding(mesh, P(None, DATA_AXIS, None))
+        rs = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            in_shardings=(pspec, ospec, bs, zspec, bs, bs, (cs, cs),
+                          rs),
+            out_shardings=(pspec, ospec, (cs, cs), rs, rs, rs),
+            donate_argnums=(0, 1, 6))
+
+    return step, shard_fn, jit_step

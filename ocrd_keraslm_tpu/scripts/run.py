@@ -152,9 +152,12 @@ def _load_rater(model, incremental=False):
                    'run resumes from the last completed epoch')
 @click.option('--mesh', 'mesh_spec', default=None, metavar='DPxMP',
               help='shard the train step over a device mesh, e.g. '
-                   '"4" (4-way data parallel) or "4x2" (4-way data x '
-                   '2-way model parallel); requires that many JAX '
-                   'devices and batch_size divisible by DP')
+                   '"4" (4-way data parallel), "4x2" (4-way data x '
+                   '2-way model parallel), or "2x4p" (2-way data x '
+                   '4-stage GPipe PIPELINE over the layer stack; '
+                   'depth must divide by the stage count); requires '
+                   'that many JAX devices and batch_size divisible '
+                   'by DP')
 @click.argument('data', nargs=-1,
                 type=click.Path(exists=True, dir_okay=True,
                                 file_okay=True))
@@ -195,8 +198,15 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
     if mesh_spec:
         parts = mesh_spec.lower().split('x')
         dp = int(parts[0])
-        mp = int(parts[1]) if len(parts) > 1 else 1
-        if os.environ.get('KERASLM_COORDINATOR') or \
+        pipe = len(parts) > 1 and parts[1].endswith('p')
+        mp = 1 if (pipe or len(parts) == 1) else int(parts[1])
+        if pipe:
+            # "DPxPPp": data x PIPELINE stages (parallel/pipeline.py)
+            pp = int(parts[1][:-1])
+            from ..parallel.pipeline import make_pipe_mesh
+            rater.mesh = make_pipe_mesh(n_devices=dp * pp,
+                                        pipe_parallel=pp)
+        elif os.environ.get('KERASLM_COORDINATOR') or \
                 os.environ.get('KERASLM_NUM_PROCESSES'):
             # multi-host: join the process group and mesh over ALL
             # hosts' devices (model axis stays intra-host; see

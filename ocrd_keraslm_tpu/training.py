@@ -230,13 +230,37 @@ def train_rater(rater, data, val_data=None) -> None:
                      else rater.batch_size)
     sharded_step = None
     if mesh is not None:
-        from .parallel.train import make_sharded_train_step
         n_data = mesh.shape.get('data', 1)
         if batch_dim_pre % n_data != 0:
             raise ValueError(
                 'batch_size %d not divisible by mesh data axis %d'
                 % (batch_dim_pre, n_data))
-        _, shard_fn, jit_step = make_sharded_train_step(mesh, cfg)
+        if 'pipe' in mesh.axis_names:
+            # depth-staged GPipe pipeline (parallel/pipeline.py) on
+            # the canonical param/carry layout, so validation,
+            # checkpointing and resume below stay unchanged
+            from .parallel.pipeline import \
+                make_pipeline_train_step_canonical
+            if not (rater.stateful and rater.train_streams):
+                raise ValueError(
+                    'pipeline training requires the stateful '
+                    'parallel-streams layout (stateful=True, '
+                    'train_streams=True); stateless windowed and '
+                    'parity layouts use a dp/tp mesh')
+            n_stages = int(mesh.shape['pipe'])
+            b_loc = batch_dim_pre // n_data
+            n_micro = int(getattr(rater, 'pipe_microbatches', 0) or
+                          n_stages)
+            if b_loc % n_micro != 0:
+                raise ValueError(
+                    'per-device batch %d not divisible by %d pipeline '
+                    'microbatches (set rater.pipe_microbatches or '
+                    'adjust batch_size)' % (b_loc, n_micro))
+            _, shard_fn, jit_step = make_pipeline_train_step_canonical(
+                mesh, cfg, n_micro=n_micro)
+        else:
+            from .parallel.train import make_sharded_train_step
+            _, shard_fn, jit_step = make_sharded_train_step(mesh, cfg)
         params, opt_state, _ = shard_fn(params, opt_state)
         # stateful streams train on (B, T) targets; stateless windowed
         # predicts a single next char -> (B,) targets (data.py)

@@ -83,3 +83,23 @@ def batch_shardings(mesh: Mesh, n_contexts: int, stateful_targets: bool):
 def carry_sharding(mesh: Mesh):
     """(depth, B, W) carry: batch dim split on data axis."""
     return NamedSharding(mesh, P(None, DATA_AXIS, None))
+
+
+def adam_opt_shardings(mesh: Mesh, opt_state, pspec):
+    """Sharding tree for an optax chain's state: Adam moments get
+    their params' shardings (sharded params' moments must NOT be
+    replicated — that would forfeit the memory scaling), every other
+    leaf replicated.  Shared by the dp/tp and pipeline train steps."""
+    import optax
+    repl = NamedSharding(mesh, P())
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=repl, mu=pspec,
+                                          nu=pspec)
+        if isinstance(node, tuple) and hasattr(node, '_fields'):
+            return type(node)(*(rec(x) for x in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(x) for x in node)
+        return jax.tree_util.tree_map(lambda _: repl, node)
+    return rec(opt_state)

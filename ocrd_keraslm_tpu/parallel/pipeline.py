@@ -29,9 +29,11 @@ GPipe-style.  TPU-first design decisions:
 
 Dropout note: the single-chip step draws one variational mask per
 hidden layer by sequentially splitting the rng (models/lstm_lm.py
-forward_seq); here each layer's mask comes from ``fold_in(rng,
-global_layer_index)`` so stages need no rng hand-off.  Statistically
-equivalent, bitwise different — parity tests run with dropout 0.
+forward_seq); here each layer's mask comes from ``fold_in(fold_in(rng,
+data_shard_index), global_layer_index)`` so stages need no rng
+hand-off and data shards draw independent masks for their distinct
+samples.  Statistically equivalent, bitwise different — parity tests
+run with dropout 0.
 
 No reference counterpart (nearest concept: the layer stack itself,
 /root/reference/ocrd_keraslm/lib/rating.py:106-154).
@@ -51,7 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.lstm_lm import (LMConfig, _layer_scan_jnp, lstm_gates,
                               regularization_loss)
 from ..training import make_optimizer
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, adam_opt_shardings
 
 PIPE_AXIS = 'pipe'
 
@@ -155,9 +157,12 @@ def _stage_forward(packed, cfg: LMConfig, x, zs, y, mask, pcarry, rng,
     """
     W, I = cfg.width, cfg.input_dim
     C = I - W
+    cdt = jnp.dtype(cfg.compute_dtype)  # bf16 recurrent core support
     p = jax.lax.axis_index(PIPE_AXIS)
-    kernel = packed['kernel'][0]        # (L_s, I, 4W)
-    recurrent = packed['recurrent'][0]  # (L_s, W, 4W)
+    kernel = packed['kernel'][0].astype(cdt)   # (L_s, I, 4W)
+    recurrent = packed['recurrent'][0]         # (L_s, W, 4W)
+    if cdt != jnp.float32:
+        recurrent = recurrent.astype(cdt)
     bias = packed['bias'][0]            # (L_s, 4W)
     emb = packed['char_embedding']      # (V, W) replicated
     L_s = kernel.shape[0]
@@ -181,7 +186,11 @@ def _stage_forward(packed, cfg: LMConfig, x, zs, y, mask, pcarry, rng,
 
     drop = train and cfg.dropout > 0 and rng is not None
     if drop:
-        # one variational mask per GLOBAL layer index (see module doc)
+        # one variational mask per GLOBAL layer index (see module
+        # doc), decorrelated across data shards — without the data
+        # fold every data column would draw identical masks for
+        # DIFFERENT samples
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         keeps = []
         for l in range(L_s):
             sub = jax.random.fold_in(rng, p * L_s + l)
@@ -201,22 +210,31 @@ def _stage_forward(packed, cfg: LMConfig, x, zs, y, mask, pcarry, rng,
         # stage hand-off: stage p receives stage p-1's last output
         recv = jax.lax.ppermute(R, PIPE_AXIS, perm) \
             if n_stages > 1 else R
-        # stage 0 sources the embedded microbatch instead
+        # stage 0 sources the embedded microbatch instead; runtime
+        # cond so the other stages skip the gathers entirely
         t0 = jnp.clip(t, 0, M - 1)
-        x_mb = jax.lax.dynamic_index_in_dim(x_m, t0, 0, False)
-        feats = [emb[x_mb]]
-        for z_r, table in zip(zs_m, packed['context_embeddings']):
-            z_mb = jax.lax.dynamic_index_in_dim(z_r, t0, 0, False)
-            feats.append(table[z_mb][:, None, :]
-                         .repeat(T, axis=1))  # time-constant context
-        embedded = jnp.concatenate(feats, axis=-1)       # (mb, T, I)
-        padded = jnp.pad(recv, ((0, 0), (0, 0), (0, C)))
-        inp = jnp.where(is_first, embedded, padded)
+
+        def embed_branch(_):
+            x_mb = jax.lax.dynamic_index_in_dim(x_m, t0, 0, False)
+            feats = [emb[x_mb]]
+            for z_r, table in zip(zs_m,
+                                  packed['context_embeddings']):
+                z_mb = jax.lax.dynamic_index_in_dim(z_r, t0, 0,
+                                                    False)
+                feats.append(table[z_mb][:, None, :]
+                             .repeat(T, axis=1))  # constant context
+            return jnp.concatenate(feats, axis=-1)   # (mb, T, I)
+
+        def recv_branch(_):
+            return jnp.pad(recv, ((0, 0), (0, 0), (0, C)))
+
+        inp = jax.lax.cond(is_first, embed_branch, recv_branch, None)
         h_in = jax.lax.dynamic_index_in_dim(c_h, m, 0, False)
         c_in = jax.lax.dynamic_index_in_dim(c_c, m, 0, False)
         h_out, c_out = [], []
         for l in range(L_s):
-            x_proj = jnp.einsum('btd,df->btf', inp, kernel[l],
+            x_proj = jnp.einsum('btd,df->btf', inp.astype(cdt),
+                                kernel[l],
                                 preferred_element_type=jnp.float32) \
                 + bias[l]
             h_all, hT, cT = _layer_scan_jnp(x_proj, h_in[l], c_in[l],
@@ -232,28 +250,40 @@ def _stage_forward(packed, cfg: LMConfig, x, zs, y, mask, pcarry, rng,
                                   h_all, dropped)
             inp = jnp.pad(h_all, ((0, 0), (0, 0), (0, C)))
         out = inp[..., :W]                               # (mb, T, W)
-        # carry write-back (only when this tick processed a real mb)
-        old_h = jax.lax.dynamic_index_in_dim(c_h, m, 0, False)
-        old_c = jax.lax.dynamic_index_in_dim(c_c, m, 0, False)
-        new_h = jnp.where(valid, jnp.stack(h_out), old_h)
-        new_c = jnp.where(valid, jnp.stack(c_out), old_c)
+        # carry write-back (only when this tick processed a real mb;
+        # h_in/c_in ARE the slot's previous contents)
+        new_h = jnp.where(valid, jnp.stack(h_out), h_in)
+        new_c = jnp.where(valid, jnp.stack(c_out), c_in)
         c_h = jax.lax.dynamic_update_index_in_dim(c_h, new_h, m, 0)
         c_c = jax.lax.dynamic_update_index_in_dim(c_c, new_c, m, 0)
-        # last stage: loss contribution of microbatch m
-        logits = jnp.einsum('btw,vw->btv', out, emb,
-                            preferred_element_type=jnp.float32)
-        y_mb = jax.lax.dynamic_index_in_dim(y_m, m, 0, False)
-        m_mb = jax.lax.dynamic_index_in_dim(mask_m, m, 0, False)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, y_mb[..., None],
-                                   axis=-1)[..., 0]
-        cor = (jnp.argmax(logits, axis=-1) == y_mb) \
-            .astype(jnp.float32)
-        take = (jnp.logical_and(valid, is_last)
-                .astype(jnp.float32))
-        s_nll = s_nll + take * jnp.sum(nll * m_mb)
-        s_cnt = s_cnt + take * jnp.sum(m_mb)
-        s_cor = s_cor + take * jnp.sum(cor * m_mb)
+        # last stage: loss contribution of microbatch m — runtime
+        # cond so (n_stages-1)/n_stages of the full-vocab logits
+        # matmuls + softmaxes (the dominant per-tick cost at real
+        # charset sizes) never execute on the other stages or on
+        # warmup/drain ticks
+        def loss_branch(o):
+            logits = jnp.einsum('btw,vw->btv', o, emb,
+                                preferred_element_type=jnp.float32)
+            y_mb = jax.lax.dynamic_index_in_dim(y_m, m, 0, False)
+            m_mb = jax.lax.dynamic_index_in_dim(mask_m, m, 0, False)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, y_mb[..., None],
+                                       axis=-1)[..., 0]
+            cor = (jnp.argmax(logits, axis=-1) == y_mb) \
+                .astype(jnp.float32)
+            return (jnp.sum(nll * m_mb), jnp.sum(m_mb),
+                    jnp.sum(cor * m_mb))
+
+        def zero_branch(o):
+            z = jnp.zeros((), jnp.float32)
+            return (z, z, z)
+
+        d_nll, d_cnt, d_cor = jax.lax.cond(
+            jnp.logical_and(valid, is_last), loss_branch, zero_branch,
+            out)
+        s_nll = s_nll + d_nll
+        s_cnt = s_cnt + d_cnt
+        s_cor = s_cor + d_cor
         return (out, c_h, c_c, s_nll, s_cnt, s_cor), None
 
     R0 = jnp.zeros((mb, T, W), jnp.float32)
@@ -281,19 +311,46 @@ def _packed_shardings(mesh: Mesh, packed):
             'kernel': stack, 'recurrent': stack, 'bias': stack}
 
 
-def _opt_shardings(mesh: Mesh, opt_state, pspec):
-    repl = NamedSharding(mesh, P())
+_CARRY_SPEC = P(PIPE_AXIS, None, DATA_AXIS, None)
 
-    def rec(node):
-        if isinstance(node, optax.ScaleByAdamState):
-            return optax.ScaleByAdamState(count=repl, mu=pspec,
-                                          nu=pspec)
-        if isinstance(node, tuple) and hasattr(node, '_fields'):
-            return type(node)(*(rec(x) for x in node))
-        if isinstance(node, (tuple, list)):
-            return type(node)(rec(x) for x in node)
-        return jax.tree_util.tree_map(lambda _: repl, node)
-    return rec(opt_state)
+
+def _make_staged(mesh: Mesh, cfg: LMConfig, n_micro: int):
+    """Shared shard_map'd pipeline forward for both step factories:
+    guards the config, then returns ``staged(packed, x, zs, y, mask,
+    pcarry, rng) -> ((nll_sum, mask_sum, correct_sum) replicated,
+    local carry)`` plus the stage count."""
+    n_stages = int(mesh.shape[PIPE_AXIS])
+    assert cfg.depth % n_stages == 0, \
+        'depth %d not divisible by %d pipeline stages' % (cfg.depth,
+                                                          n_stages)
+    if cfg.variable_length:
+        raise NotImplementedError(
+            'pipeline training covers the stateful-streams layout; '
+            'variable-length masked windows use the dp/tp step '
+            '(parallel/train.py)')
+    dspec = P(DATA_AXIS)
+    in_specs_params = {
+        'char_embedding': P(),
+        'context_embeddings': [P() for _ in cfg.contexts],
+        'kernel': P(PIPE_AXIS), 'recurrent': P(PIPE_AXIS),
+        'bias': P(PIPE_AXIS)}
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(in_specs_params, P(DATA_AXIS, None),
+                       tuple(dspec for _ in cfg.contexts),
+                       P(DATA_AXIS, None), P(DATA_AXIS, None),
+                       (_CARRY_SPEC, _CARRY_SPEC), P()),
+             out_specs=((P(), P(), P()), (_CARRY_SPEC, _CARRY_SPEC)),
+             check_vma=False)
+    def staged(packed, x, zs, y, mask, pcarry, rng):
+        sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
+                                      mask, pcarry, rng, n_stages,
+                                      n_micro, train=True)
+        sums = tuple(jax.lax.psum(jax.lax.psum(s, PIPE_AXIS),
+                                  DATA_AXIS) for s in sums)
+        return sums, carry2
+
+    return staged, n_stages
 
 
 def make_pipeline_train_step(mesh: Mesh, cfg: LMConfig, n_micro: int,
@@ -307,38 +364,10 @@ def make_pipeline_train_step(mesh: Mesh, cfg: LMConfig, n_micro: int,
     Build ``packed`` with :func:`pack_pipeline_params` and ``pcarry``
     with :func:`pack_carry`; round-trip via the unpack functions.
     """
-    n_stages = int(mesh.shape[PIPE_AXIS])
-    assert cfg.depth % n_stages == 0
-    if cfg.variable_length:
-        raise NotImplementedError(
-            'pipeline training covers the stateful-streams layout; '
-            'variable-length masked windows use the dp/tp step '
-            '(parallel/train.py)')
+    staged, n_stages = _make_staged(mesh, cfg, n_micro)
     opt = optimizer or make_optimizer()
-
     dspec = P(DATA_AXIS)
-    pipe_stack = P(PIPE_AXIS)
-    carry_spec = P(PIPE_AXIS, None, DATA_AXIS, None)
-    in_specs_params = {
-        'char_embedding': P(),
-        'context_embeddings': [P() for _ in cfg.contexts],
-        'kernel': pipe_stack, 'recurrent': pipe_stack,
-        'bias': pipe_stack}
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(in_specs_params, P(DATA_AXIS, None),
-                       tuple(dspec for _ in cfg.contexts),
-                       P(DATA_AXIS, None), P(DATA_AXIS, None),
-                       (carry_spec, carry_spec), P()),
-             out_specs=((P(), P(), P()), (carry_spec, carry_spec)),
-             check_vma=False)
-    def staged(packed, x, zs, y, mask, pcarry, rng):
-        sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
-                                      mask, pcarry, rng, n_stages,
-                                      n_micro, train=True)
-        sums = tuple(jax.lax.psum(jax.lax.psum(s, PIPE_AXIS),
-                                  DATA_AXIS) for s in sums)
-        return sums, carry2
+    carry_spec = _CARRY_SPEC
 
     def step(packed, opt_state, x, zs, y, mask, pcarry, rng):
         def loss_fn(pk):
@@ -359,12 +388,13 @@ def make_pipeline_train_step(mesh: Mesh, cfg: LMConfig, n_micro: int,
         cs = NamedSharding(mesh, carry_spec)
         return (jax.device_put(packed, pspec),
                 jax.device_put(opt_state,
-                               _opt_shardings(mesh, opt_state, pspec)),
+                               adam_opt_shardings(mesh, opt_state,
+                                                  pspec)),
                 jax.device_put(pcarry, (cs, cs)))
 
     def jit_step(packed, opt_state):
         pspec = _packed_shardings(mesh, packed)
-        ospec = _opt_shardings(mesh, opt_state, pspec)
+        ospec = adam_opt_shardings(mesh, opt_state, pspec)
         bs = NamedSharding(mesh, P(DATA_AXIS, None))
         zspec = tuple(NamedSharding(mesh, dspec) for _ in cfg.contexts)
         cs = NamedSharding(mesh, carry_spec)
@@ -422,38 +452,9 @@ def make_pipeline_train_step_canonical(mesh: Mesh, cfg: LMConfig,
     COMPUTE, which is the relevant axis for deep stacks of this model
     family.
     """
-    n_stages = int(mesh.shape[PIPE_AXIS])
-    assert cfg.depth % n_stages == 0, \
-        'depth %d not divisible by %d pipeline stages' % (cfg.depth,
-                                                          n_stages)
-    if cfg.variable_length:
-        raise NotImplementedError(
-            'pipeline training covers the stateful-streams layout; '
-            'variable-length masked windows use the dp/tp step '
-            '(parallel/train.py)')
+    staged, n_stages = _make_staged(mesh, cfg, n_micro)
     opt = optimizer or make_optimizer()
     dspec = P(DATA_AXIS)
-    carry_spec = P(PIPE_AXIS, None, DATA_AXIS, None)
-    in_specs_params = {
-        'char_embedding': P(),
-        'context_embeddings': [P() for _ in cfg.contexts],
-        'kernel': P(PIPE_AXIS), 'recurrent': P(PIPE_AXIS),
-        'bias': P(PIPE_AXIS)}
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(in_specs_params, P(DATA_AXIS, None),
-                       tuple(dspec for _ in cfg.contexts),
-                       P(DATA_AXIS, None), P(DATA_AXIS, None),
-                       (carry_spec, carry_spec), P()),
-             out_specs=((P(), P(), P()), (carry_spec, carry_spec)),
-             check_vma=False)
-    def staged(packed, x, zs, y, mask, pcarry, rng):
-        sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
-                                      mask, pcarry, rng, n_stages,
-                                      n_micro, train=True)
-        sums = tuple(jax.lax.psum(jax.lax.psum(s, PIPE_AXIS),
-                                  DATA_AXIS) for s in sums)
-        return sums, carry2
 
     def step(params, opt_state, x, zs, y, mask, carry, rng):
         pcarry = pack_carry(carry, n_stages)

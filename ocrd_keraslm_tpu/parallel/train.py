@@ -19,8 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.lstm_lm import LMConfig, forward_seq, regularization_loss, sequence_xent
 from ..training import make_optimizer
-from .mesh import (batch_shardings, carry_sharding,
-                   param_shardings)
+from .mesh import (adam_opt_shardings, batch_shardings,
+                   carry_sharding, param_shardings)
 
 
 def _loss(params, cfg, x, zs, y, mask, carry, rng, x_mask=None):
@@ -50,22 +50,7 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
         return params, opt_state, carry, loss, nll, acc
 
     def opt_shardings(opt_state, pspec):
-        """Sharding tree for the optimizer state: Adam moments get
-        their params' shardings (the vocab-sharded tied embedding's
-        moments must NOT be replicated — that would forfeit the TP
-        memory scaling), every other leaf replicated."""
-        repl = NamedSharding(mesh, P())
-
-        def rec(node):
-            if isinstance(node, optax.ScaleByAdamState):
-                return optax.ScaleByAdamState(count=repl, mu=pspec,
-                                              nu=pspec)
-            if isinstance(node, tuple) and hasattr(node, '_fields'):
-                return type(node)(*(rec(x) for x in node))
-            if isinstance(node, (tuple, list)):
-                return type(node)(rec(x) for x in node)
-            return jax.tree_util.tree_map(lambda _: repl, node)
-        return rec(opt_state)
+        return adam_opt_shardings(mesh, opt_state, pspec)
 
     def shard_fn(params, opt_state):
         pspec = param_shardings(mesh, params)

@@ -196,18 +196,36 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
         rater.compute_dtype = 'bfloat16'
 
     if mesh_spec:
-        parts = mesh_spec.lower().split('x')
-        dp = int(parts[0])
-        pipe = len(parts) > 1 and parts[1].endswith('p')
-        mp = 1 if (pipe or len(parts) == 1) else int(parts[1])
+        spec = mesh_spec.lower()
+        multihost = bool(os.environ.get('KERASLM_COORDINATOR') or
+                         os.environ.get('KERASLM_NUM_PROCESSES'))
+        try:
+            parts = spec.split('x')
+            pipe = parts[-1].endswith('p')
+            if pipe:
+                # "DPxPPp" (or "PPp" for dp=1): data x PIPELINE
+                # stages (parallel/pipeline.py)
+                pp = int(parts[-1][:-1])
+                dp = int(parts[0]) if len(parts) > 1 else 1
+                mp = 1
+            else:
+                dp = int(parts[0])
+                mp = int(parts[1]) if len(parts) > 1 else 1
+        except ValueError:
+            raise click.UsageError(
+                '--mesh expects DP, DPxMP or DPxPPp (e.g. "4", '
+                '"4x2", "2x4p"), got %r' % mesh_spec)
         if pipe:
-            # "DPxPPp": data x PIPELINE stages (parallel/pipeline.py)
-            pp = int(parts[1][:-1])
+            if multihost:
+                raise click.UsageError(
+                    'pipeline meshes (--mesh %s) are single-host; '
+                    'unset KERASLM_COORDINATOR/KERASLM_NUM_PROCESSES '
+                    'or use a DPxMP mesh (multi-host dp/tp)'
+                    % mesh_spec)
             from ..parallel.pipeline import make_pipe_mesh
             rater.mesh = make_pipe_mesh(n_devices=dp * pp,
                                         pipe_parallel=pp)
-        elif os.environ.get('KERASLM_COORDINATOR') or \
-                os.environ.get('KERASLM_NUM_PROCESSES'):
+        elif multihost:
             # multi-host: join the process group and mesh over ALL
             # hosts' devices (model axis stays intra-host; see
             # parallel/multihost.py)

@@ -413,10 +413,12 @@ def main():
         print('tpu generation (fringe 256): %.0f chars/s best, '
               '%.0f median (%.3fs best for %d chars)'
               % (gen_cps, gen_cps_med, best, GEN_N), file=sys.stderr)
-        # long-form serving point: 4096 chars amortize the fixed
-        # ~27 ms dispatch RTT 4x (at 1024 chars the RTT alone caps
-        # e2e at ~38k chars/s whatever the kernel does)
-        GEN_LONG = 4096
+        # long-form serving point: 16384 chars amortize the fixed
+        # ~27 ms dispatch RTT ~12x (at 1024 chars the RTT alone caps
+        # e2e at ~38k chars/s whatever the kernel does).  The scan
+        # program is length-independent (unroll 2), so this bucket
+        # compiles as fast as the 4096 one (~11 s measured).
+        GEN_LONG = 16384
         rater.generate('abc', GEN_LONG)  # warmup bucket 4096
         best_l = 1e30
         for _ in range(3):
@@ -426,11 +428,12 @@ def main():
         gen_long_cps = GEN_LONG / best_l
         # device-side marginal cost (separating the tunneled dispatch
         # RTT, ~30-110 ms/call here, from the ~10-20 us/char the chip
-        # actually spends): slope between the 256- and 4096-char scan
-        # lengths.  The far end must be the LONG point: 3840 extra
-        # chars are ~40 ms of device time, well above RTT jitter,
-        # whereas a 1024-char far end (768 x ~11 us = 8 ms) drowned in
-        # a ~5 ms RTT swing and once measured a 0.0 us/char marginal.
+        # actually spends): slope between the 256- and 16384-char scan
+        # lengths.  The far end must be the LONG point: ~16k extra
+        # chars are hundreds of ms of device time, far above RTT
+        # jitter, whereas a 1024-char far end (768 x ~11 us = 8 ms)
+        # drowned in a ~5 ms RTT swing and once measured a bogus
+        # 0.0 us/char marginal.
         t_short = 1e30
         for _ in range(3):
             t0 = time.perf_counter()

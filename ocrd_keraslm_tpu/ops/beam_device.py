@@ -206,6 +206,24 @@ def generate_device_best(emb, embT, wcat, bias, prefix, prefix_mask,
     return seq, costs[out_length - 1, best]
 
 
+def _use_fused_gen(rater, v_pad: int) -> bool:
+    """Route generation through the fused Pallas kernel
+    (ops/gen_kernel.py) when it applies: on TPU by default (the XLA
+    scan pays a ~8 us/step sequential overhead floor the kernel does
+    not), opt-out via ``rater.fused_generate = False``, opt-in on
+    other backends (interpret mode, for tests) via ``'force'``; wide
+    models fall back to the XLA engine instead of failing Mosaic VMEM
+    allocation."""
+    from .gen_kernel import fused_gen_vmem_bytes
+    mode = getattr(rater, 'fused_generate', True)
+    if mode == 'force':
+        return True
+    if not mode or jax.default_backend() != 'tpu':
+        return False
+    return fused_gen_vmem_bytes(rater.depth, rater.width,
+                                v_pad) <= 12 * 2 ** 20
+
+
 def generate_beam(rater, prefix: str, length: int, context=None,
                   variants: int = 1) -> List[str]:
     """Host driver for ``generate_device``: one dispatch, then string
@@ -227,14 +245,22 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     length = int(length)
     run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
+    fused = _use_fused_gen(rater, emb.shape[0])
     if variants == 1:
         # common case: traceback on device, fetch only (length,) chars
         # + cost in ONE packed transfer (each separate fetch costs a
         # full host<->device round-trip — ~30 ms on tunneled links)
-        seq, cost = generate_device_best(
-            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-            jnp.asarray(prefix_mask), run_length, int(length),
-            int(v_real))
+        if fused:
+            from .gen_kernel import generate_pallas_best
+            seq, cost = generate_pallas_best(
+                emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+                jnp.asarray(prefix_mask), run_length, int(length),
+                int(v_real))
+        else:
+            seq, cost = generate_device_best(
+                emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+                jnp.asarray(prefix_mask), run_length, int(length),
+                int(v_real))
         packed = np.asarray(jnp.concatenate(
             [seq.astype(jnp.float32), cost[None]]))
         if packed[-1] >= 1e38:
@@ -242,9 +268,15 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         seq = packed[:-1].astype(np.int64)
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
-    chars, backptrs, costs = generate_device(
-        emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-        jnp.asarray(prefix_mask), run_length, int(v_real))
+    if fused:
+        from .gen_kernel import generate_pallas
+        chars, backptrs, costs = generate_pallas(
+            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), run_length, int(v_real))
+    else:
+        chars, backptrs, costs = generate_device(
+            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), run_length, int(v_real))
     # ONE packed fetch (ids/backptrs are < 2^24, exact as float32)
     packed = np.asarray(jnp.stack([chars.astype(jnp.float32),
                                    backptrs.astype(jnp.float32),

@@ -1,0 +1,374 @@
+"""Fused Pallas TPU kernel: whole generation beam search on-chip.
+
+The XLA generation engine (ops/beam_device.generate_device) is one
+dispatch, but on this platform every ``lax.scan`` step pays a ~8 us
+sequential overhead floor (measured: a scan whose body is a single
+trivial op costs the same per step as one with a (256,512)@(512,512)
+matmul) — the beam step's actual compute is almost free next to it.
+This kernel runs the complete per-character beam step — the LSTM
+stack, tied-softmax log-probs, per-hypothesis exact top-10, the global
+exact 256-of-2560 fringe re-selection, and the fringe reorder — inside
+ONE ``pallas_call`` with a sequential grid over output characters, so
+the scan overhead disappears and the weights/fringe state never leave
+VMEM.
+
+Semantics match ``generate_device`` (reference semantics
+/root/reference/ocrd_keraslm/lib/rating.py:693-704: per-hypothesis
+top-10 candidates, absolute probability threshold 0.004, fringe capped
+at 256, cumulative-cost ordering):
+
+* per-row candidates come out of an iterative exact argmax, so each
+  row's candidate list is ASCENDING in cumulative cost by
+  construction;
+* the global fringe re-selection finds the exact 256th-smallest
+  candidate cost by 31-step bisection on the raw float bits (all costs
+  are >= 0, where IEEE-754 ordering equals int32 ordering), with ties
+  at the threshold taken in ascending flat (row-major) candidate index
+  — the same boundary set ``jax.lax.top_k`` selects;
+* because each row's candidates are sorted, the selected candidates of
+  a row always form a PREFIX of that row, which turns the fringe
+  compaction into a single one-hot selection matmul (house style of
+  ops/decode_kernel.py: 0/1 matrices at Precision.HIGHEST are exact
+  f32 pass-throughs) instead of a scatter;
+* the new fringe is emitted in row-major source order rather than
+  cost-rank order.  Slot order is semantically free: the per-step
+  records (char, backpointer, cost) stay internally consistent, and
+  best-path extraction ranks by cost at the end.
+
+Only live-candidate sets are compared against the XLA engine (dead
+slots carry cost >= 3e38 and are masked from expansion and from the
+final ranking, exactly as there).
+
+Tie caveat: on logits that are EXACTLY equal (e.g. an untrained model
+whose first step emits a uniform distribution) the two engines may
+keep different members of a tied boundary class — the XLA engine's
+``approx_max_k`` uses hardware PartialReduce order, this kernel takes
+the smallest char id.  Both are valid orders of the same tied set;
+trained models (the parity tests here, and a 1024-char TPU run) agree
+string-for-string.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# one-hot "gather" matmuls must pass f32 values through exactly (the
+# MXU's default bf16 input rounding would quantize carried costs)
+EXACT = jax.lax.Precision.HIGHEST
+
+BIG = 3.0e38  # matches ops/beam_device.NEG_INF
+BIG_BITS = int(np.float32(BIG).view(np.int32))
+
+
+def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
+    S = (2 * D + 1) * W  # packed state rows [xemb | h_0.. | c_0..]
+
+    def kernel(emb_ref, embT_ref, wcat_ref, bias_ref,   # VMEM weights
+               state0_ref, cost0_ref,                   # init
+               rec_ref, stateF_ref, costF_ref,          # outputs
+               state_ref, cost_ref):                    # scratch
+        t = pl.program_id(0)
+        n_p = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _():
+            state_ref[:] = state0_ref[:]
+            cost_ref[:] = cost0_ref[:]
+
+        state = state_ref[:]   # (K, S)
+        cost = cost_ref[:]     # (K, 1)
+
+        # ---- LSTM stack + tied softmax stats (K fringe rows) ----
+        new_h, new_c = [], []
+        inp = None
+        for d in range(D):
+            if d == 0:
+                operand = state[:, 0:2 * W]
+            else:
+                operand = jnp.concatenate(
+                    [inp, state[:, (1 + d) * W:(2 + d) * W]], axis=1)
+            z = (jnp.dot(operand, wcat_ref[d],
+                         preferred_element_type=jnp.float32)
+                 + bias_ref[d])
+            i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
+            f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
+            g = jnp.tanh(z[:, 2 * W:3 * W])
+            o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
+            c2 = f * state[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
+            h2 = o * jnp.tanh(c2)
+            new_h.append(h2)
+            new_c.append(c2)
+            inp = h2
+        viota = jax.lax.broadcasted_iota(jnp.int32, (K, V), 1)
+        logits = jnp.dot(inp, embT_ref[:],
+                         preferred_element_type=jnp.float32)
+        logits = jnp.where(viota < v_real, logits, -BIG)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        lse = mx + jnp.log(
+            jnp.sum(jnp.exp(logits - mx), axis=-1, keepdims=True))
+
+        # ---- per-row exact top-TOPK (iterative argmax; ties at equal
+        # logits resolve to the smallest char id) ----
+        work = logits
+        vals, idxs = [], []
+        for _ in range(TOPK):
+            mj = jnp.max(work, axis=-1, keepdims=True)
+            ij = jnp.min(jnp.where(work == mj, viota, V), axis=-1,
+                         keepdims=True)
+            vals.append(mj)
+            idxs.append(ij)
+            work = jnp.where(viota == ij, -BIG, work)
+        val = jnp.concatenate(vals, axis=1)   # (K, TOPK) logits desc
+        idx = jnp.concatenate(idxs, axis=1)   # (K, TOPK) char ids
+
+        # candidate costs, ASCENDING per row; reference masks:
+        # absolute probability threshold and dead-parent exclusion
+        # preserve the ascending order (the threshold is monotone along
+        # the row, dead parents mask whole rows)
+        nll = jnp.maximum(lse - val, 0.0)     # nats
+        cand = cost + nll                     # (K, TOPK)
+        cand = jnp.where(val - lse < log_thresh, BIG, cand)
+        cand = jnp.where(cost >= BIG / 2, BIG, cand)
+        # the unmapped-char candidate (id 0, at most one per row since
+        # extracted ids are distinct) is removed by shifting the row
+        # tail left one slot — unlike masking in place, this keeps the
+        # row ascending; the candidate SET equals the XLA engine's
+        # (whose char-0 candidate is masked to a dead filler)
+        jiota = jax.lax.broadcasted_iota(jnp.int32, (K, TOPK), 1)
+        pos0 = jnp.min(jnp.where(idx == 0, jiota, TOPK), axis=1,
+                       keepdims=True)
+        cand_s = jnp.concatenate(
+            [cand[:, 1:], jnp.full((K, 1), BIG, jnp.float32)], axis=1)
+        idx_s = jnp.concatenate(
+            [idx[:, 1:], jnp.zeros((K, 1), jnp.int32)], axis=1)
+        cand = jnp.where(jiota >= pos0, cand_s, cand)
+        idx = jnp.where(jiota >= pos0, idx_s, idx)
+        cand = jnp.minimum(cand, BIG)
+
+        # ---- global exact K-of-(K*TOPK): bisect the raw float bits
+        # for the K-th smallest cost (all costs >= 0, so int32 order
+        # equals float order); then ties at the threshold fill the
+        # remaining slots in ascending flat index, the same boundary
+        # set lax.top_k keeps ----
+        u = pltpu.bitcast(cand, jnp.int32)
+
+        def bis(_, lh):
+            lo, hi = lh
+            mid = lo + ((hi - lo) >> 1)
+            cnt = jnp.sum((u <= mid).astype(jnp.float32))
+            ok = cnt >= K
+            return (jnp.where(ok, lo, mid + 1),
+                    jnp.where(ok, mid, hi))
+        lo, hi = jax.lax.fori_loop(
+            0, 31, bis, (jnp.int32(0), jnp.int32(BIG_BITS)))
+        thr = lo
+
+        less_r = jnp.sum((u < thr).astype(jnp.float32), axis=1,
+                         keepdims=True)                    # (K, 1)
+        eq_r = jnp.sum((u == thr).astype(jnp.float32), axis=1,
+                       keepdims=True)
+        need = jnp.float32(K) - jnp.sum(less_r)
+        # exclusive row cumsums as strict-lower-triangular 0/1 matmuls
+        riota_col = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+        riota_row = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        Lx = (riota_row < riota_col).astype(jnp.float32)   # (K, K)
+        eq_pfx = jnp.dot(Lx, eq_r, precision=EXACT,
+                         preferred_element_type=jnp.float32)
+        take_r = jnp.clip(need - eq_pfx, 0.0, eq_r)
+        n_r = less_r + take_r       # selected per row (a row PREFIX)
+        n_pfx = jnp.dot(Lx, n_r, precision=EXACT,
+                        preferred_element_type=jnp.float32)
+
+        # ---- compaction: slot s sources row r with
+        # n_pfx[r] <= s < n_pfx[r] + n_r[r], candidate j = s - n_pfx[r]
+        s_col = riota_col.astype(jnp.float32)              # (K, 1)
+        npfx_row = jnp.transpose(n_pfx)                    # (1, K)
+        nr_row = jnp.transpose(n_r)
+        P = ((s_col >= npfx_row) &
+             (s_col < npfx_row + nr_row)).astype(jnp.float32)
+        # per-slot [cand.. | idx.. | src_row | src_pfx] in ONE matmul
+        feats = jnp.concatenate(
+            [cand, idx.astype(jnp.float32),
+             riota_col.astype(jnp.float32), n_pfx], axis=1)
+        fsel = jnp.dot(P, feats, precision=EXACT,
+                       preferred_element_type=jnp.float32)
+        cand_sel = fsel[:, 0:TOPK]
+        idx_sel = fsel[:, TOPK:2 * TOPK]
+        src_row = fsel[:, 2 * TOPK:2 * TOPK + 1]
+        src_pfx = fsel[:, 2 * TOPK + 1:2 * TOPK + 2]
+        jsel = (s_col - src_pfx).astype(jnp.int32)         # (K, 1)
+        onehot_j = (jiota == jsel).astype(jnp.float32)     # (K, TOPK)
+        cost_new = jnp.sum(onehot_j * cand_sel, axis=1,
+                           keepdims=True)
+        char_new = jnp.sum(onehot_j * idx_sel, axis=1,
+                           keepdims=True)                  # f32, exact
+
+        # ---- fringe state: parent rows + new char embedding ----
+        hs = jnp.concatenate(new_h + new_c, axis=1)        # (K, 2DW)
+        hsel = jnp.dot(P, hs, precision=EXACT,
+                       preferred_element_type=jnp.float32)
+        onehot_v = (viota ==
+                    char_new.astype(jnp.int32)).astype(jnp.float32)
+        xemb = jnp.dot(onehot_v, emb_ref[:], precision=EXACT,
+                       preferred_element_type=jnp.float32)
+        state_ref[:] = jnp.concatenate([xemb, hsel], axis=1)
+        cost_ref[:] = cost_new
+
+        # ---- per-step records: [char | backptr | cost] over K lanes
+        rec = jnp.concatenate(
+            [jnp.transpose(char_new), jnp.transpose(src_row),
+             jnp.transpose(cost_new),
+             jnp.zeros((5, K), jnp.float32)], axis=0)      # (8, K)
+        rec_ref[0] = rec
+
+        @pl.when(t == n_p - 1)
+        def _():
+            stateF_ref[:] = state_ref[:]
+            costF_ref[:] = cost_ref[:]
+
+    return kernel, S
+
+
+def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
+                     v_real, topk, fringe, threshold):
+    """Trace the kernel call (shared by the jitted entry points).
+
+    emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
+    ``[input-kernel; recurrent-kernel]``; bias: (D, 1, 4W) (context
+    folded into layer 0); state0: (K, S) packed ``[xemb | h.. | c..]``
+    prefix-conditioned fringe; cost0: (K, 1) column costs (BIG = dead).
+
+    Returns (chars (T, K), backptrs (T, K), costs (T, K)) in the same
+    record layout as ``ops.beam_device.generate_device``.
+    """
+    V, W = emb.shape
+    D = wcat.shape[0]
+    K = fringe
+    TOPK = min(topk, v_real)
+    log_thresh = float(np.log(np.float32(threshold)))
+    interpret = jax.default_backend() != 'tpu'
+    kernel, S = _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh)
+    vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    rec, stateF, costF = pl.pallas_call(
+        kernel,
+        grid=(length,),
+        in_specs=[
+            vmem((V, W), lambda t: (0, 0)),
+            vmem((W, V), lambda t: (0, 0)),
+            vmem((D, 2 * W, 4 * W), lambda t: (0, 0, 0)),
+            vmem((D, 1, 4 * W), lambda t: (0, 0, 0)),
+            vmem((K, S), lambda t: (0, 0)),
+            vmem((K, 1), lambda t: (0, 0)),
+        ],
+        out_specs=(
+            vmem((1, 8, K), lambda t: (t, 0, 0)),   # streamed per step
+            vmem((K, S), lambda t: (0, 0)),
+            vmem((K, 1), lambda t: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((length, 8, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, S), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        scratch_shapes=[
+            pltpu.VMEM((K, S), jnp.float32),
+            pltpu.VMEM((K, 1), jnp.float32),
+        ],
+    )(emb, embT, wcat, bias, state0, cost0)
+    chars = rec[:, 0, :].astype(jnp.int32)
+    backptrs = rec[:, 1, :].astype(jnp.int32)
+    costs = rec[:, 2, :]
+    return chars, backptrs, costs
+
+
+def _prefix_fringe(emb, embT, wcat, bias, prefix, prefix_mask, v_real,
+                   fringe):
+    """Condition the initial fringe on the full prefix (same masked
+    scan as ops/beam_device.generate_device steps 1-2, with the cost
+    vector in the kernel's (K, 1) column layout)."""
+    from .beam_device import _gen_layers
+    V, W = emb.shape
+    D = wcat.shape[0]
+    K = fringe
+    S = (2 * D + 1) * W
+    viota = jnp.arange(V)
+
+    def prefix_step(st, inp):
+        x, m = inp
+        onehot = (x == viota)[None, :].astype(jnp.float32)
+        xemb = jnp.dot(onehot, emb, precision=EXACT)
+        st_in = jnp.concatenate([xemb, st[:, W:]], axis=1)
+        hs, _ = _gen_layers(emb, embT, wcat, bias, v_real, st_in)
+        new = jnp.concatenate([xemb, hs], axis=1)
+        return jnp.where(m > 0, new, st), None
+    st1, _ = jax.lax.scan(prefix_step, jnp.zeros((1, S)),
+                          (prefix, prefix_mask))
+    # prefix_mask covers prefix[:-1]; the final prefix char is the
+    # first step input (host parity: the root node holds prefix[-1])
+    n_prefix = jnp.sum(prefix_mask).astype(jnp.int32)
+    last_char = prefix[n_prefix]
+    onehot_last = (last_char == viota)[None, :].astype(jnp.float32)
+    xemb_last = jnp.dot(onehot_last, emb, precision=EXACT)
+    state0 = jnp.broadcast_to(
+        jnp.concatenate([xemb_last, st1[:, W:]], axis=1), (K, S))
+    cost0 = jnp.where(jnp.arange(K) == 0, 0.0, BIG)[:, None]
+    return state0, cost0
+
+
+@partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
+                                   'fringe', 'threshold'))
+def generate_pallas(emb, embT, wcat, bias, prefix, prefix_mask,
+                    length: int, v_real: int, topk: int = 10,
+                    fringe: int = 256, threshold: float = 0.004):
+    """Fused-kernel analogue of ``generate_device``: prefix
+    conditioning + the whole beam search in ONE dispatch; returns the
+    full per-step records (chars, backptrs, costs), each (T, K)."""
+    state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
+                                   prefix_mask, v_real, fringe)
+    return _gen_pallas_call(emb, embT, wcat, bias, state0, cost0,
+                            length, v_real, topk, fringe, threshold)
+
+
+@partial(jax.jit, static_argnames=('length', 'out_length', 'v_real',
+                                   'topk', 'fringe', 'threshold'))
+def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
+                         length: int, out_length: int, v_real: int,
+                         topk: int = 10, fringe: int = 256,
+                         threshold: float = 0.004):
+    """Fused-kernel analogue of ``generate_device_best``: on-device
+    traceback of the single best path at step ``out_length`` — the
+    host fetches only (out_length,) chars and one cost."""
+    chars, backptrs, costs = generate_pallas(
+        emb, embT, wcat, bias, prefix, prefix_mask, length, v_real,
+        topk, fringe, threshold)
+    best = jnp.argmin(costs[out_length - 1])
+
+    def back_step(k, rec):
+        ch, bp = rec
+        return bp[k], ch[k]
+    _, seq = jax.lax.scan(
+        back_step, best,
+        (chars[:out_length], backptrs[:out_length]), reverse=True)
+    return seq, costs[out_length - 1, best]
+
+
+def fused_gen_vmem_bytes(depth: int, width: int, v_pad: int,
+                         fringe: int = 256, topk: int = 10) -> int:
+    """Rough VMEM requirement of the fused generation kernel: weights,
+    the packed fringe state (x2: scratch + epilogue output), the
+    logits-sized intermediates (logits/work/one-hots: ~4 copies), and
+    the (K, K) selection matrices."""
+    D, W, V, K = depth, width, v_pad, fringe
+    S = (2 * D + 1) * W
+    weights = (2 * V * W + D * 2 * W * 4 * W + D * 4 * W) * 4
+    fringe_state = 3 * K * S * 4
+    intermediates = 4 * K * V * 4 + 3 * K * K * 4 + K * 4 * W * 4 * 2
+    records = 8 * K * 4 * 2
+    return weights + fringe_state + intermediates + records

@@ -155,13 +155,16 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
         # for the K-th smallest cost (all costs >= 0, so int32 order
         # equals float order); then ties at the threshold fill the
         # remaining slots in ascending flat index, the same boundary
-        # set lax.top_k keeps ----
+        # set lax.top_k keeps.  The per-iteration count runs on the
+        # TRANSPOSED (TOPK, K) view — 4 vregs instead of 32 per
+        # compare+reduce (measured ~1 us/char on the 31-step chain) ----
         u = pltpu.bitcast(cand, jnp.int32)
+        uT = jnp.transpose(u)                              # (TOPK, K)
 
         def bis(_, lh):
             lo, hi = lh
             mid = lo + ((hi - lo) >> 1)
-            cnt = jnp.sum((u <= mid).astype(jnp.float32))
+            cnt = jnp.sum((uT <= mid).astype(jnp.float32))
             ok = cnt >= K
             return (jnp.where(ok, lo, mid + 1),
                     jnp.where(ok, mid, hi))
@@ -174,16 +177,21 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
         eq_r = jnp.sum((u == thr).astype(jnp.float32), axis=1,
                        keepdims=True)
         need = jnp.float32(K) - jnp.sum(less_r)
-        # exclusive row cumsums as strict-lower-triangular 0/1 matmuls
+        # exclusive row cumsums as ONE strict-lower-triangular 0/1
+        # matmul; the tie-take prefix has the closed form
+        # min(eq_pfx, need) (ties are taken greedily in row order until
+        # `need` is exhausted), so no second dependent matmul
         riota_col = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
         riota_row = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         Lx = (riota_row < riota_col).astype(jnp.float32)   # (K, K)
-        eq_pfx = jnp.dot(Lx, eq_r, precision=EXACT,
-                         preferred_element_type=jnp.float32)
+        pfx2 = jnp.dot(Lx, jnp.concatenate([eq_r, less_r], axis=1),
+                       precision=EXACT,
+                       preferred_element_type=jnp.float32)
+        eq_pfx = pfx2[:, 0:1]
+        less_pfx = pfx2[:, 1:2]
         take_r = jnp.clip(need - eq_pfx, 0.0, eq_r)
         n_r = less_r + take_r       # selected per row (a row PREFIX)
-        n_pfx = jnp.dot(Lx, n_r, precision=EXACT,
-                        preferred_element_type=jnp.float32)
+        n_pfx = less_pfx + jnp.minimum(eq_pfx, need)
 
         # ---- compaction: slot s sources row r with
         # n_pfx[r] <= s < n_pfx[r] + n_r[r], candidate j = s - n_pfx[r]
@@ -192,16 +200,19 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
         nr_row = jnp.transpose(n_r)
         P = ((s_col >= npfx_row) &
              (s_col < npfx_row + nr_row)).astype(jnp.float32)
-        # per-slot [cand.. | idx.. | src_row | src_pfx] in ONE matmul
+        # per-slot [cand.. | idx.. | src_row | src_pfx | h.. | c..]
+        # — the whole fringe compaction in ONE selection matmul
+        hs = jnp.concatenate(new_h + new_c, axis=1)        # (K, 2DW)
         feats = jnp.concatenate(
             [cand, idx.astype(jnp.float32),
-             riota_col.astype(jnp.float32), n_pfx], axis=1)
+             riota_col.astype(jnp.float32), n_pfx, hs], axis=1)
         fsel = jnp.dot(P, feats, precision=EXACT,
                        preferred_element_type=jnp.float32)
         cand_sel = fsel[:, 0:TOPK]
         idx_sel = fsel[:, TOPK:2 * TOPK]
         src_row = fsel[:, 2 * TOPK:2 * TOPK + 1]
         src_pfx = fsel[:, 2 * TOPK + 1:2 * TOPK + 2]
+        hsel = fsel[:, 2 * TOPK + 2:]
         jsel = (s_col - src_pfx).astype(jnp.int32)         # (K, 1)
         onehot_j = (jiota == jsel).astype(jnp.float32)     # (K, TOPK)
         cost_new = jnp.sum(onehot_j * cand_sel, axis=1,
@@ -209,10 +220,7 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
         char_new = jnp.sum(onehot_j * idx_sel, axis=1,
                            keepdims=True)                  # f32, exact
 
-        # ---- fringe state: parent rows + new char embedding ----
-        hs = jnp.concatenate(new_h + new_c, axis=1)        # (K, 2DW)
-        hsel = jnp.dot(P, hs, precision=EXACT,
-                       preferred_element_type=jnp.float32)
+        # ---- fringe state: selected parent rows + new char embedding
         onehot_v = (viota ==
                     char_new.astype(jnp.int32)).astype(jnp.float32)
         xemb = jnp.dot(onehot_v, emb_ref[:], precision=EXACT,
@@ -221,9 +229,10 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
         cost_ref[:] = cost_new
 
         # ---- per-step records: [char | backptr | cost] over K lanes
+        # (one packed (K, 3) transpose instead of three (K, 1) ones)
+        pack3 = jnp.concatenate([char_new, src_row, cost_new], axis=1)
         rec = jnp.concatenate(
-            [jnp.transpose(char_new), jnp.transpose(src_row),
-             jnp.transpose(cost_new),
+            [jnp.transpose(pack3),
              jnp.zeros((5, K), jnp.float32)], axis=0)      # (8, K)
         rec_ref[0] = rec
 
@@ -235,8 +244,8 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
     return kernel, S
 
 
-def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
-                     v_real, topk, fringe, threshold):
+def _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0, length,
+                    v_real, topk, fringe, threshold):
     """Trace the kernel call (shared by the jitted entry points).
 
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
@@ -244,8 +253,9 @@ def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
     folded into layer 0); state0: (K, S) packed ``[xemb | h.. | c..]``
     prefix-conditioned fringe; cost0: (K, 1) column costs (BIG = dead).
 
-    Returns (chars (T, K), backptrs (T, K), costs (T, K)) in the same
-    record layout as ``ops.beam_device.generate_device``.
+    Returns the raw per-step record buffer (length, 8, K) with rows
+    [char | backptr | cost | 0...] — kept raw so the traceback kernel
+    can consume it without a re-stack.
     """
     V, W = emb.shape
     D = wcat.shape[0]
@@ -282,10 +292,63 @@ def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
             pltpu.VMEM((K, 1), jnp.float32),
         ],
     )(emb, embT, wcat, bias, state0, cost0)
+    return rec
+
+
+def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
+                     v_real, topk, fringe, threshold):
+    """(chars (T, K), backptrs (T, K), costs (T, K)) view of the raw
+    records, matching ``ops.beam_device.generate_device``'s layout."""
+    rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0, length,
+                          v_real, topk, fringe, threshold)
     chars = rec[:, 0, :].astype(jnp.int32)
     backptrs = rec[:, 1, :].astype(jnp.int32)
     costs = rec[:, 2, :]
     return chars, backptrs, costs
+
+
+def _make_tb_kernel(K, T):
+    """Best-path traceback over the raw record buffer: a reverse
+    sequential grid carrying the current slot in SMEM; each step
+    extracts (char, backptr) of that slot from the streamed-in step
+    record with a one-hot reduce.  The XLA ``lax.scan`` alternative
+    pays the per-step dispatch floor this kernel exists to avoid
+    (measured ~1.9 us/char of the full generate path)."""
+    def kernel(best_ref, rec_ref, out_ref, k_ref):
+        t = pl.program_id(0)          # reads step T-1-t via index_map
+
+        @pl.when(t == 0)
+        def _():
+            k_ref[0] = best_ref[0]
+        k = k_ref[0]
+        rec = rec_ref[0]              # (8, K) step record
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        onehot = (kio == k).astype(jnp.float32)
+        ch = jnp.sum(onehot * rec[0:1])
+        bp = jnp.sum(onehot * rec[1:2])
+        out_ref[T - 1 - t] = ch.astype(jnp.int32)
+        k_ref[0] = bp.astype(jnp.int32)
+    return kernel
+
+
+def _traceback_pallas(rec, best, out_length: int):
+    """Walk the backpointers of the raw (T, 8, K) record buffer from
+    ``best`` at step ``out_length - 1``; returns (out_length,) char ids
+    in forward order."""
+    K = rec.shape[2]
+    return pl.pallas_call(
+        _make_tb_kernel(K, out_length),
+        grid=(out_length,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, K), lambda t: (out_length - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((out_length,), jnp.int32),
+        interpret=jax.default_backend() != 'tpu',
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(best[None].astype(jnp.int32), rec)
 
 
 def _prefix_fringe(emb, embT, wcat, bias, prefix, prefix_mask, v_real,
@@ -343,20 +406,17 @@ def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
                          topk: int = 10, fringe: int = 256,
                          threshold: float = 0.004):
     """Fused-kernel analogue of ``generate_device_best``: on-device
-    traceback of the single best path at step ``out_length`` — the
-    host fetches only (out_length,) chars and one cost."""
-    chars, backptrs, costs = generate_pallas(
-        emb, embT, wcat, bias, prefix, prefix_mask, length, v_real,
-        topk, fringe, threshold)
-    best = jnp.argmin(costs[out_length - 1])
-
-    def back_step(k, rec):
-        ch, bp = rec
-        return bp[k], ch[k]
-    _, seq = jax.lax.scan(
-        back_step, best,
-        (chars[:out_length], backptrs[:out_length]), reverse=True)
-    return seq, costs[out_length - 1, best]
+    traceback of the single best path at step ``out_length`` (a second
+    tiny Pallas kernel over the raw record buffer) — the host fetches
+    only (out_length,) chars and one cost."""
+    state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
+                                   prefix_mask, v_real, fringe)
+    rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0,
+                          length, v_real, topk, fringe, threshold)
+    costs_out = rec[out_length - 1, 2, :]
+    best = jnp.argmin(costs_out)
+    seq = _traceback_pallas(rec, best, out_length)
+    return seq, costs_out[best]
 
 
 def fused_gen_vmem_bytes(depth: int, width: int, v_pad: int,

@@ -608,6 +608,9 @@ def main():
     if scale_mfu is not None:
         extra['train_w512d4_bf16_mfu_pct'] = round(scale_mfu, 1)
     if gen_cps is not None:
+        # headline generate ratio = the 16384-char serving point (the
+        # 1024-char point is bounded by the tunneled ~30 ms dispatch
+        # RTT alone, whatever the kernel does; both are reported)
         extra['generate_chars_per_sec'] = round(gen_cps, 1)
         if gen_cps_med is not None:
             extra['generate_chars_per_sec_median'] = \
@@ -618,13 +621,14 @@ def main():
         if gen_long_cps is not None:
             extra['generate_long_chars_per_sec'] = \
                 round(gen_long_cps, 1)
-            if base_gen:
-                extra['generate_long_vs_baseline'] = \
-                    round(gen_long_cps / base_gen, 2)
         if base_gen:
             extra['numpy_baseline_generate_chars_per_sec'] = \
                 round(base_gen, 1)
-            extra['generate_vs_baseline'] = round(gen_cps / base_gen, 2)
+            extra['generate_1k_vs_baseline'] = \
+                round(gen_cps / base_gen, 2)
+            extra['generate_vs_baseline'] = round(
+                (gen_long_cps if gen_long_cps else gen_cps) / base_gen,
+                2)
     if gen_stream_cps is not None and base_gen:
         extra['generate_streams_chars_per_sec'] = round(gen_stream_cps, 1)
         if gen_stream_med is not None:

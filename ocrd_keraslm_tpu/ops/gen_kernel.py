@@ -423,12 +423,15 @@ def fused_gen_vmem_bytes(depth: int, width: int, v_pad: int,
                          fringe: int = 256, topk: int = 10) -> int:
     """Rough VMEM requirement of the fused generation kernel: weights,
     the packed fringe state (x2: scratch + epilogue output), the
-    logits-sized intermediates (logits/work/one-hots: ~4 copies), and
-    the (K, K) selection matrices."""
+    logits-sized intermediates (logits/work/one-hots: ~4 copies), the
+    (K, K) selection matrices, and the fused compaction operands
+    (feats/fsel: [cand | idx | row | pfx | h.. | c..])."""
     D, W, V, K = depth, width, v_pad, fringe
     S = (2 * D + 1) * W
     weights = (2 * V * W + D * 2 * W * 4 * W + D * 4 * W) * 4
     fringe_state = 3 * K * S * 4
-    intermediates = 4 * K * V * 4 + 3 * K * K * 4 + K * 4 * W * 4 * 2
+    feats_w = 2 * topk + 2 + 2 * D * W
+    intermediates = (4 * K * V * 4 + 2 * K * K * 4
+                     + 2 * K * feats_w * 4 + K * 4 * W * 4 * 2)
     records = 8 * K * 4 * 2
     return weights + fringe_state + intermediates + records

@@ -115,6 +115,26 @@ def test_fused_records_match_xla_live_set(rater):
         assert sx == sp, 'live-set mismatch at step %d' % t
 
 
+def test_fused_gate_vmem_fallback(rater, monkeypatch):
+    # the routing gate: TPU default on, opt-out respected, and models
+    # whose kernel would not fit VMEM fall back to the XLA engine
+    # instead of failing Mosaic allocation
+    from ocrd_keraslm_tpu.ops import beam_device
+    assert not beam_device._use_fused_gen(rater, 256)  # CPU backend
+    rater.fused_generate = 'force'
+    assert beam_device._use_fused_gen(rater, 256)
+    monkeypatch.setattr(beam_device.jax, 'default_backend',
+                        lambda: 'tpu')
+    rater.fused_generate = True
+    assert beam_device._use_fused_gen(rater, 256)
+    wide = type('W', (), {'depth': 4, 'width': 2048,
+                          'fused_generate': True})()
+    assert not beam_device._use_fused_gen(wide, 4096)
+    wide.fused_generate = False
+    assert not beam_device._use_fused_gen(wide, 4096)
+    rater.fused_generate = False
+
+
 def test_fused_generate_with_context(rater):
     if not rater.contexts:
         pytest.skip('model has no context variables')

@@ -621,6 +621,9 @@ def main():
         if gen_long_cps is not None:
             extra['generate_long_chars_per_sec'] = \
                 round(gen_long_cps, 1)
+            if base_gen:
+                extra['generate_long_vs_baseline'] = \
+                    round(gen_long_cps / base_gen, 2)
         if base_gen:
             extra['numpy_baseline_generate_chars_per_sec'] = \
                 round(base_gen, 1)
@@ -629,6 +632,11 @@ def main():
             extra['generate_vs_baseline'] = round(
                 (gen_long_cps if gen_long_cps else gen_cps) / base_gen,
                 2)
+            extra['generate_vs_baseline_point'] = (
+                '16384-char serving point (= generate_long; the '
+                '1024-char point is RTT-bound, see '
+                'generate_1k_vs_baseline; r02 and earlier reported '
+                'the 1024-char point under this key)')
     if gen_stream_cps is not None and base_gen:
         extra['generate_streams_chars_per_sec'] = round(gen_stream_cps, 1)
         if gen_stream_med is not None:

@@ -83,6 +83,36 @@ def _gen_layers(emb, embT, wcat, bias, v_real, state):
     return hs, logits
 
 
+def _prefix_state(emb, embT, wcat, bias, prefix, prefix_mask, v_real):
+    """Consume the masked prefix and return the (1, S) packed root
+    state ``[xemb(prefix[-1]) | h.. | c..]`` both beam engines start
+    from.  prefix: (P,) int32 ids 0-padded right; prefix_mask: (P,)
+    float32 over prefix[:-1] (the final prefix char sits at position
+    sum(mask) and becomes the first step input — host parity: the
+    root node holds prefix[-1])."""
+    V, W = emb.shape
+    D = wcat.shape[0]
+    S = (2 * D + 1) * W
+    viota = jnp.arange(V)
+    EX = jax.lax.Precision.HIGHEST
+
+    def prefix_step(st, inp):
+        x, m = inp
+        onehot = (x == viota)[None, :].astype(jnp.float32)
+        xemb = jnp.dot(onehot, emb, precision=EX)
+        st_in = jnp.concatenate([xemb, st[:, W:]], axis=1)
+        hs, _ = _gen_layers(emb, embT, wcat, bias, v_real, st_in)
+        new = jnp.concatenate([xemb, hs], axis=1)
+        return jnp.where(m > 0, new, st), None
+    st1, _ = jax.lax.scan(prefix_step, jnp.zeros((1, S)),
+                          (prefix, prefix_mask))
+    n_prefix = jnp.sum(prefix_mask).astype(jnp.int32)
+    last_char = prefix[n_prefix]
+    onehot_last = (last_char == viota)[None, :].astype(jnp.float32)
+    xemb_last = jnp.dot(onehot_last, emb, precision=EX)
+    return jnp.concatenate([xemb_last, st1[:, W:]], axis=1)
+
+
 @partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
                                    'fringe'))
 def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
@@ -109,28 +139,12 @@ def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
     kiota = jnp.arange(K)
     EX = jax.lax.Precision.HIGHEST
 
-    # 1. consume the prefix (batch 1), masking padded positions
-    def prefix_step(st, inp):
-        x, m = inp
-        onehot = (x == viota)[None, :].astype(jnp.float32)
-        xemb = jnp.dot(onehot, emb, precision=EX)
-        st_in = jnp.concatenate([xemb, st[:, W:]], axis=1)
-        hs, _ = _gen_layers(emb, embT, wcat, bias, v_real, st_in)
-        new = jnp.concatenate([xemb, hs], axis=1)
-        return jnp.where(m > 0, new, st), None
-    st1, _ = jax.lax.scan(prefix_step, jnp.zeros((1, S)),
-                          (prefix, prefix_mask))
-
-    # 2. init fringe: slot 0 = prefix state, rest invalid.
-    # prefix_mask covers prefix[:-1] (consumed); the final prefix char
-    # sits at position sum(mask) and is fed as the first step input
-    # (host parity: the root node holds prefix[-1]).
-    n_prefix = jnp.sum(prefix_mask).astype(jnp.int32)
-    last_char = prefix[n_prefix]
-    onehot_last = (last_char == viota)[None, :].astype(jnp.float32)
-    xemb_last = jnp.dot(onehot_last, emb, precision=EX)
-    state = jnp.broadcast_to(
-        jnp.concatenate([xemb_last, st1[:, W:]], axis=1), (K, S))
+    # 1.-2. consume the prefix (batch 1, masked) and init the fringe:
+    # slot 0 = prefix state, rest invalid (shared with the fused
+    # Pallas kernel via _prefix_state)
+    root = _prefix_state(emb, embT, wcat, bias, prefix, prefix_mask,
+                         v_real)
+    state = jnp.broadcast_to(root, (K, S))
     cost = jnp.where(kiota == 0, 0.0, NEG_INF)
     log_thresh = jnp.log(jnp.float32(threshold))
 

@@ -71,10 +71,9 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
 
     def kernel(emb_ref, embT_ref, wcat_ref, bias_ref,   # VMEM weights
                state0_ref, cost0_ref,                   # init
-               rec_ref, stateF_ref, costF_ref,          # outputs
+               rec_ref,                                 # output
                state_ref, cost_ref):                    # scratch
         t = pl.program_id(0)
-        n_p = pl.num_programs(0)
 
         @pl.when(t == 0)
         def _():
@@ -236,11 +235,6 @@ def _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh):
              jnp.zeros((5, K), jnp.float32)], axis=0)      # (8, K)
         rec_ref[0] = rec
 
-        @pl.when(t == n_p - 1)
-        def _():
-            stateF_ref[:] = state_ref[:]
-            costF_ref[:] = cost_ref[:]
-
     return kernel, S
 
 
@@ -265,7 +259,7 @@ def _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0, length,
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_gen_kernel(D, W, V, K, TOPK, v_real, log_thresh)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    rec, stateF, costF = pl.pallas_call(
+    rec = pl.pallas_call(
         kernel,
         grid=(length,),
         in_specs=[
@@ -276,16 +270,8 @@ def _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0, length,
             vmem((K, S), lambda t: (0, 0)),
             vmem((K, 1), lambda t: (0, 0)),
         ],
-        out_specs=(
-            vmem((1, 8, K), lambda t: (t, 0, 0)),   # streamed per step
-            vmem((K, S), lambda t: (0, 0)),
-            vmem((K, 1), lambda t: (0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((length, 8, K), jnp.float32),
-            jax.ShapeDtypeStruct((K, S), jnp.float32),
-            jax.ShapeDtypeStruct((K, 1), jnp.float32),
-        ),
+        out_specs=vmem((1, 8, K), lambda t: (t, 0, 0)),  # per step
+        out_shape=jax.ShapeDtypeStruct((length, 8, K), jnp.float32),
         interpret=interpret,
         scratch_shapes=[
             pltpu.VMEM((K, S), jnp.float32),
@@ -353,34 +339,17 @@ def _traceback_pallas(rec, best, out_length: int):
 
 def _prefix_fringe(emb, embT, wcat, bias, prefix, prefix_mask, v_real,
                    fringe):
-    """Condition the initial fringe on the full prefix (same masked
-    scan as ops/beam_device.generate_device steps 1-2, with the cost
-    vector in the kernel's (K, 1) column layout)."""
-    from .beam_device import _gen_layers
-    V, W = emb.shape
+    """Condition the initial fringe on the full prefix (the engines'
+    shared ``_prefix_state`` scan, with the cost vector in the
+    kernel's (K, 1) column layout)."""
+    from .beam_device import _prefix_state
+    W = emb.shape[1]
     D = wcat.shape[0]
     K = fringe
     S = (2 * D + 1) * W
-    viota = jnp.arange(V)
-
-    def prefix_step(st, inp):
-        x, m = inp
-        onehot = (x == viota)[None, :].astype(jnp.float32)
-        xemb = jnp.dot(onehot, emb, precision=EXACT)
-        st_in = jnp.concatenate([xemb, st[:, W:]], axis=1)
-        hs, _ = _gen_layers(emb, embT, wcat, bias, v_real, st_in)
-        new = jnp.concatenate([xemb, hs], axis=1)
-        return jnp.where(m > 0, new, st), None
-    st1, _ = jax.lax.scan(prefix_step, jnp.zeros((1, S)),
-                          (prefix, prefix_mask))
-    # prefix_mask covers prefix[:-1]; the final prefix char is the
-    # first step input (host parity: the root node holds prefix[-1])
-    n_prefix = jnp.sum(prefix_mask).astype(jnp.int32)
-    last_char = prefix[n_prefix]
-    onehot_last = (last_char == viota)[None, :].astype(jnp.float32)
-    xemb_last = jnp.dot(onehot_last, emb, precision=EXACT)
-    state0 = jnp.broadcast_to(
-        jnp.concatenate([xemb_last, st1[:, W:]], axis=1), (K, S))
+    root = _prefix_state(emb, embT, wcat, bias, prefix, prefix_mask,
+                         v_real)
+    state0 = jnp.broadcast_to(root, (K, S))
     cost0 = jnp.where(jnp.arange(K) == 0, 0.0, BIG)[:, None]
     return state0, cost0
 
@@ -422,14 +391,14 @@ def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
 def fused_gen_vmem_bytes(depth: int, width: int, v_pad: int,
                          fringe: int = 256, topk: int = 10) -> int:
     """Rough VMEM requirement of the fused generation kernel: weights,
-    the packed fringe state (x2: scratch + epilogue output), the
+    the packed fringe state (x2: init input + scratch), the
     logits-sized intermediates (logits/work/one-hots: ~4 copies), the
     (K, K) selection matrices, and the fused compaction operands
     (feats/fsel: [cand | idx | row | pfx | h.. | c..])."""
     D, W, V, K = depth, width, v_pad, fringe
     S = (2 * D + 1) * W
     weights = (2 * V * W + D * 2 * W * 4 * W + D * 4 * W) * 4
-    fringe_state = 3 * K * S * 4
+    fringe_state = 2 * K * S * 4
     feats_w = 2 * topk + 2 + 2 * D * W
     intermediates = (4 * K * V * 4 + 2 * K * K * 4
                      + 2 * K * feats_w * 4 + K * 4 * W * 4 * 2)

@@ -18,6 +18,7 @@ help:
 	@echo "                w128 d2 l256 stateful on the synthetic-German"
 	@echo "                corpus; used by tests/test_quality.py)"
 	@echo "  bench         run the TPU benchmark (prints one JSON line)"
+	@echo "  spotcheck     compiled-kernel parity checks on the real TPU"
 	@echo "  multichip     dry-run the sharded train step on 8 virtual devices"
 	@echo "  docker        build the docker image"
 
@@ -53,10 +54,13 @@ german-model:
 bench:
 	$(PYTHON) bench.py
 
+spotcheck:
+	$(PYTHON) tpu_spotcheck.py
+
 multichip:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 $(PYTHON) __graft_entry__.py 8
 
 docker:
 	docker build -t ocrd/keraslm_tpu .
 
-.PHONY: help deps install test test-training bench multichip docker
+.PHONY: help deps install test test-training bench spotcheck multichip docker

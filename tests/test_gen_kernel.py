@@ -115,6 +115,42 @@ def test_fused_records_match_xla_live_set(rater):
         assert sx == sp, 'live-set mismatch at step %d' % t
 
 
+def test_fused_nondefault_fringe_topk(rater):
+    # the kernel's selection math (row extraction, bisection boundary,
+    # prefix compaction) must generalize beyond the reference's
+    # 10/256 semantics: compare engines at topk=5 / fringe=64
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ocrd_keraslm_tpu.ops.beam_device import (_gen_weights,
+                                                  generate_device)
+    from ocrd_keraslm_tpu.ops.gen_kernel import generate_pallas
+    emb, embT, wcat, bias, v_real = _gen_weights(
+        rater, rater.underspecify_contexts())
+    ids = rater.vocab.encode('ab')
+    prefix = np.zeros((16,), np.int32)
+    prefix[:len(ids)] = ids
+    mask = np.zeros((16,), np.float32)
+    mask[:len(ids) - 1] = 1.0
+    args = (emb, embT, wcat, bias, jnp.asarray(prefix),
+            jnp.asarray(mask))
+    kw = dict(topk=5, fringe=64)
+    ch_x, _, co_x = generate_device(*args, 8, int(v_real), **kw)
+    ch_p, _, co_p = generate_pallas(*args, 8, int(v_real), **kw)
+    ch_x, co_x = np.asarray(ch_x), np.asarray(co_x)
+    ch_p, co_p = np.asarray(ch_p), np.asarray(co_p)
+    for t in range(8):
+        lx = co_x[t] < 1e38
+        lp = co_p[t] < 1e38
+        assert lx.sum() == lp.sum()
+        sx = sorted(zip(ch_x[t][lx].tolist(),
+                        np.round(co_x[t][lx], 5).tolist()))
+        sp = sorted(zip(ch_p[t][lp].tolist(),
+                        np.round(co_p[t][lp], 5).tolist()))
+        assert sx == sp, 'live-set mismatch at step %d' % t
+
+
 def test_fused_gate_vmem_fallback(rater, monkeypatch):
     # the routing gate: TPU default on, opt-out respected, and models
     # whose kernel would not fit VMEM fall back to the XLA engine

@@ -196,28 +196,39 @@ def generate_device(emb, embT, wcat, bias, prefix, prefix_mask,
 
 
 @partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
-                                   'fringe', 'out_length'))
+                                   'fringe'))
 def generate_device_best(emb, embT, wcat, bias, prefix, prefix_mask,
-                         length: int, out_length: int, v_real: int,
+                         length: int, out_length, v_real: int,
                          topk: int = 10, fringe: int = 256,
                          threshold: float = 0.004):
-    """generate_device + on-device traceback of the single best path at
-    step ``out_length`` — the host fetches only (out_length,) chars and
-    one cost instead of three (length, K) matrices."""
+    """generate_device + on-device traceback of the single best path
+    at step ``out_length`` — the host fetches only the chars and one
+    cost instead of three (length, K) matrices.  ``out_length`` is a
+    RUNTIME scalar (only the length bucket is static), so varied
+    serving lengths share one compile per bucket: the reverse scan
+    covers the whole bucket with steps >= out_length masked to
+    no-ops; the returned seq is (length,), valid in [0, out_length)."""
     chars, backptrs, costs = generate_device(
         emb, embT, wcat, bias, prefix, prefix_mask, length, v_real,
         topk, fringe, threshold)
-    best = jnp.argmin(costs[out_length - 1])
+    out_length = jnp.asarray(out_length, jnp.int32)
+    costs_out = jax.lax.dynamic_index_in_dim(
+        costs, out_length - 1, axis=0, keepdims=False)
+    best = jnp.argmin(costs_out)
 
     def back_step(k, rec):
-        ch, bp = rec
-        return bp[k], ch[k]
+        ch, bp, t = rec
+        active = t < out_length
+        return (jnp.where(active, bp[k], k),
+                jnp.where(active, ch[k], 0))
     # reverse=True walks from the end; outputs stay at their original
-    # positions, so `seq` is already in forward order
+    # positions, so `seq` is already in forward order.  The carry
+    # stays `best` through the masked tail, so the first active step
+    # (t == out_length - 1) starts the walk from the right slot.
     _, seq = jax.lax.scan(
         back_step, best,
-        (chars[:out_length], backptrs[:out_length]), reverse=True)
-    return seq, costs[out_length - 1, best]
+        (chars, backptrs, jnp.arange(length)), reverse=True)
+    return seq, costs_out[best]
 
 
 def _use_fused_gen(rater, v_pad: int) -> bool:
@@ -279,7 +290,8 @@ def generate_beam(rater, prefix: str, length: int, context=None,
             [seq.astype(jnp.float32), cost[None]]))
         if packed[-1] >= 1e38:
             return []
-        seq = packed[:-1].astype(np.int64)
+        # seq spans the whole bucket; positions >= length are masked
+        seq = packed[:length].astype(np.int64)
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
     if fused:
@@ -357,11 +369,13 @@ def generate_streams(rater, prefixes: List[str], length: int,
     length = int(length)
     run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
-    fn = make_stream_generate(mesh, run_length, length, int(v_real))
+    fn = make_stream_generate(mesh, run_length, int(v_real))
     seqs, costs = fn(emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-                     jnp.asarray(prefix_mask))
-    seqs = np.asarray(seqs)[:S]      # (S, length)
-    costs = np.asarray(costs)[:S]    # (S,)
+                     jnp.asarray(prefix_mask),
+                     jnp.asarray(length, jnp.int32))
+    # seqs span the whole bucket; positions >= length are masked
+    seqs = np.asarray(seqs)[:S, :length]   # (S, length)
+    costs = np.asarray(costs)[:S]          # (S,)
     out = []
     for s in range(S):
         if costs[s] >= 1e38:

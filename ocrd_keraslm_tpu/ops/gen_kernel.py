@@ -299,42 +299,57 @@ def _make_tb_kernel(K, T):
     extracts (char, backptr) of that slot from the streamed-in step
     record with a one-hot reduce.  The XLA ``lax.scan`` alternative
     pays the per-step dispatch floor this kernel exists to avoid
-    (measured ~1.9 us/char of the full generate path)."""
-    def kernel(best_ref, rec_ref, out_ref, k_ref):
-        t = pl.program_id(0)          # reads step T-1-t via index_map
+    (measured ~1.9 us/char of the full generate path).
 
-        @pl.when(t == 0)
+    ``out_length`` arrives as a runtime SMEM scalar — NOT a static —
+    so a serving loop that asks for varied lengths compiles one
+    traceback per BUCKET, not one per distinct length (each new
+    compile costs ~20-40 s through the tunneled compile service).
+    Steps at or beyond out_length are masked no-ops; the walk starts
+    when the reverse grid reaches step out_length - 1."""
+    def kernel(best_ref, olen_ref, rec_ref, out_ref, k_ref):
+        t = pl.program_id(0)
+        b = T - 1 - t                 # record step this grid step reads
+        olen = olen_ref[0]
+
+        @pl.when(b == olen - 1)
         def _():
             k_ref[0] = best_ref[0]
-        k = k_ref[0]
-        rec = rec_ref[0]              # (8, K) step record
-        kio = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        onehot = (kio == k).astype(jnp.float32)
-        ch = jnp.sum(onehot * rec[0:1])
-        bp = jnp.sum(onehot * rec[1:2])
-        out_ref[T - 1 - t] = ch.astype(jnp.int32)
-        k_ref[0] = bp.astype(jnp.int32)
+
+        @pl.when(b < olen)
+        def _():
+            k = k_ref[0]
+            rec = rec_ref[0]          # (8, K) step record
+            kio = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            onehot = (kio == k).astype(jnp.float32)
+            ch = jnp.sum(onehot * rec[0:1])
+            bp = jnp.sum(onehot * rec[1:2])
+            out_ref[b] = ch.astype(jnp.int32)
+            k_ref[0] = bp.astype(jnp.int32)
     return kernel
 
 
-def _traceback_pallas(rec, best, out_length: int):
+def _traceback_pallas(rec, best, out_length):
     """Walk the backpointers of the raw (T, 8, K) record buffer from
-    ``best`` at step ``out_length - 1``; returns (out_length,) char ids
-    in forward order."""
-    K = rec.shape[2]
+    ``best`` at step ``out_length - 1`` (a runtime scalar); returns
+    (T,) char ids in forward order, valid in positions
+    [0, out_length)."""
+    T, _, K = rec.shape
     return pl.pallas_call(
-        _make_tb_kernel(K, out_length),
-        grid=(out_length,),
+        _make_tb_kernel(K, T),
+        grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, K), lambda t: (out_length - 1 - t, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, K), lambda t: (T - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((out_length,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T,), jnp.int32),
         interpret=jax.default_backend() != 'tpu',
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(best[None].astype(jnp.int32), rec)
+    )(best[None].astype(jnp.int32),
+      jnp.asarray(out_length, jnp.int32)[None], rec)
 
 
 def _prefix_fringe(emb, embT, wcat, bias, prefix, prefix_mask, v_real,
@@ -368,21 +383,25 @@ def generate_pallas(emb, embT, wcat, bias, prefix, prefix_mask,
                             length, v_real, topk, fringe, threshold)
 
 
-@partial(jax.jit, static_argnames=('length', 'out_length', 'v_real',
-                                   'topk', 'fringe', 'threshold'))
+@partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
+                                   'fringe', 'threshold'))
 def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
-                         length: int, out_length: int, v_real: int,
+                         length: int, out_length, v_real: int,
                          topk: int = 10, fringe: int = 256,
                          threshold: float = 0.004):
     """Fused-kernel analogue of ``generate_device_best``: on-device
     traceback of the single best path at step ``out_length`` (a second
-    tiny Pallas kernel over the raw record buffer) — the host fetches
-    only (out_length,) chars and one cost."""
+    tiny Pallas kernel over the raw record buffer).  ``out_length`` is
+    a RUNTIME scalar (only the length bucket is static), so varied
+    serving lengths share one compile per bucket; the returned seq is
+    (length,), valid in positions [0, out_length)."""
     state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
                                    prefix_mask, v_real, fringe)
     rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0,
                           length, v_real, topk, fringe, threshold)
-    costs_out = rec[out_length - 1, 2, :]
+    out_length = jnp.asarray(out_length, jnp.int32)
+    costs_out = jax.lax.dynamic_index_in_dim(
+        rec, out_length - 1, axis=0, keepdims=False)[2]
     best = jnp.argmin(costs_out)
     seq = _traceback_pallas(rec, best, out_length)
     return seq, costs_out[best]

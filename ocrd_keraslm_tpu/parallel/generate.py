@@ -33,34 +33,39 @@ def data_size(mesh: Mesh) -> int:
 
 
 def make_stream_generate(mesh: Optional[Mesh], run_length: int,
-                         out_length: int, v_real: int):
+                         v_real: int):
     """Jit (and optionally shard) a stream-batched generation.
 
     Returns ``fn(emb, embT, wcat, bias, prefix_ids (S, P),
-    prefix_mask (S, P)) -> (seqs (S, out_length), costs (S,))``.
-    With a mesh, S must be a multiple of the data-axis size (the
-    caller pads; see ``generate_streams``) and the stream axis is
-    sharded over it; weights are replicated over both mesh axes.
+    prefix_mask (S, P), out_length) -> (seqs (S, run_length), costs
+    (S,))`` — seqs are valid in positions [0, out_length), which is a
+    RUNTIME scalar so varied serving lengths share one compile per
+    length bucket.  With a mesh, S must be a multiple of the data-axis
+    size (the caller pads; see ``generate_streams``) and the stream
+    axis is sharded over it; weights are replicated over both mesh
+    axes.
     """
     # Mesh is hashable; id() could collide after GC (see decode.py)
-    key = (mesh, run_length, out_length, v_real)
+    key = (mesh, run_length, v_real)
     fn = _CACHE.get(key)
     if fn is not None:
         return fn
     from ..ops.beam_device import generate_device_best
 
-    def one(emb, embT, wcat, bias, pids, pmask):
-        return generate_device_best(emb, embT, wcat, bias, pids, pmask,
-                                    run_length, out_length, v_real)
+    def one(emb, embT, wcat, bias, pids, pmask, out_length):
+        return generate_device_best(
+            emb, embT, wcat, bias, pids, pmask, run_length,
+            out_length, v_real)
 
-    vd = jax.vmap(one, in_axes=(None, None, None, None, 0, 0))
+    vd = jax.vmap(one, in_axes=(None, None, None, None, 0, 0, None))
     if mesh is None:
         fn = jax.jit(vd)
     else:
         repl = NamedSharding(mesh, P())
         d1 = NamedSharding(mesh, P(DATA_AXIS))
         fn = jax.jit(vd,
-                     in_shardings=(repl, repl, repl, repl, d1, d1),
+                     in_shardings=(repl, repl, repl, repl, d1, d1,
+                                   repl),
                      out_shardings=(d1, d1))
     _CACHE[key] = fn
     return fn

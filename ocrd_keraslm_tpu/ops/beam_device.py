@@ -295,14 +295,29 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
     if fused:
-        from .gen_kernel import generate_pallas
-        chars, backptrs, costs = generate_pallas(
+        # variant tracebacks run ON DEVICE (one cheap kernel pass
+        # each): the host fetches (variants, bucket) ids + costs
+        # instead of the full (3, bucket, K) record matrices (~50 MB
+        # at bucket 16384 — ~0.8 s over the tunneled link)
+        from .gen_kernel import generate_pallas_variants
+        seqs, vcosts = generate_pallas_variants(
             emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-            jnp.asarray(prefix_mask), run_length, int(v_real))
-    else:
-        chars, backptrs, costs = generate_device(
-            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-            jnp.asarray(prefix_mask), run_length, int(v_real))
+            jnp.asarray(prefix_mask), run_length, int(length),
+            int(v_real), int(variants))
+        packed = np.asarray(jnp.concatenate(
+            [seqs.astype(jnp.float32), vcosts[:, None]], axis=1))
+        results = []
+        for v in range(variants):
+            if packed[v, -1] >= 1e38:
+                continue
+            seq = packed[v, :length].astype(np.int64)
+            results.append(prefix[-1:] +
+                           ''.join(rater.vocab.i2c.get(int(i), '')
+                                   for i in seq))
+        return results
+    chars, backptrs, costs = generate_device(
+        emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+        jnp.asarray(prefix_mask), run_length, int(v_real))
     # ONE packed fetch (ids/backptrs are < 2^24, exact as float32)
     packed = np.asarray(jnp.stack([chars.astype(jnp.float32),
                                    backptrs.astype(jnp.float32),
@@ -311,7 +326,9 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     backptrs = packed[1].astype(np.int64)
     costs = packed[2]                     # (run_length, K) per-step
     final_costs = costs[length - 1]
-    order = np.argsort(final_costs)[:variants]
+    # stable sort: cost ties order by slot index, matching the device
+    # variants path
+    order = np.argsort(final_costs, kind='stable')[:variants]
     results = []
     for k in order:
         if final_costs[k] >= 1e38:

@@ -407,6 +407,34 @@ def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
     return seq, costs_out[best]
 
 
+@partial(jax.jit, static_argnames=('length', 'v_real', 'variants',
+                                   'topk', 'fringe', 'threshold'))
+def generate_pallas_variants(emb, embT, wcat, bias, prefix,
+                             prefix_mask, length: int, out_length,
+                             v_real: int, variants: int,
+                             topk: int = 10, fringe: int = 256,
+                             threshold: float = 0.004):
+    """Multi-variant analogue of ``generate_pallas_best``: the
+    ``variants`` cheapest end slots are traced back ON DEVICE (one
+    cheap traceback-kernel pass each), so the host fetches
+    (variants, length) char ids + (variants,) costs instead of the
+    full (3, length, K) record matrices (~50 MB at length 16384 —
+    ~0.8 s over the tunneled link).  Slot order: ascending cost,
+    ties by slot index (stable argsort)."""
+    state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
+                                   prefix_mask, v_real, fringe)
+    rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0,
+                          length, v_real, topk, fringe, threshold)
+    out_length = jnp.asarray(out_length, jnp.int32)
+    costs_out = jax.lax.dynamic_index_in_dim(
+        rec, out_length - 1, axis=0, keepdims=False)[2]
+    order = jnp.argsort(costs_out, stable=True)[:variants]
+    seqs = jnp.stack([
+        _traceback_pallas(rec, order[v], out_length)
+        for v in range(variants)])
+    return seqs, costs_out[order]
+
+
 def fused_gen_vmem_bytes(depth: int, width: int, v_pad: int,
                          fringe: int = 256, topk: int = 10) -> int:
     """Rough VMEM requirement of the fused generation kernel: weights,

@@ -151,6 +151,34 @@ def test_fused_nondefault_fringe_topk(rater):
         assert sx == sp, 'live-set mismatch at step %d' % t
 
 
+def test_varied_lengths_share_bucket_compile(rater):
+    # serving regression guard: out_length is a RUNTIME scalar, so
+    # requests of different lengths within one bucket must reuse one
+    # compiled program per engine (a static out_length cost ~20-40 s
+    # of tunneled compile per distinct length)
+    from ocrd_keraslm_tpu.ops.beam_device import generate_device_best
+    from ocrd_keraslm_tpu.ops.gen_kernel import (generate_pallas_best,
+                                                 generate_pallas_variants)
+    for fn in (generate_pallas_best, generate_pallas_variants,
+               generate_device_best):
+        fn._clear_cache()
+    rater.fused_generate = 'force'
+    try:
+        outs = {n: rater.generate('ab', n)[0] for n in (5, 9, 12)}
+        outs_v = {n: rater.generate('ab', n, variants=2)
+                  for n in (6, 11)}
+    finally:
+        rater.fused_generate = False
+    xla = {n: rater.generate('ab', n)[0] for n in (5, 9, 12)}
+    assert generate_pallas_best._cache_size() == 1
+    assert generate_pallas_variants._cache_size() == 1
+    assert generate_device_best._cache_size() == 1
+    for n in (5, 9, 12):
+        assert len(outs[n]) == n + 1 and outs[n] == xla[n]
+    for n in (6, 11):
+        assert all(len(o) == n + 1 for o in outs_v[n])
+
+
 def test_fused_gate_vmem_fallback(rater, monkeypatch):
     # the routing gate: TPU default on, opt-out respected, and models
     # whose kernel would not fit VMEM fall back to the XLA engine

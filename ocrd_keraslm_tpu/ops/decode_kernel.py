@@ -68,7 +68,11 @@ def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
         else:
             operand = jnp.concatenate(
                 [inp, stateE[:, (1 + d) * W:(2 + d) * W]], axis=1)
-        z = (jnp.dot(operand, wcat_ref[d],
+        # .astype follows the weights' dtype: a no-op at f32; under
+        # the opt-in bf16 decode mode the gate matmul runs ONE MXU
+        # pass on bf16 inputs (f32 accumulate) instead of the
+        # multi-pass f32 decomposition
+        z = (jnp.dot(operand.astype(wcat_ref.dtype), wcat_ref[d],
                      preferred_element_type=jnp.float32)
              + bias_ref[d])
         i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
@@ -81,7 +85,7 @@ def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
         new_c.append(c2)
         inp = h2
 
-    logits = jnp.dot(inp, embT_ref[:],
+    logits = jnp.dot(inp.astype(embT_ref.dtype), embT_ref[:],
                      preferred_element_type=jnp.float32)
     logits = jnp.where(viota < v_real, logits, -BIG)
     mx = jnp.max(logits, axis=-1, keepdims=True)
@@ -90,7 +94,13 @@ def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
     logit_cur = jnp.sum(onehot_cur * logits, axis=-1, keepdims=True)
     nll2 = (lse - logit_cur) * INV_LN2
 
-    xemb_new = jnp.dot(onehot_cur, emb_ref[:], precision=EXACT,
+    # one-hot x emb is exact at any dtype pairing: emb values are
+    # already representable in emb_ref.dtype, and exactly one product
+    # per row is non-zero.  Mosaic rejects HIGHEST precision on bf16
+    # operands (and the single bf16 pass is already exact here)
+    xemb_new = jnp.dot(onehot_cur.astype(emb_ref.dtype), emb_ref[:],
+                       precision=(EXACT if emb_ref.dtype
+                                  == jnp.float32 else None),
                        preferred_element_type=jnp.float32)
     stateE_new = jnp.concatenate([xemb_new] + new_h + new_c, axis=1)
     return stateE_new, nll2
@@ -452,7 +462,8 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             else:
                 operand = jnp.concatenate(
                     [inp, state[:, (1 + d) * W:(2 + d) * W]], axis=1)
-            z = (jnp.dot(operand, wcat_ref[d],
+            # dtype-following cast: no-op at f32, one MXU pass at bf16
+            z = (jnp.dot(operand.astype(wcat_ref.dtype), wcat_ref[d],
                          preferred_element_type=jnp.float32)
                  + bias_ref[d])
             i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
@@ -465,7 +476,7 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             new_c.append(c2)
             inp = h2
         viota_nk = jax.lax.broadcasted_iota(jnp.int32, (NK, V), 1)
-        logits = jnp.dot(inp, embT_ref[:],
+        logits = jnp.dot(inp.astype(embT_ref.dtype), embT_ref[:],
                          preferred_element_type=jnp.float32)  # (NK, V)
         logits = jnp.where(viota_nk < V_real, logits, -BIG)
         mx = jnp.max(logits, axis=-1, keepdims=True)
@@ -563,8 +574,10 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
                          preferred_element_type=jnp.float32)
         hc_sel = selcat[:, 0:2 * D * W]
         parent_packed = selcat[:, 2 * D * W:]
-        onehot_sel = (viota_nk == char_sel).astype(jnp.float32)
-        xemb_sel = jnp.dot(onehot_sel, emb_ref[:], precision=EXACT,
+        onehot_sel = (viota_nk == char_sel).astype(emb_ref.dtype)
+        xemb_sel = jnp.dot(onehot_sel, emb_ref[:],
+                           precision=(EXACT if emb_ref.dtype
+                                      == jnp.float32 else None),
                            preferred_element_type=jnp.float32)
         stepped = jnp.concatenate([xemb_sel, hc_sel], axis=1)
         state_ref[:] = jnp.where(m_sel > 0, stepped, parent_packed)

@@ -211,3 +211,34 @@ def test_batch_decode_multipage_concat(rater):
     # element identity preserved for page re-splitting
     elements = [el for el, _, _ in batch[0][0]]
     assert elements.count('w0_c0') == 2  # one per page
+
+
+def test_bf16_decode_mode(rater):
+    """The opt-in/TPU-default bf16 decode mode: weights plumb through
+    as bfloat16, the kernels compile and decode, and quality stays
+    within tolerance of the f32 mode (interpret-mode bf16 CHANGES
+    arithmetic — on the compiled TPU path it is bit-identical, pinned
+    by tpu_spotcheck.py — so this pins plumbing + closeness, not
+    equality).  Default must stay OFF on non-TPU backends."""
+    import jax
+    import jax.numpy as jnp
+    assert rater._decode_bf16() is (jax.default_backend() == 'tpu')
+    w16 = rater._decode_weights(None, 0.5, bf16=True)
+    w32 = rater._decode_weights(None, 0.5, bf16=False)
+    assert w16['wcat'].dtype == jnp.bfloat16
+    assert w16['emb'].dtype == jnp.bfloat16
+    assert w32['wcat'].dtype == jnp.float32
+    g, s, e = _toy_graph(['abcd', 'abcd'])
+    rater.fused_decode = True
+    try:
+        rater.decode_bf16 = False
+        p32, ent32, _ = rater.rate_best_device(g, s, e, beam_width=4)
+        rater.decode_bf16 = True
+        p16, ent16, _ = rater.rate_best_device(g, s, e, beam_width=4)
+    finally:
+        rater.fused_decode = False
+        rater.decode_bf16 = None
+    t32 = ''.join(te.Unicode for _, te, _ in p32)
+    t16 = ''.join(te.Unicode for _, te, _ in p16)
+    assert t16 == t32 == 'abcd abcd'  # overfit model: clear optimum
+    assert ent16 == pytest.approx(ent32, rel=2e-2)

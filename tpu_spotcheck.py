@@ -107,6 +107,20 @@ def main():
               % ('OK' if ok else 'MISMATCH'), file=sys.stderr)
         failures += not ok
 
+        # bf16 decode weights (the TPU default) must be BIT-IDENTICAL
+        # to f32 weights on the compiled path: Mosaic's default f32
+        # matmul precision is already one bf16 pass, so pre-cast
+        # weights change nothing but speed (see Rater._decode_bf16)
+        rater.decode_bf16 = False
+        f32 = [rater.rate_best_device(*d, beam_width=16)
+               for d in docs]
+        rater.decode_bf16 = None
+        ok = all(_text(a[0]) == _text(b[0]) and a[1] == b[1]
+                 for a, b in zip(single, f32))
+        print('decode bf16 == f32 weights:   %s'
+              % ('OK' if ok else 'MISMATCH'), file=sys.stderr)
+        failures += not ok
+
         # host engine emulates the reference's lookahead lock-in: the
         # single-page path must be flushed through next_path; both
         # paths are then scored by the SHARED exact objective

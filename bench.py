@@ -636,7 +636,10 @@ def main():
                 '16384-char serving point (= generate_long; the '
                 '1024-char point is RTT-bound, see '
                 'generate_1k_vs_baseline; r02 and earlier reported '
-                'the 1024-char point under this key)')
+                'the 1024-char point under this key)'
+                if gen_long_cps else
+                '1024-char point (16384-char measurement failed '
+                'this run)')
     if gen_stream_cps is not None and base_gen:
         extra['generate_streams_chars_per_sec'] = round(gen_stream_cps, 1)
         if gen_stream_med is not None:

@@ -271,21 +271,42 @@ def generate_beam(rater, prefix: str, length: int, context=None,
     run_length = bucket_unbounded(length, (16, 64, 256, 1024, 4096))
     emb, embT, wcat, bias, v_real = _gen_weights(rater, context)
     fused = _use_fused_gen(rater, emb.shape[0])
+    if fused:
+        # variant tracebacks run ON DEVICE (one cheap kernel pass
+        # each): the host fetches (variants, bucket) ids + costs in
+        # ONE packed transfer instead of the full (3, bucket, K)
+        # record matrices (~50 MB at bucket 16384 — ~0.8 s over the
+        # tunneled link).  variants caps at the fringe: only that
+        # many end slots exist (the XLA walk below has the same cap
+        # implicitly via its argsort over K slots).
+        from .gen_kernel import generate_pallas_variants
+        nv = min(int(variants), 256)
+        seqs, vcosts = generate_pallas_variants(
+            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), run_length, int(length),
+            int(v_real), nv)
+        packed = np.asarray(jnp.concatenate(
+            [seqs.astype(jnp.float32), vcosts[:, None]], axis=1))
+        results = []
+        for v in range(nv):
+            if packed[v, -1] >= 1e38:
+                continue
+            # seq spans the whole bucket; positions >= length are
+            # masked
+            seq = packed[v, :length].astype(np.int64)
+            results.append(prefix[-1:] +
+                           ''.join(rater.vocab.i2c.get(int(i), '')
+                                   for i in seq))
+        return results
     if variants == 1:
-        # common case: traceback on device, fetch only (length,) chars
-        # + cost in ONE packed transfer (each separate fetch costs a
-        # full host<->device round-trip — ~30 ms on tunneled links)
-        if fused:
-            from .gen_kernel import generate_pallas_best
-            seq, cost = generate_pallas_best(
-                emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-                jnp.asarray(prefix_mask), run_length, int(length),
-                int(v_real))
-        else:
-            seq, cost = generate_device_best(
-                emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-                jnp.asarray(prefix_mask), run_length, int(length),
-                int(v_real))
+        # XLA fallback, common case: traceback on device, fetch only
+        # the chars + cost in ONE packed transfer (each separate fetch
+        # costs a full host<->device round-trip — ~30 ms on tunneled
+        # links)
+        seq, cost = generate_device_best(
+            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
+            jnp.asarray(prefix_mask), run_length, int(length),
+            int(v_real))
         packed = np.asarray(jnp.concatenate(
             [seq.astype(jnp.float32), cost[None]]))
         if packed[-1] >= 1e38:
@@ -294,27 +315,6 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         seq = packed[:length].astype(np.int64)
         return [prefix[-1:] +
                 ''.join(rater.vocab.i2c.get(int(i), '') for i in seq)]
-    if fused:
-        # variant tracebacks run ON DEVICE (one cheap kernel pass
-        # each): the host fetches (variants, bucket) ids + costs
-        # instead of the full (3, bucket, K) record matrices (~50 MB
-        # at bucket 16384 — ~0.8 s over the tunneled link)
-        from .gen_kernel import generate_pallas_variants
-        seqs, vcosts = generate_pallas_variants(
-            emb, embT, wcat, bias, jnp.asarray(prefix_ids),
-            jnp.asarray(prefix_mask), run_length, int(length),
-            int(v_real), int(variants))
-        packed = np.asarray(jnp.concatenate(
-            [seqs.astype(jnp.float32), vcosts[:, None]], axis=1))
-        results = []
-        for v in range(variants):
-            if packed[v, -1] >= 1e38:
-                continue
-            seq = packed[v, :length].astype(np.int64)
-            results.append(prefix[-1:] +
-                           ''.join(rater.vocab.i2c.get(int(i), '')
-                                   for i in seq))
-        return results
     chars, backptrs, costs = generate_device(
         emb, embT, wcat, bias, jnp.asarray(prefix_ids),
         jnp.asarray(prefix_mask), run_length, int(v_real))

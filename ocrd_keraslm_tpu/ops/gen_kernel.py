@@ -383,8 +383,6 @@ def generate_pallas(emb, embT, wcat, bias, prefix, prefix_mask,
                             length, v_real, topk, fringe, threshold)
 
 
-@partial(jax.jit, static_argnames=('length', 'v_real', 'topk',
-                                   'fringe', 'threshold'))
 def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
                          length: int, out_length, v_real: int,
                          topk: int = 10, fringe: int = 256,
@@ -394,17 +392,15 @@ def generate_pallas_best(emb, embT, wcat, bias, prefix, prefix_mask,
     tiny Pallas kernel over the raw record buffer).  ``out_length`` is
     a RUNTIME scalar (only the length bucket is static), so varied
     serving lengths share one compile per bucket; the returned seq is
-    (length,), valid in positions [0, out_length)."""
-    state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
-                                   prefix_mask, v_real, fringe)
-    rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0,
-                          length, v_real, topk, fringe, threshold)
-    out_length = jnp.asarray(out_length, jnp.int32)
-    costs_out = jax.lax.dynamic_index_in_dim(
-        rec, out_length - 1, axis=0, keepdims=False)[2]
-    best = jnp.argmin(costs_out)
-    seq = _traceback_pallas(rec, best, out_length)
-    return seq, costs_out[best]
+    (length,), valid in positions [0, out_length).
+
+    Thin wrapper over ``generate_pallas_variants`` (variants=1; stable
+    argsort and argmin break cost ties identically, at the smallest
+    slot) so the packed-record/traceback logic lives in ONE place."""
+    seqs, costs = generate_pallas_variants(
+        emb, embT, wcat, bias, prefix, prefix_mask, length,
+        out_length, v_real, 1, topk, fringe, threshold)
+    return seqs[0], costs[0]
 
 
 @partial(jax.jit, static_argnames=('length', 'v_real', 'variants',
@@ -414,13 +410,16 @@ def generate_pallas_variants(emb, embT, wcat, bias, prefix,
                              v_real: int, variants: int,
                              topk: int = 10, fringe: int = 256,
                              threshold: float = 0.004):
-    """Multi-variant analogue of ``generate_pallas_best``: the
-    ``variants`` cheapest end slots are traced back ON DEVICE (one
+    """The ``variants`` cheapest end slots traced back ON DEVICE (one
     cheap traceback-kernel pass each), so the host fetches
     (variants, length) char ids + (variants,) costs instead of the
     full (3, length, K) record matrices (~50 MB at length 16384 —
     ~0.8 s over the tunneled link).  Slot order: ascending cost,
-    ties by slot index (stable argsort)."""
+    ties by slot index (stable argsort).  ``variants`` must be
+    <= ``fringe`` (argsort has only K entries; beyond-K indices would
+    CLAMP and fabricate duplicates — callers cap, see
+    ``generate_beam``)."""
+    assert variants <= fringe, (variants, fringe)
     state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
                                    prefix_mask, v_real, fringe)
     rec = _gen_pallas_raw(emb, embT, wcat, bias, state0, cost0,

@@ -1294,9 +1294,15 @@ class Rater:
                           for d in range(D)])
             # xemb rows are exact embedding rows (written by one-hot
             # matmuls), so nearest-neighbour recovery of the char id
-            # is exact
+            # is exact — PROVIDED the comparison table matches the one
+            # the kernel wrote from: under the bf16 decode mode those
+            # rows are bf16-rounded, so round the table identically
+            # (distance is then exactly 0 at the true row)
             xemb = state[:, :W]
             emb = np.asarray(self.params['char_embedding'])
+            if self._decode_bf16():
+                emb = np.asarray(
+                    jnp.asarray(emb).astype(jnp.bfloat16), np.float32)
             d2 = np.sum(emb * emb, axis=1)[None, :] - 2.0 * (xemb @ emb.T)
             x = np.argmin(d2, axis=1).astype(np.int32)
             cost = cost_l[0, :K0].astype(np.float32)
@@ -1524,14 +1530,15 @@ class Rater:
             bias=jnp.stack(biases)[:, None, :],
             v_pad=V_pad, v_real=V)
         # evict stale-params entries outright; otherwise keep a few
-        # entries so generation (always f32) alternating with bf16
-        # decoding does not thrash the cache
+        # entries (evicting the OLDEST one at the cap, not clearing —
+        # a wholesale clear would thrash the hot f32-generation /
+        # bf16-decode pair this multi-entry cache exists to protect)
         stale = [k for k in self._decode_cache
                  if k[0] != self._params_epoch]
         for k in stale:
             del self._decode_cache[k]
-        if len(self._decode_cache) >= 4:
-            self._decode_cache.clear()
+        while len(self._decode_cache) >= 4:
+            del self._decode_cache[next(iter(self._decode_cache))]
         self._decode_cache[key] = weights
         return weights
 

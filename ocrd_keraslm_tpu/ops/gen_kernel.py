@@ -293,13 +293,17 @@ def _gen_pallas_call(emb, embT, wcat, bias, state0, cost0, length,
     return chars, backptrs, costs
 
 
-def _make_tb_kernel(K, T):
-    """Best-path traceback over the raw record buffer: a reverse
-    sequential grid carrying the current slot in SMEM; each step
-    extracts (char, backptr) of that slot from the streamed-in step
-    record with a one-hot reduce.  The XLA ``lax.scan`` alternative
-    pays the per-step dispatch floor this kernel exists to avoid
-    (measured ~1.9 us/char of the full generate path).
+def _make_tb_kernel(K, T, VARS):
+    """Multi-cursor best-path traceback over the raw record buffer: a
+    reverse sequential grid carrying ``VARS`` slot cursors in SMEM;
+    each step extracts (char, backptr) of every cursor from the
+    streamed-in step record with one-hot reduces.  The XLA
+    ``lax.scan`` alternative pays the per-step dispatch floor this
+    kernel exists to avoid (measured ~1.9 us/char of the full
+    generate path), and per-variant passes re-stream the whole
+    (T, 8, K) buffer from HBM once per variant — all cursors walk in
+    ONE pass here (the unrolled per-cursor reduces are VPU-trivial
+    next to the record stream).
 
     ``out_length`` arrives as a runtime SMEM scalar — NOT a static —
     so a serving loop that asks for varied lengths compiles one
@@ -314,29 +318,36 @@ def _make_tb_kernel(K, T):
 
         @pl.when(b == olen - 1)
         def _():
-            k_ref[0] = best_ref[0]
+            for v in range(VARS):
+                k_ref[v] = best_ref[v]
 
         @pl.when(b < olen)
         def _():
-            k = k_ref[0]
             rec = rec_ref[0]          # (8, K) step record
             kio = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-            onehot = (kio == k).astype(jnp.float32)
-            ch = jnp.sum(onehot * rec[0:1])
-            bp = jnp.sum(onehot * rec[1:2])
-            out_ref[b] = ch.astype(jnp.int32)
-            k_ref[0] = bp.astype(jnp.int32)
+            for v in range(VARS):
+                onehot = (kio == k_ref[v]).astype(jnp.float32)
+                out_ref[v, b] = jnp.sum(onehot * rec[0:1]).astype(
+                    jnp.int32)
+                k_ref[v] = jnp.sum(onehot * rec[1:2]).astype(jnp.int32)
     return kernel
+
+
+# Per-pass cap on the traceback kernel's SMEM output (VARS, T) so a
+# many-variant request at a long bucket chunks into several passes
+# instead of overflowing scalar memory (bucket 16384: 4 cursors/pass).
+_TB_SMEM_OUT_BYTES = 256 * 1024
 
 
 def _traceback_pallas(rec, best, out_length):
     """Walk the backpointers of the raw (T, 8, K) record buffer from
-    ``best`` at step ``out_length - 1`` (a runtime scalar); returns
-    (T,) char ids in forward order, valid in positions
-    [0, out_length)."""
+    each slot in ``best`` (shape (VARS,)) at step ``out_length - 1``
+    (a runtime scalar); returns (VARS, T) char ids in forward order,
+    valid in positions [0, out_length)."""
     T, _, K = rec.shape
+    VARS = best.shape[0]
     return pl.pallas_call(
-        _make_tb_kernel(K, T),
+        _make_tb_kernel(K, T, VARS),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -345,10 +356,10 @@ def _traceback_pallas(rec, best, out_length):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((T,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((VARS, T), jnp.int32),
         interpret=jax.default_backend() != 'tpu',
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(best[None].astype(jnp.int32),
+        scratch_shapes=[pltpu.SMEM((VARS,), jnp.int32)],
+    )(best.astype(jnp.int32),
       jnp.asarray(out_length, jnp.int32)[None], rec)
 
 
@@ -410,14 +421,15 @@ def generate_pallas_variants(emb, embT, wcat, bias, prefix,
                              v_real: int, variants: int,
                              topk: int = 10, fringe: int = 256,
                              threshold: float = 0.004):
-    """The ``variants`` cheapest end slots traced back ON DEVICE (one
-    cheap traceback-kernel pass each), so the host fetches
-    (variants, length) char ids + (variants,) costs instead of the
-    full (3, length, K) record matrices (~50 MB at length 16384 —
-    ~0.8 s over the tunneled link).  Slot order: ascending cost,
-    ties by slot index (stable argsort).  ``variants`` must be
-    <= ``fringe`` (argsort has only K entries; beyond-K indices would
-    CLAMP and fabricate duplicates — callers cap, see
+    """The ``variants`` cheapest end slots traced back ON DEVICE in
+    one multi-cursor traceback-kernel pass (chunked only when the
+    (variants, length) SMEM output would overflow scalar memory), so
+    the host fetches (variants, length) char ids + (variants,) costs
+    instead of the full (3, length, K) record matrices (~50 MB at
+    length 16384 — ~0.8 s over the tunneled link).  Slot order:
+    ascending cost, ties by slot index (stable argsort).  ``variants``
+    must be <= ``fringe`` (argsort has only K entries; beyond-K
+    indices would CLAMP and fabricate duplicates — callers cap, see
     ``generate_beam``)."""
     assert variants <= fringe, (variants, fringe)
     state0, cost0 = _prefix_fringe(emb, embT, wcat, bias, prefix,
@@ -428,9 +440,10 @@ def generate_pallas_variants(emb, embT, wcat, bias, prefix,
     costs_out = jax.lax.dynamic_index_in_dim(
         rec, out_length - 1, axis=0, keepdims=False)[2]
     order = jnp.argsort(costs_out, stable=True)[:variants]
-    seqs = jnp.stack([
-        _traceback_pallas(rec, order[v], out_length)
-        for v in range(variants)])
+    chunk = max(1, min(variants, _TB_SMEM_OUT_BYTES // (4 * length)))
+    seqs = jnp.concatenate([
+        _traceback_pallas(rec, order[i:i + chunk], out_length)
+        for i in range(0, variants, chunk)])
     return seqs, costs_out[order]
 
 

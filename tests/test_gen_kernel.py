@@ -53,6 +53,27 @@ def test_fused_matches_xla_variants_order(rater):
     assert len(fused) == 3
 
 
+def test_fused_variants_chunked_traceback(rater, monkeypatch):
+    # the multi-cursor traceback chunks when the (variants, T) SMEM
+    # output would overflow scalar memory; force a tiny budget so a
+    # 6-variant request walks in 3 passes of 2 cursors and still
+    # matches both the unchunked fused result and the XLA engine
+    from ocrd_keraslm_tpu.ops import gen_kernel
+    rater.fused_generate = 'force'
+    try:
+        whole = rater.generate('ab', 10, variants=6)
+        monkeypatch.setattr(gen_kernel, '_TB_SMEM_OUT_BYTES', 2 * 4 * 16)
+        gen_kernel.generate_pallas_variants._clear_cache()
+        chunked = rater.generate('ab', 10, variants=6)
+    finally:
+        rater.fused_generate = False
+    monkeypatch.undo()
+    gen_kernel.generate_pallas_variants._clear_cache()
+    xla = rater.generate('ab', 10, variants=6)
+    assert chunked == whole == xla
+    assert len(chunked) == 6
+
+
 def test_fused_matches_xla_long_prefix(rater):
     # prefix longer than the smallest bucket exercises the masked
     # prefix scan inside the kernel's jit

@@ -179,7 +179,7 @@ def main():
     # best of 3: the shared-host CPU is noisy and a slow baseline run
     # would flatter vs_baseline
     base = max(numpy_baseline_chars_per_sec(params_np, width, depth)
-               for _ in range(3))
+               for _ in range(5))
     print('numpy baseline: %.0f chars/s' % base, file=sys.stderr)
 
     # ---- TPU path: Rater._score_text on synthetic text ----
@@ -205,7 +205,7 @@ def main():
     # timed (best + median: the tunneled service stalls ~120ms every
     # few calls; medians keep the numbers honest under contention)
     times = []
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         _, nll, _ = rater._score_text(ids, [0])
         times.append(time.perf_counter() - t0)
@@ -236,7 +236,7 @@ def main():
     pages = None
     try:
         base_dec = max(numpy_baseline_decode_chars_per_sec(
-            params_np, width, depth) for _ in range(3))
+            params_np, width, depth) for _ in range(5))
         print('numpy decode baseline: %.0f chars/s' % base_dec,
               file=sys.stderr)
         import networkx as nx
@@ -290,9 +290,13 @@ def main():
     try:
         if pages:
             rater.rate_best_batch(pages, beam_width=16)  # warm/compile
+            # 14 interleaved reps: the call is ~0.15s and the tunnel's
+            # transient stalls run ~120ms, so a short rep series can
+            # miss every clear window and under-report the best by 2x
+            # (observed on contended days); the extra reps cost ~2s
             times_single = []
             times_batch = []
-            for _ in range(8):
+            for _ in range(14):
                 t0 = time.perf_counter()
                 decode_document()
                 times_single.append(time.perf_counter() - t0)
@@ -396,14 +400,14 @@ def main():
     gen_cps_med = gen_stream_med = gen_long_cps = None
     try:
         base_gen = max(numpy_baseline_generate_chars_per_sec(
-            params_np, width, depth) for _ in range(3))
+            params_np, width, depth) for _ in range(5))
         print('numpy generate baseline: %.0f chars/s' % base_gen,
               file=sys.stderr)
         GEN_N = 1024  # long enough to amortize the fixed dispatch RTT
         rater.generate('abc', 16)  # warmup/compile (length bucket 16)
         rater.generate('abc', GEN_N)  # warmup bucket 1024
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             out = rater.generate('abc', GEN_N)
             times.append(time.perf_counter() - t0)
@@ -421,7 +425,7 @@ def main():
         GEN_LONG = 16384
         rater.generate('abc', GEN_LONG)  # warmup bucket 4096
         best_l = 1e30
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             rater.generate('abc', GEN_LONG)
             best_l = min(best_l, time.perf_counter() - t0)
@@ -435,7 +439,7 @@ def main():
         # drowned in a ~5 ms RTT swing and once measured a bogus
         # 0.0 us/char marginal.
         t_short = 1e30
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             rater.generate('abc', 256)
             t_short = min(t_short, time.perf_counter() - t0)

@@ -176,7 +176,7 @@ def main():
     }
 
     # ---- baseline (NumPy, reference-equivalent CPU loop) ----
-    # best of 3: the shared-host CPU is noisy and a slow baseline run
+    # best of 5: the shared-host CPU is noisy and a slow baseline run
     # would flatter vs_baseline
     base = max(numpy_baseline_chars_per_sec(params_np, width, depth)
                for _ in range(5))

@@ -336,6 +336,10 @@ def _make_tb_kernel(K, T, VARS):
 # Per-pass cap on the traceback kernel's SMEM output (VARS, T) so a
 # many-variant request at a long bucket chunks into several passes
 # instead of overflowing scalar memory (bucket 16384: 4 cursors/pass).
+# A chunking heuristic, not a hard ceiling: at buckets >= 65536 the
+# floor is one cursor per pass, whose (1, T) output exceeds this
+# budget — measured working on the chip up to bucket 131072 (512 KB
+# SMEM out, single and multi-variant).
 _TB_SMEM_OUT_BYTES = 256 * 1024
 
 

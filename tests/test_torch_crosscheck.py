@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ocrd_keraslm_tpu.models.lstm_lm import (LMConfig, forward_seq,
                                              forward_step, init_params,
                                              regularization_loss,
-                                             sequence_xent, zero_carry)
+                                             sequence_xent)
 
 CFG = LMConfig(width=16, depth=2, length=17, voc_size=13,
                contexts=((20, 4),), stateful=True, dropout=0.0)

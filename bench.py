@@ -395,6 +395,124 @@ def main():
         print('realistic decode bench failed: %r' % err,
               file=sys.stderr)
 
+    # ---- full METS workflow (BASELINE.md measurement plan #5) ----
+    # End-to-end pages/sec of the context-conditioned OCR-D processor:
+    # PAGE-XML parse -> lattice build -> device beam decode -> result
+    # write-back, over a 16-page synthetic workspace with ambiguous
+    # glyphs (the year context comes from the METS identifier).  This
+    # includes every host cost the serving deployment pays.
+    workflow_pps = workflow_cps = workflow_cps_med = None
+    try:
+        import os as _os
+        import tempfile
+
+        from ocrd_keraslm_tpu.wrapper import KerasRate
+        from ocrd_keraslm_tpu.wrapper.mets import (Mets, MetsFile,
+                                                   Workspace,
+                                                   mets_to_xml)
+        from ocrd_keraslm_tpu.wrapper.page import (Glyph, PcGts,
+                                                   TextEquivType,
+                                                   TextLine, TextRegion,
+                                                   Word, to_xml)
+        rngw = np.random.default_rng(17)
+        letters = 'abcdefghijklmnopqrstuvwxyz'
+        n_wpages, n_lines, n_words = 16, 12, 14
+
+        def bench_pcgts(page_id):
+            pcgts = PcGts()
+            pcgts.pcGtsId = page_id
+            region = TextRegion('%s_r1' % page_id)
+            chars_on_page = 0
+            for li in range(n_lines):
+                line = TextLine('%s_r1_l%d' % (page_id, li))
+                for wi in range(n_words):
+                    text = ''.join(letters[rngw.integers(26)]
+                                   for _ in range(rngw.integers(3, 9)))
+                    word = Word('%s_r1_l%d_w%d' % (page_id, li, wi))
+                    word.add_TextEquiv(TextEquivType(Unicode=text,
+                                                     conf=0.9))
+                    for gi, ch in enumerate(text):
+                        glyph = Glyph('%s_r1_l%d_w%d_g%d'
+                                      % (page_id, li, wi, gi))
+                        if gi == 0:  # ~1 ambiguous glyph per word
+                            for idx, alt in enumerate(
+                                    (ch, letters[rngw.integers(26)],
+                                     letters[rngw.integers(26)])):
+                                glyph.add_TextEquiv(TextEquivType(
+                                    Unicode=alt,
+                                    conf=0.95 - 0.02 * idx, index=idx))
+                        else:
+                            glyph.add_TextEquiv(TextEquivType(
+                                Unicode=ch, conf=0.95, index=0))
+                        word.add_Glyph(glyph)
+                    chars_on_page += len(text) + 1
+                    line.add_Word(word)
+                region.add_TextLine(line)
+            for line in region.lines:
+                line.add_TextEquiv(TextEquivType(Unicode=' '.join(
+                    w.text_equivs[0].Unicode for w in line.words),
+                    conf=0.9))
+            region.add_TextEquiv(TextEquivType(Unicode='\n'.join(
+                l.text_equivs[0].Unicode for l in region.lines),
+                conf=0.9))
+            pcgts.page.add_TextRegion(region)
+            return pcgts, chars_on_page
+
+        wdir = tempfile.mkdtemp(prefix='bench_ws_')
+        _os.makedirs(_os.path.join(wdir, 'OCR-D-OCR'), exist_ok=True)
+        mets = Mets(unique_identifier='urn:bench/corpus_1800')
+        mets.file_groups['OCR-D-OCR'] = []
+        total_ws_chars = 0
+        for p in range(n_wpages):
+            page_id = 'phys_%04d' % (p + 1)
+            pcgts, n = bench_pcgts(page_id)
+            total_ws_chars += n
+            fid = 'OCR-D-OCR_%s' % page_id
+            fname = _os.path.join('OCR-D-OCR', fid + '.xml')
+            with open(_os.path.join(wdir, fname), 'w',
+                      encoding='utf-8') as fh:
+                fh.write(to_xml(pcgts))
+            mets.file_groups['OCR-D-OCR'].append(MetsFile(
+                ID=fid, fileGrp='OCR-D-OCR', local_filename=fname,
+                pageId=page_id))
+            mets.page_ids.append(page_id)
+        with open(_os.path.join(wdir, 'mets.xml'), 'w',
+                  encoding='utf-8') as fh:
+            fh.write(mets_to_xml(mets))
+        model_path = _os.path.join(wdir, 'model.h5')
+        rater.history = getattr(rater, 'history', {}) or {}
+        rater.save(model_path)
+        _os.environ['OCRD_EXISTING_OUTPUT'] = 'OVERWRITE'  # re-run reps
+
+        def run_workflow():
+            ws = Workspace(wdir)
+            proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                             output_file_grp='OCR-D-LM',
+                             parameter={'model_file': model_path,
+                                        'textequiv_level': 'glyph',
+                                        'alternative_decoding': True,
+                                        'beam_width': 16})
+            proc.setup()
+            proc.process_workspace(ws)
+
+        run_workflow()  # warmup/compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run_workflow()
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        med = sorted(times)[len(times) // 2]
+        workflow_pps = n_wpages / best
+        workflow_cps = total_ws_chars / best
+        workflow_cps_med = total_ws_chars / med
+        print('tpu METS workflow (%d pages, %d chars e2e): '
+              '%.1f pages/s, %.0f chars/s (best %.3fs, median %.3fs)'
+              % (n_wpages, total_ws_chars, workflow_pps, workflow_cps,
+                 best, med), file=sys.stderr)
+    except Exception as err:
+        print('workflow bench failed: %r' % err, file=sys.stderr)
+
     # ---- incremental generation (explicit-state beam sampling) ----
     gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
     gen_cps_med = gen_stream_med = gen_long_cps = None
@@ -605,6 +723,19 @@ def main():
             round(decode_real, 1)
         extra['decode_realistic_chars_per_sec_median'] = \
             round(decode_real_med, 1)
+    if workflow_pps is not None:
+        # BASELINE.md measurement plan #5: context-conditioned model in
+        # a full METS workflow, end-to-end pages/sec.  The baseline
+        # ratio uses the numpy DECODE loop (LM cost only), so it
+        # UNDERSTATES the true e2e speedup — the reference pays PAGE
+        # parse/write on top of its per-char beam loop.
+        extra['workflow_pages_per_sec'] = round(workflow_pps, 2)
+        extra['workflow_chars_per_sec'] = round(workflow_cps, 1)
+        extra['workflow_chars_per_sec_median'] = \
+            round(workflow_cps_med, 1)
+        if base_dec:
+            extra['workflow_vs_decode_baseline'] = \
+                round(workflow_cps / base_dec, 2)
     if train_cps is not None:
         extra.update({
             'train_chars_per_sec': round(train_cps, 1),

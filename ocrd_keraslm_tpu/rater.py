@@ -1158,7 +1158,11 @@ class Rater:
         """
         from .ops.beam_device import decode_lattice_device
 
-        edges_raw = _linear_edges(graph)
+        # a plain list is already the linear chain (the wrapper's
+        # page_get_linear_lattice_at output); DiGraphs are validated
+        # and ordered by the successor walk
+        edges_raw = graph if isinstance(graph, list) \
+            else _linear_edges(graph)
         if not edges_raw:
             return ('done', [], 0.0), device_traceback
         if self.fused_decode:

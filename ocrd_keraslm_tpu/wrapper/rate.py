@@ -228,10 +228,10 @@ class KerasRate:
                 file_id = self._make_file_id(input_file)
                 if self._output_exists(file_id):
                     return None
-                graph, _, _ = page_get_linear_graph_at(
+                edges = page_get_linear_lattice_at(
                     level, pcgts, logger=self.logger)
                 text = [(edge['element'], edge['alternatives'])
-                        for edge in _get_edges(graph, 0)]
+                        for edge in edges]
                 return (pcgts, file_id, page_id, text,
                         ''.join(tes[0].Unicode for _, tes in text),
                         input_file)
@@ -467,12 +467,14 @@ class KerasRate:
                                'level (device beam)',
                                pcgts.get_pcGtsId(), level)
         context = mets_get_context(self.workspace.mets)
-        graph, start_node, end_node = page_get_linear_graph_at(
-            level, pcgts, logger=self.logger)
+        # device engines take the edge LIST (no DiGraph build): the
+        # chain is linear by construction here
+        edges = page_get_linear_lattice_at(level, pcgts,
+                                           logger=self.logger)
         self.rater.logger.info('Rating %d elements including its '
-                               'alternatives', end_node - start_node)
+                               'alternatives', len(edges))
         pending, device_tb = self.rater.rate_best_device_begin(
-            graph, start_node, end_node,
+            edges, 0, len(edges),
             device_traceback=device_tb,
             context=context,
             lm_weight=lm_weight,
@@ -734,9 +736,9 @@ def score_page_pcgts(rater, pcgts, level, context, lm_weight,
     Works on standalone AND genuine ``ocrd_models`` PAGE trees (both
     expose the generateDS API)."""
     logger = logger or LOG
-    graph, _, _ = page_get_linear_graph_at(level, pcgts, logger=logger)
+    edges = page_get_linear_lattice_at(level, pcgts, logger=logger)
     text = [(edge['element'], edge['alternatives'])
-            for edge in _get_edges(graph, 0)]
+            for edge in edges]
     textstring = ''.join(tes[0].Unicode for _, tes in text)
     logger.info('Rating %d elements with a total of %d characters',
                 len(text), len(textstring))
@@ -754,15 +756,51 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
     DiGraph with one edge per element (carrying ``element`` +
     ``alternatives``), inserting artificial whitespace/newline edges
     between siblings except where tokenisation-repair applies
-    (reference wrapper/rate.py:343-424)."""
+    (reference wrapper/rate.py:343-424).
+
+    The DiGraph form serves the general-DAG host engine (``rate_best``)
+    and API compatibility; the device engines take the underlying edge
+    LIST (``page_get_linear_lattice_at``) directly — a linear chain
+    needs no graph library, and ``nx.add_edge`` alone cost ~4 ms per
+    1000-edge page (profiled)."""
+    edges = page_get_linear_lattice_at(level, pcgts, logger=logger)
+    graph = nx.DiGraph(level=level)
+    graph.add_node(0)
+    for i, edge in enumerate(edges):
+        graph.add_edge(i, i + 1, **edge)
+    return graph, 0, len(edges)
+
+
+def page_get_linear_lattice_at(level: str, pcgts, logger=None) -> list:
+    """Linear lattice of a page as a list of edge dicts
+    (``{'element', 'alternatives'}``) in chain order — edge ``i`` spans
+    nodes ``(i, i+1)`` of the equivalent DiGraph.  Same traversal,
+    space/newline, tokenisation-repair, and choice-filter semantics as
+    the reference graph builder (wrapper/rate.py:343-424); works on any
+    tree exposing the generateDS-style PAGE API (the standalone object
+    model, ``page_fast`` records, or genuine ``ocrd_models``)."""
     if logger is None:
         logger = LOG
     problems = _page_get_tokenisation_problems(level, pcgts,
                                                logger=logger)
-    graph = nx.DiGraph(level=level)
-    graph.add_node(0)
-    start_node = 0
-    page_start_node = start_node
+    edges: list = []
+
+    def add_element(element, textequivs):
+        edges.append({'element': element,
+                      'alternatives': _filter_choices(textequivs)})
+
+    def add_space(space, last_start, problem, textequivs):
+        """Whitespace pseudo-edge, skipped where a tokenisation problem
+        shows the parent text already concatenates."""
+        if (textequivs and textequivs[0].Unicode and problem and
+                _repair_tokenisation(
+                    problem.actual,
+                    ''.join(edge['alternatives'][0].Unicode
+                            for edge in edges[last_start:]),
+                    textequivs[0].Unicode, logger=logger)):
+            return  # skip space (concatenation join)
+        add_element(None, [TextEquivType(Unicode=space, conf=1.0)])
+
     regions = pcgts.get_Page().get_TextRegion()
     if not regions:
         logger.warning('Page contains no text regions')
@@ -774,12 +812,9 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
                 # no page-level tokenisation check exists (the Page
                 # element has no own TextEquiv to compare against), so
                 # newline edges between regions are never repaired
-                start_node = _add_space(
-                    graph, start_node, '\n', page_start_node,
-                    None, textequivs, logger=logger)
+                add_space('\n', 0, None, textequivs)
             if textequivs:
-                start_node = _add_element(graph, start_node, region,
-                                          textequivs)
+                add_element(region, textequivs)
             else:
                 logger.warning("Region '%s' contains no text results",
                                region.id)
@@ -789,19 +824,17 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
         if not lines:
             logger.warning("Region '%s' contains no text lines",
                            region.id)
-        region_start_node = start_node
+        region_start = len(edges)
         first_line = True
         for line in lines:
             if level == 'line':
                 textequivs = line.get_TextEquiv()
                 if not first_line or not first_region:
-                    start_node = _add_space(
-                        graph, start_node, '\n', region_start_node,
-                        not first_line and problems.get(region.id),
-                        textequivs, logger=logger)
+                    add_space('\n', region_start,
+                              not first_line and problems.get(region.id),
+                              textequivs)
                 if textequivs:
-                    start_node = _add_element(graph, start_node, line,
-                                              textequivs)
+                    add_element(line, textequivs)
                 else:
                     logger.warning("Line '%s' contains no text results",
                                    line.id)
@@ -810,21 +843,17 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
             words = line.get_Word()
             if not words:
                 logger.warning("Line '%s' contains no words", line.id)
-            line_start_node = start_node
+            line_start = len(edges)
             first_word = True
             for word in words:
                 textequivs = word.get_TextEquiv()
                 if not first_word or not first_line or not first_region:
-                    start_node = _add_space(
-                        graph, start_node,
-                        '\n' if first_word else ' ',
-                        line_start_node,
-                        not first_word and problems.get(line.id),
-                        textequivs, logger=logger)
+                    add_space('\n' if first_word else ' ', line_start,
+                              not first_word and problems.get(line.id),
+                              textequivs)
                 if level == 'word':
                     if textequivs:
-                        start_node = _add_element(graph, start_node,
-                                                  word, textequivs)
+                        add_element(word, textequivs)
                     else:
                         logger.warning(
                             "Word '%s' contains no text results",
@@ -838,8 +867,7 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
                 for glyph in glyphs:
                     textequivs = glyph.get_TextEquiv()
                     if textequivs:
-                        start_node = _add_element(graph, start_node,
-                                                  glyph, textequivs)
+                        add_element(glyph, textequivs)
                     else:
                         logger.warning(
                             "Glyph '%s' contains no text results",
@@ -847,36 +875,7 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
                 first_word = False
             first_line = False
         first_region = False
-    return graph, page_start_node, start_node
-
-
-def _add_element(graph, start_node, element, textequivs):
-    # add_edge creates missing nodes itself; an explicit add_node per
-    # edge cost ~0.08s per 8-page workspace (profiled)
-    graph.add_edge(start_node, start_node + 1,
-                   element=element,
-                   alternatives=_filter_choices(textequivs))
-    return start_node + 1
-
-
-def _add_space(graph, start_node, space, last_start_node, problem,
-               textequivs, logger=None):
-    """Add a pseudo-element edge for whitespace, except where a
-    tokenisation problem shows the parent text already concatenates."""
-    if logger is None:
-        logger = LOG
-    if (textequivs and textequivs[0].Unicode and problem and
-            _repair_tokenisation(
-                problem.actual,
-                ''.join(edge['alternatives'][0].Unicode
-                        for edge in _get_edges(graph, last_start_node)),
-                textequivs[0].Unicode, logger=logger)):
-        pass  # skip space (concatenation join)
-    else:
-        start_node = _add_element(
-            graph, start_node, None,
-            [TextEquivType(Unicode=space, conf=1.0)])
-    return start_node
+    return edges
 
 
 def _repair_tokenisation(tokenisation, concatenation, next_token,
@@ -894,11 +893,6 @@ def _repair_tokenisation(tokenisation, concatenation, next_token,
                        concatenation[-i:], next_token)
         return True
     return False
-
-
-def _get_edges(graph, start_node):
-    return [graph.edges[in_, out]
-            for in_, out in nx.bfs_edges(graph, start_node)]
 
 
 def _filter_choices(textequivs):

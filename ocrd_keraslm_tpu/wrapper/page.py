@@ -426,18 +426,21 @@ def _parse_group(el, indexed):
     return group
 
 
-def parse_page(source) -> PcGts:
-    """Parse PAGE-XML from a path / bytes / file-like into a PcGts."""
+def parse_page_root(source):
+    """Parse PAGE-XML from a path / bytes / file-like to the lxml root,
+    re-namespaced to the pagecontent version this module emits.
+
+    Namespace handling: accept any PAGE pagecontent version by
+    re-namespacing; REJECT anything else loudly (silently returning an
+    empty PcGts would make the processor overwrite the page with empty
+    output).  Shared by the object-model parse and the etree-direct
+    fast path (page_fast)."""
     if isinstance(source, bytes):
         root = etree.fromstring(source)
     elif isinstance(source, str) and source.lstrip().startswith('<'):
         root = etree.fromstring(source.encode('utf-8'))
     else:
         root = etree.parse(source).getroot()
-    # namespace handling: accept any PAGE pagecontent version by
-    # re-namespacing to the one this module emits; REJECT anything
-    # else loudly (silently returning an empty PcGts would make the
-    # processor overwrite the page with empty output)
     tag = root.tag if isinstance(root.tag, str) else ''
     if tag.startswith('{'):
         ns = tag[1:].split('}', 1)[0]
@@ -452,6 +455,53 @@ def parse_page(source) -> PcGts:
                     el.tag = _P + el.tag[len(old):]
     elif tag != 'PcGts':
         raise ValueError('not a PAGE-XML document (root %r)' % tag)
+    return root
+
+
+def parse_reading_order(page_el) -> Optional[ReadingOrder]:
+    """ReadingOrder object-model of an etree Page element (shared with
+    the fast path: group records are consumed via isinstance in
+    rate.page_get_reading_order, so both paths use THESE classes)."""
+    ro_el = page_el.find(_q('ReadingOrder'))
+    if ro_el is None:
+        return None
+    ro = ReadingOrder()
+    og = ro_el.find(_q('OrderedGroup'))
+    if og is not None:
+        ro.ordered_group = _parse_group(og, False)
+    ug = ro_el.find(_q('UnorderedGroup'))
+    if ug is not None:
+        ro.unordered_group = _parse_group(ug, False)
+    return ro
+
+
+def parse_relations(page_el) -> Optional[RelationsType]:
+    """Relations object-model of an etree Page element (shared with the
+    fast path)."""
+    rel_el = page_el.find(_q('Relations'))
+    if rel_el is None:
+        return None
+    rels = RelationsType()
+    for r in rel_el.findall(_q('Relation')):
+        refs = r.findall(_q('RegionRef'))
+        src = r.find(_q('SourceRegionRef'))
+        tgt = r.find(_q('TargetRegionRef'))
+        rel = RelationType(r.get('type', ''))
+        if src is not None:
+            rel._source = RegionRefType(src.get('regionRef', ''))
+        elif len(refs) > 0:
+            rel._source = RegionRefType(refs[0].get('regionRef', ''))
+        if tgt is not None:
+            rel._target = RegionRefType(tgt.get('regionRef', ''))
+        elif len(refs) > 1:
+            rel._target = RegionRefType(refs[1].get('regionRef', ''))
+        rels.relations.append(rel)
+    return rels
+
+
+def parse_page(source) -> PcGts:
+    """Parse PAGE-XML from a path / bytes / file-like into a PcGts."""
+    root = parse_page_root(source)
     pcgts = PcGts()
     pcgts.pcGtsId = root.get('pcGtsId')
     meta_el = root.find(_q('Metadata'))
@@ -481,34 +531,8 @@ def parse_page(source) -> PcGts:
         page.textLineOrder = page_el.get('textLineOrder')
         for region_el in page_el.findall(_q('TextRegion')):
             page.regions.append(_parse_region(region_el))
-        ro_el = page_el.find(_q('ReadingOrder'))
-        if ro_el is not None:
-            ro = ReadingOrder()
-            og = ro_el.find(_q('OrderedGroup'))
-            if og is not None:
-                ro.ordered_group = _parse_group(og, False)
-            ug = ro_el.find(_q('UnorderedGroup'))
-            if ug is not None:
-                ro.unordered_group = _parse_group(ug, False)
-            page.reading_order = ro
-        rel_el = page_el.find(_q('Relations'))
-        if rel_el is not None:
-            rels = RelationsType()
-            for r in rel_el.findall(_q('Relation')):
-                refs = r.findall(_q('RegionRef'))
-                src = r.find(_q('SourceRegionRef'))
-                tgt = r.find(_q('TargetRegionRef'))
-                rel = RelationType(r.get('type', ''))
-                if src is not None:
-                    rel._source = RegionRefType(src.get('regionRef', ''))
-                elif len(refs) > 0:
-                    rel._source = RegionRefType(refs[0].get('regionRef', ''))
-                if tgt is not None:
-                    rel._target = RegionRefType(tgt.get('regionRef', ''))
-                elif len(refs) > 1:
-                    rel._target = RegionRefType(refs[1].get('regionRef', ''))
-                rels.relations.append(rel)
-            page.relations = rels
+        page.reading_order = parse_reading_order(page_el)
+        page.relations = parse_relations(page_el)
     return pcgts
 
 
@@ -590,8 +614,31 @@ def _emit_group(parent, group, tag):
                     if hasattr(sub, 'index') else 'UnorderedGroup')
 
 
-def to_xml(pcgts: PcGts) -> str:
-    """Serialize a PcGts back to a PAGE-XML string."""
+def emit_metadata_item(meta_el, item: MetadataItem):
+    """Append one MetadataItem (processing-step agent) to an etree
+    Metadata element (shared with the fast path)."""
+    item_el = etree.SubElement(meta_el, _q('MetadataItem'))
+    item_el.set('type', item.type)
+    if item.name:
+        item_el.set('name', item.name)
+    if item.value:
+        item_el.set('value', item.value)
+    for group, labels in item.labels.items():
+        labels_el = etree.SubElement(item_el, _q('Labels'))
+        if group:
+            labels_el.set('comments', group)
+        for k, v in labels.items():
+            label_el = etree.SubElement(labels_el, _q('Label'))
+            label_el.set('type', k)
+            label_el.set('value', str(v))
+
+
+def to_xml(pcgts) -> str:
+    """Serialize a PcGts (or a page_fast document, which serializes
+    its retained tree in place) back to a PAGE-XML string."""
+    fast = getattr(pcgts, 'fast_tostring', None)
+    if fast is not None:
+        return fast()
     root = etree.Element(_q('PcGts'), nsmap=NSMAP)
     if pcgts.pcGtsId:
         root.set('pcGtsId', pcgts.pcGtsId)
@@ -604,20 +651,7 @@ def to_xml(pcgts: PcGts) -> str:
     change = etree.SubElement(meta, _q('LastChange'))
     change.text = datetime.datetime.now().isoformat()
     for item in pcgts.metadata.items:
-        item_el = etree.SubElement(meta, _q('MetadataItem'))
-        item_el.set('type', item.type)
-        if item.name:
-            item_el.set('name', item.name)
-        if item.value:
-            item_el.set('value', item.value)
-        for group, labels in item.labels.items():
-            labels_el = etree.SubElement(item_el, _q('Labels'))
-            if group:
-                labels_el.set('comments', group)
-            for k, v in labels.items():
-                label_el = etree.SubElement(labels_el, _q('Label'))
-                label_el.set('type', k)
-                label_el.set('value', str(v))
+        emit_metadata_item(meta, item)
     page = pcgts.page
     page_el = etree.SubElement(root, _q('Page'))
     page_el.set('imageFilename', page.imageFilename or '')

@@ -264,3 +264,63 @@ class Prefetcher:
                 yield item
         finally:
             self.close()
+
+
+# ---------------------------------------------------------------------
+# native PAGE-XML document pipeline (page_scan.cpp)
+# ---------------------------------------------------------------------
+
+_PAGE_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'native_src', 'page_scan.cpp')
+_PAGE_LIB = None
+_PAGE_TRIED = False
+
+_I8 = ctypes.POINTER(ctypes.c_int8)
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_F32 = ctypes.POINTER(ctypes.c_float)
+_F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def load_page_scan():
+    """Compile (once) and load the native PAGE scanner; None if
+    unavailable.  PyDLL: returns Python objects, GIL held."""
+    global _PAGE_LIB, _PAGE_TRIED
+    if _PAGE_LIB is not None or _PAGE_TRIED:
+        return _PAGE_LIB
+    _PAGE_TRIED = True
+    if os.environ.get('KERASLM_NATIVE') == '0':
+        return None
+    if not os.path.exists(_PAGE_SRC):
+        return None
+    so_path = os.path.join(_build_dir(), 'page_scan.so')
+    try:
+        import sysconfig
+        inc = sysconfig.get_paths()['include']
+        _compile(_PAGE_SRC, so_path, extra=('-I' + inc,))
+        lib = ctypes.PyDLL(so_path)
+        lib.page_open.restype = ctypes.py_object
+        lib.page_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.page_bail.restype = ctypes.py_object
+        lib.page_bail.argtypes = [ctypes.py_object]
+        lib.page_counts.restype = ctypes.py_object
+        lib.page_counts.argtypes = [ctypes.py_object]
+        lib.page_arrays.restype = ctypes.c_int64
+        lib.page_arrays.argtypes = [
+            ctypes.py_object,
+            _I8, _I32, _I8, _I8, _I64, _I64, _I8, _I64, _I32,
+            _I32, _F64, _I32, _I64, _I64, _I64, _I64]
+        lib.page_lattice.restype = ctypes.py_object
+        lib.page_lattice.argtypes = [ctypes.py_object, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
+        lib.page_fill.restype = ctypes.c_int64
+        lib.page_fill.argtypes = [
+            ctypes.py_object, _I32, ctypes.c_int64,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            _I32, _F32, _F32, _F32,
+            _I8, _I32, _I32, _I32, _I32, _I32, _I32, _I32]
+        _PAGE_LIB = lib
+    except (OSError, subprocess.CalledProcessError) as err:
+        LOG.debug('native page scanner unavailable: %s', err)
+        _PAGE_LIB = None
+    return _PAGE_LIB

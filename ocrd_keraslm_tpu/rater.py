@@ -1546,6 +1546,63 @@ class Rater:
         self._decode_cache[key] = weights
         return weights
 
+    def fused_gate_arrays(self, n_prep, maxlen, beam_width):
+        """(E, L) buckets when the fused single-document kernel can
+        serve an array-lattice of this size in one block, else None
+        (the native page lane then falls back to the lxml path)."""
+        if not self.fused_decode or n_prep <= 0 or \
+                beam_width > FUSED_MAX_BEAM or \
+                maxlen > FUSED_MAX_ALT_LEN or \
+                n_prep > self._E_BUCKETS[-1]:
+            return None
+        L = _bucket(max(maxlen, 1), (1, 2, 4, 8, 16, 32, 64))
+        E = _bucket(n_prep, self._E_BUCKETS)
+        if not self._fused_decode_fits(128, 4, L, E):
+            return None
+        return E, L
+
+    @_gc_paused
+    def rate_best_device_begin_arrays(self, n_prep, E, L, alt_chars,
+                                      alt_mask, alt_conf, alt_valid,
+                                      device_traceback=None,
+                                      context=None, lm_weight=0.5,
+                                      beam_width=10):
+        """Fused decode dispatch for a PRE-FILLED array lattice (the
+        native page lane, wrapper/page_native.py): same kernel,
+        deferred-fetch protocol, and cross-page carry as
+        ``_rate_best_pallas``, minus all Python edge objects.  The
+        caller interprets choices/costs itself
+        (``rate_best_device_finish_arrays``)."""
+        from .ops.decode_kernel import decode_lattice_pallas
+
+        D, W = self.depth, self.width
+        K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
+        A = 4
+        wts = self._decode_weights(context, lm_weight,
+                                   bf16=self._decode_bf16())
+        state, cost = self._fused_traceback(device_traceback, K,
+                                            wts['emb'])
+        steps = _alt_steps(alt_mask) if L > 1 else None
+        packed, state, cost = decode_lattice_pallas(
+            wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+            alt_chars, alt_mask, alt_conf, alt_valid[:, :, None],
+            state, cost, n_edges=E, n_alts=A, alt_len=L, beam=K,
+            depth=D, width=W, v_pad=wts['v_pad'],
+            v_real=wts['v_real'], lm_weight=float(lm_weight),
+            device_walk=True, alt_steps=steps)
+        return ('arrays', n_prep, [packed], K), (state, cost)
+
+    @staticmethod
+    def rate_best_device_finish_arrays(pending):
+        """(choices, costs, start_cost) of a fetched 'arrays'
+        pending."""
+        _, n_prep, packed_blocks, _ = pending
+        packed = np.asarray(packed_blocks[0])
+        start_cost = float(packed[0, 0])
+        return (packed[1:n_prep + 1, 0].astype(np.int64),
+                np.asarray(packed[1:n_prep + 1, 1], np.float64),
+                start_cost)
+
     def _rate_best_pallas(self, edges, device_traceback, context,
                           lm_weight, beam_width, defer_walk=False,
                           scan=None):

@@ -36,6 +36,8 @@ from .page import (BOTTOM_TO_TOP, RIGHT_TO_LEFT, OrderedGroupIndexedType,
                    RegionRefType, TextEquivType, MetadataItem, parse_page,
                    to_xml)
 from .page_fast import parse_page_fast
+from . import page_native
+from .page_native import NativePageDoc
 
 LOG = logging.getLogger(__name__)
 
@@ -454,6 +456,48 @@ class KerasRate:
 
     # -- per-page processing ------------------------------------------
 
+    def _native_page_eligible(self) -> bool:
+        """The native byte lane only serves device decoding without
+        lookahead (the array finish protocol applies there)."""
+        return (self.parameter.get('alternative_decoding', True)
+                and self.parameter.get('device_decoding', True)
+                and not self.parameter.get('lookahead_writeback')
+                and self.rater is not None and self.rater.fused_decode
+                and os.environ.get('KERASLM_NATIVE_PAGE', '1') != '0'
+                and page_native.available())
+
+    def _device_begin_native(self, doc: NativePageDoc, device_tb,
+                             file_id: str, page_id: str):
+        """Native-lane begin: array lattice straight into the fused
+        kernel.  Returns None when a gate fails (caller re-enters the
+        lxml lane via ``doc.to_fast()``)."""
+        from ..rater import DECODE_MERGE_MAX
+        level = self.parameter['textequiv_level']
+        beam_width = self.parameter['beam_width']
+        lm_weight = self.parameter['lm_weight']
+        lat = doc.lattice(level, self.rater.merge_runs,
+                          DECODE_MERGE_MAX)
+        if lat is None:
+            return None
+        n_raw, n_prep, maxlen = lat
+        gate = self.rater.fused_gate_arrays(n_prep, maxlen, beam_width)
+        if gate is None:
+            return None
+        E, L = gate
+        self.rater.logger.info("Scoring text in page '%s' at the %s "
+                               'level (device beam)',
+                               doc.get_pcGtsId(), level)
+        context = mets_get_context(self.workspace.mets)
+        chars, mask, conf, valid = doc.fill(self.rater.vocab._table(),
+                                            E, 4, L)
+        self.rater.logger.info('Rating %d elements including its '
+                               'alternatives', n_raw)
+        pending, device_tb = self.rater.rate_best_device_begin_arrays(
+            n_prep, E, L, chars, mask, conf, valid,
+            device_traceback=device_tb, context=context,
+            lm_weight=lm_weight, beam_width=beam_width)
+        return (pending, doc, file_id, page_id), device_tb
+
     def process_page_pcgts_device_begin(self, pcgts: PcGts, device_tb,
                                         file_id: str, page_id: str):
         """Build the page lattice and DISPATCH its on-device decode;
@@ -461,6 +505,15 @@ class KerasRate:
         write-back happen later (``_finish_device_page``), so a whole
         document pipelines through the device without per-page
         round-trips."""
+        if isinstance(pcgts, NativePageDoc):
+            rec = self._device_begin_native(pcgts, device_tb, file_id,
+                                            page_id)
+            if rec is not None:
+                return rec
+            self._base_logger.debug(
+                'native page lane ineligible (%s): lxml lane',
+                pcgts.bail or 'kernel gate')
+            pcgts = pcgts.to_fast()
         level = self.parameter['textequiv_level']
         beam_width = self.parameter['beam_width']
         lm_weight = self.parameter['lm_weight']
@@ -486,6 +539,15 @@ class KerasRate:
     def _finish_device_page(self, rec, result=None):
         pending, pcgts, file_id, page_id = rec
         level = self.parameter['textequiv_level']
+        if isinstance(pcgts, NativePageDoc):
+            # array protocol: winners/projection/serialization happen
+            # as byte-splice edits inside the doc
+            choices, costs, start_cost = \
+                self.rater.rate_best_device_finish_arrays(pending)
+            pcgts.apply_decode(level, choices, costs, start_cost,
+                               logger=self.logger)
+            self._write_page(pcgts, file_id, page_id)
+            return
         path, entropy = (result if result is not None
                          else self.rater.rate_best_device_finish(pending))
         _page_update_from_path(level, path, entropy, logger=self.logger)
@@ -569,11 +631,20 @@ class KerasRate:
                             input_file.local_filename)
         self._base_logger.info('processing page %s', page_id)
         try:
-            # etree-direct fast path (page_fast): ~3x less host time
-            # per page than the object model, identical semantics (the
-            # records duck-type the same API); KERASLM_FAST_PAGE=0
-            # falls back to the object model
+            # three lanes, fastest first (each falls back to the next):
+            # 1. native byte lane (C++ scan + splice write-back) — only
+            #    for device decoding, where the array protocol applies;
+            # 2. etree-direct records (page_fast) — ~3x less host time
+            #    than the object model, identical semantics;
+            # 3. object model (KERASLM_FAST_PAGE=0).
             if os.environ.get('KERASLM_FAST_PAGE', '1') != '0':
+                if self._native_page_eligible():
+                    doc = NativePageDoc(path)
+                    if doc.bail is None:
+                        return doc
+                    self._base_logger.debug(
+                        'native page lane bailed (%s): lxml lane',
+                        doc.bail)
                 return parse_page_fast(path)
             return parse_page(path)
         except Exception as err:

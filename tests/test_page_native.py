@@ -1,0 +1,312 @@
+"""Differential tests: native byte lane (C++ scan + splice) vs the
+lxml lanes.
+
+Every stage is pinned against the parity-tested Python implementation:
+scan structure, lattice/kernel arrays (bit-exact vs the record path's
+native fill), and the full processor output (winners, confidence
+scores, projection, metadata) across all three page lanes.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from ocrd_keraslm_tpu import native
+from ocrd_keraslm_tpu.rater import DECODE_MERGE_MAX, Rater
+from ocrd_keraslm_tpu.wrapper import page_native
+from ocrd_keraslm_tpu.wrapper.page import parse_page, to_xml
+from ocrd_keraslm_tpu.wrapper.page_fast import parse_page_fast
+from ocrd_keraslm_tpu.wrapper.page_native import NativePageDoc
+from ocrd_keraslm_tpu.wrapper.rate import page_get_linear_lattice_at
+
+from helpers import build_pcgts, build_workspace, make_tiny_model
+from test_page_fast import _page_content, _rich_page_xml
+
+pytestmark = pytest.mark.skipif(not page_native.available(),
+                                reason='native page scanner '
+                                       'unavailable')
+
+
+def test_scan_structure():
+    xml = _rich_page_xml().encode('utf-8')
+    doc = NativePageDoc(xml)
+    assert doc.bail is None
+    obj = parse_page(xml)
+    # element counts by kind
+    regions = obj.page.get_AllRegions()
+    lines = [l for r in regions for l in r.get_TextLine()]
+    words = [w for l in lines for w in l.get_Word()]
+    glyphs = [g for w in words for g in w.get_Glyph()]
+    kinds = np.bincount(doc.ekind, minlength=4)
+    assert list(kinds) == [len(regions), len(lines), len(words),
+                           len(glyphs)]
+    # ids and first-te texts line up in document order
+    native_glyphs = np.nonzero(doc.ekind == 3)[0]
+    for gi, g in zip(native_glyphs, glyphs):
+        assert doc.elem_id(int(gi)) == g.id
+        ft = int(doc.efirst_te[gi])
+        assert doc.te_text(ft) == g.get_TextEquiv()[0].Unicode
+    # pcGtsId
+    assert doc.get_pcGtsId() == obj.pcGtsId
+
+
+def test_scan_entities_and_multibyte():
+    pcgts = build_pcgts([['Mü<h&e', '—ß']],
+                        page_id='p&1')
+    xml = to_xml(pcgts).encode('utf-8')
+    doc = NativePageDoc(xml)
+    assert doc.bail is None
+    assert doc.get_pcGtsId() == 'p&1'
+    words = np.nonzero(doc.ekind == 2)[0]
+    texts = [doc.te_text(int(doc.efirst_te[w])) for w in words]
+    assert texts == ['Mü<h&e', '—ß']
+
+
+def test_scan_bails():
+    xml = _rich_page_xml()
+    cases = [
+        ('<?xml version="1.0" encoding="ISO-8859-1"?><PcGts/>',
+         'non-UTF-8'),
+        ('<!DOCTYPE x><PcGts xmlns="http://schema.primaresearch.org/'
+         'PAGE/gts/pagecontent/2019-07-15"/>', 'DOCTYPE'),
+        ('<other/>', 'root'),
+        (xml.replace('<TextRegion id="p1_r2">',
+                     '<TextRegion id="p1_r2"><TextRegion id="nested">'
+                     '</TextRegion>'), 'nested'),
+        (xml.replace('<Page ',
+                     '<Page><ReadingOrder/></Page><Page2 ')
+         if False else
+         xml.replace('</Page>', '<ReadingOrder></ReadingOrder></Page>'),
+         'ReadingOrder'),
+        (xml.replace('Das', 'D&unknown;as'), 'entity'),
+    ]
+    for bad, why in cases:
+        doc = NativePageDoc(bad.encode('utf-8'))
+        assert doc.bail is not None, why
+    # incomplete metadata also bails (the object path re-emits it)
+    doc = NativePageDoc(xml.replace(
+        '<LastChange>', '<Ignored>').replace(
+        '</LastChange>', '</Ignored>').encode('utf-8'))
+    assert doc.bail == 'incomplete Metadata'
+
+
+def _record_arrays(rater, xml, level, merge, E, A, L):
+    """Kernel arrays via the parity-tested record path."""
+    edges = page_get_linear_lattice_at(level, parse_page_fast(xml))
+    rater.merge_runs = merge
+    filled = native.decode_fill(edges, merge, DECODE_MERGE_MAX,
+                                E, A, L, rater.vocab._table())
+    assert filled is not None
+    _, chars, mask, conf, valid = filled
+    return chars, mask, conf, valid
+
+
+@pytest.mark.parametrize('level', ['glyph', 'word'])
+@pytest.mark.parametrize('merge', [True, False])
+def test_lattice_arrays_bit_exact(level, merge):
+    import string
+    xml = _rich_page_xml().encode('utf-8')
+    rater = Rater()
+    rater.width, rater.depth, rater.length = 16, 1, 16
+    rater.voc_size = 100
+    rater.vocab.assign(string.printable[:99])
+    doc = NativePageDoc(xml)
+    lat = doc.lattice(level, merge, DECODE_MERGE_MAX)
+    assert lat is not None
+    n_raw, n_prep, maxlen = lat
+    # same post-merge layout as the record path's native scan
+    edges = page_get_linear_lattice_at(level, parse_page_fast(xml))
+    assert n_raw == len(edges)
+    scan = native.decode_scan(edges, merge, DECODE_MERGE_MAX)
+    assert (n_prep, maxlen) == tuple(scan)
+    E = max(n_prep, 8)
+    A, L = 4, max(maxlen, 2)
+    got = doc.fill(rater.vocab._table(), E, A, L)
+    want = _record_arrays(rater, xml, level, merge, E, A, L)
+    for g, w, name in zip(got, want, 'chars mask conf valid'.split()):
+        np.testing.assert_array_equal(g, w, err_msg=name)
+
+
+def test_lattice_arrays_repair_case():
+    """Tokenisation repair (word level): space edge skipped."""
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType
+    import string
+    pcgts = build_pcgts([['Zeilen', 'umbruch']], page_id='p1')
+    line = pcgts.page.regions[0].lines[0]
+    line.set_TextEquiv([TextEquivType(Unicode='Zeilenumbruch',
+                                      conf=0.9)])
+    pcgts.page.regions[0].set_TextEquiv(
+        [TextEquivType(Unicode='Zeilenumbruch', conf=0.9)])
+    xml = to_xml(pcgts).encode('utf-8')
+    rater = Rater()
+    rater.voc_size = 100
+    rater.vocab.assign(string.printable[:99])
+    doc = NativePageDoc(xml)
+    lat = doc.lattice('word', True, DECODE_MERGE_MAX)
+    edges = page_get_linear_lattice_at('word', parse_page_fast(xml))
+    assert lat[0] == len(edges) == 2  # space edge repaired away
+    n_prep, maxlen = lat[1], lat[2]
+    E, A, L = max(n_prep, 8), 4, max(maxlen, 2)
+    got = doc.fill(rater.vocab._table(), E, A, L)
+    want = _record_arrays(rater, xml.decode('utf-8'), 'word', True,
+                          E, A, L)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.parametrize('level', ['glyph', 'word'])
+def test_processor_e2e_three_lanes(tmp_path, level, monkeypatch):
+    """Full decode through native / lxml-records / object lanes: the
+    parsed output content must be identical."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    pages = {'phys_0001': [['Das', 'ist'], ['ein', 'Test']],
+             'phys_0002': [['Ende', 'gut']]}
+    alts = {(0, 0, 0): [('D', 0.9), ('O', 0.88)],
+            (1, 0, 1): [('e', 0.7), ('c', 0.69)]}
+    outputs = {}
+    lanes = {'native': ('1', '1'), 'records': ('1', '0'),
+             'object': ('0', '0')}
+    for lane, (fast, nat) in lanes.items():
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = build_workspace(wdir, pages, glyph_alternatives=alts)
+        monkeypatch.setenv('KERASLM_FAST_PAGE', fast)
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': level,
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True  # CPU: force the fused kernel
+        proc.process_workspace(ws)
+        outputs[lane] = {
+            page_id: _page_content(open(
+                os.path.join(wdir, 'OCR-D-LM',
+                             'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read())
+            for page_id in pages}
+    assert outputs['native'] == outputs['records'] == outputs['object']
+
+
+def test_native_lane_actually_used(tmp_path, monkeypatch):
+    """Guard against silent fallback: the native lane must serve the
+    eligible serving shape."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    ws = build_workspace(tmp_path / 'ws',
+                         {'phys_0001': [['Das', 'ist']]})
+    monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+    monkeypatch.setenv('KERASLM_NATIVE_PAGE', '1')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'beam_width': 4})
+    proc.setup()
+    proc.rater.fused_decode = True
+    doc = proc._load_page(proc.input_files[0], 'phys_0001')
+    assert isinstance(doc, NativePageDoc)
+    assert doc.bail is None
+
+
+def test_mixed_lanes_cross_page_chain(tmp_path, monkeypatch):
+    """A page the scanner bails on (ReadingOrder) drops to the lxml
+    lane mid-document; the cross-page beam carry must chain across the
+    lane switch and outputs must match an all-lxml run."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    pages = {'phys_0001': [['Das', 'ist']],
+             'phys_0002': [['ein', 'Test']],
+             'phys_0003': [['Ende', 'gut']]}
+    alts = {(0, 0, 0): [('D', 0.9), ('O', 0.88)]}
+    outputs = {}
+    for lane, nat in (('mixed', '1'), ('records', '0')):
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = build_workspace(wdir, pages, glyph_alternatives=alts)
+        # page 2 gets a ReadingOrder -> native lane bails there only
+        p2 = os.path.join(wdir, 'OCR-D-OCR', 'OCR-D-OCR_phys_0002.xml')
+        xml = open(p2, encoding='utf-8').read()
+        with open(p2, 'w', encoding='utf-8') as fh:
+            fh.write(xml.replace(
+                '</Page>', '<ReadingOrder><OrderedGroup id="ro">'
+                '<RegionRefIndexed index="0" regionRef="phys_0002_r1"/>'
+                '</OrderedGroup></ReadingOrder></Page>'))
+        monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': 'glyph',
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True
+        if nat == '1':
+            docs = [proc._load_page(f, f.pageId)
+                    for f in proc.input_files]
+            assert isinstance(docs[0], NativePageDoc)
+            assert not isinstance(docs[1], NativePageDoc)
+        proc.process_workspace(ws)
+        outputs[lane] = {
+            page_id: _page_content(open(
+                os.path.join(wdir, 'OCR-D-LM',
+                             'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read())
+            for page_id in pages}
+    assert outputs['mixed'] == outputs['records']
+
+
+def test_splice_preserves_unmodeled_content(tmp_path, monkeypatch):
+    """Byte splicing keeps content no lane models (Border, TextStyle,
+    comments, custom attributes) verbatim in the decoded output."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+    from ocrd_keraslm_tpu.wrapper.mets import Workspace
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    ws = build_workspace(tmp_path / 'ws',
+                         {'phys_0001': [['Das', 'ist']]},
+                         glyph_alternatives={
+                             (0, 0, 0): [('D', 0.9), ('O', 0.88)]})
+    page_path = os.path.join(tmp_path, 'ws', 'OCR-D-OCR',
+                             'OCR-D-OCR_phys_0001.xml')
+    xml = open(page_path, encoding='utf-8').read()
+    xml = xml.replace('<Page ', '<Page customAttr="kept" ')
+    xml = xml.replace(
+        '<TextRegion id="phys_0001_r1">',
+        '<!-- scanned by unit test --><Border>'
+        '<Coords points="0,0 9,9"/></Border>'
+        '<TextRegion id="phys_0001_r1" orientation="0.5">'
+        '<TextStyle fontSize="12.0"/>')
+    with open(page_path, 'w', encoding='utf-8') as fh:
+        fh.write(xml)
+    monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+    monkeypatch.setenv('KERASLM_NATIVE_PAGE', '1')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'beam_width': 4})
+    proc.setup()
+    proc.rater.fused_decode = True
+    doc = proc._load_page(proc.input_files[0], 'phys_0001')
+    assert isinstance(doc, NativePageDoc) and doc.bail is None
+    proc.process_workspace(ws)
+    out = open(os.path.join(tmp_path, 'ws', 'OCR-D-LM',
+                            'OCR-D-LM_phys_0001.xml'),
+               encoding='utf-8').read()
+    assert 'customAttr="kept"' in out
+    assert '<Border>' in out and 'points="0,0 9,9"' in out
+    assert 'orientation="0.5"' in out
+    assert 'fontSize="12.0"' in out
+    assert 'scanned by unit test' in out
+    # decode happened: glyphs have single winners, agent recorded
+    _, content = _page_content(out)
+    assert all(len(texts) == 1 for _, texts, _ in content)
+    assert 'ocrd-keraslm-rate' in out

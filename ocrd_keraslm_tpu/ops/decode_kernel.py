@@ -112,6 +112,7 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
 
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
                steps_ref,                         # SMEM (E, 1)
+               n_real_ref,                        # SMEM (1, 1)
                emb_ref, embT_ref, wcat_ref, bias_ref,  # VMEM weights
                state0_ref, cost0_ref,             # init
                rec_out_ref, stateF_ref, costF_ref,  # outputs
@@ -129,10 +130,29 @@ def _make_kernel(D, K, A, L, W, V, V_real, lm_weight, EU=1):
         # pipeline/launch overhead (whole-resident arrays make this a
         # pure index change)
         for u in range(EU):
-            edge_body(pid * EU + u, chars_ref, mask_ref, conf_ref,
-                      valid_ref, steps_ref, emb_ref, embT_ref,
-                      wcat_ref, bias_ref,
-                      rec_out_ref, state_ref, costf_ref)
+            t = pid * EU + u
+            # bucket-padding edges skip the whole beam step (measured
+            # ~23 us/edge at L=8): a pad edge is semantically an
+            # identity pass (one zero-length free alternative), so its
+            # records are written CLOSED-FORM — rank k keeps slot k at
+            # unchanged cost — which the reverse walk traverses exactly
+            # like the computed identity the full body used to produce
+            @pl.when(t < n_real_ref[0, 0])
+            def _():
+                edge_body(t, chars_ref, mask_ref, conf_ref,
+                          valid_ref, steps_ref, emb_ref, embT_ref,
+                          wcat_ref, bias_ref,
+                          rec_out_ref, state_ref, costf_ref)
+
+            @pl.when(t >= n_real_ref[0, 0])
+            def _():
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+                bp_lane = jnp.where(lane < K, lane, 0).astype(
+                    jnp.float32)
+                rec_out_ref[t] = jnp.concatenate(
+                    [bp_lane, jnp.zeros((1, LANE), jnp.float32),
+                     costf_ref[:],
+                     jnp.zeros((5, LANE), jnp.float32)], axis=0)
 
         @pl.when(pid == n_p - 1)
         def _():
@@ -292,7 +312,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
                           beam: int, depth: int, width: int,
                           v_pad: int, v_real: int, lm_weight: float,
                           device_walk: bool = False,
-                          edge_unroll: int = 1, alt_steps=None):
+                          edge_unroll: int = 1, alt_steps=None,
+                          n_real=None):
     """One-dispatch fused lattice decode.
 
     emb: (V_pad, W); embT: (W, V_pad); wcat: (D, 2W, 4W) fused
@@ -310,6 +331,9 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
     EU = edge_unroll if E % edge_unroll == 0 else 1
     if alt_steps is None:
         alt_steps = jnp.full((E, 1), L, jnp.int32)
+    if n_real is None:
+        n_real = E
+    n_real_arr = jnp.full((1, 1), n_real, jnp.int32)
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_kernel(D, K, A, L, W, V, v_real, lm_weight, EU)
     vmem = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
@@ -322,6 +346,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             vmem((E, A, L), lambda t: (0, 0, 0)),
             vmem((E, A, 1), lambda t: (0, 0, 0)),
             pl.BlockSpec((E, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
@@ -345,8 +371,8 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
             pltpu.VMEM((K, S), jnp.float32),
             pltpu.VMEM((1, LANE), jnp.float32),
         ],
-    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps, emb,
-      embT, wcat, bias, state0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps,
+      n_real_arr, emb, embT, wcat, bias, state0, cost0)
 
     bp = records[:, 0, :beam]
     alt = records[:, 1, :beam]

@@ -1589,7 +1589,8 @@ class Rater:
             state, cost, n_edges=E, n_alts=A, alt_len=L, beam=K,
             depth=D, width=W, v_pad=wts['v_pad'],
             v_real=wts['v_real'], lm_weight=float(lm_weight),
-            device_walk=True, alt_steps=steps)
+            device_walk=True, alt_steps=steps,
+            n_real=np.int32(n_prep))
         return ('arrays', n_prep, [packed], K), (state, cost)
 
     @staticmethod
@@ -1688,7 +1689,7 @@ class Rater:
                 n_edges=E, n_alts=A, alt_len=L, beam=K, depth=D,
                 width=W, v_pad=wts['v_pad'], v_real=wts['v_real'],
                 lm_weight=float(lm_weight), device_walk=single,
-                alt_steps=steps)
+                alt_steps=steps, n_real=np.int32(len(block)))
             packed_blocks.append(packed)
         return (('single' if single else 'blocks'), edges,
                 packed_blocks, K), (state, cost)

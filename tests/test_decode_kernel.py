@@ -242,3 +242,49 @@ def test_bf16_decode_mode(rater):
     t16 = ''.join(te.Unicode for _, te, _ in p16)
     assert t16 == t32 == 'abcd abcd'  # overfit model: clear optimum
     assert ent16 == pytest.approx(ent32, rel=2e-2)
+
+
+def test_pad_edge_skip_bit_exact(rater):
+    """Bucket-pad edges are skipped in closed form (n_real guard):
+    packed records, final state, and cost must be bit-identical to a
+    run where the pads execute the full beam step as native free
+    edges (n_real=E)."""
+    from ocrd_keraslm_tpu.ops.decode_kernel import \
+        decode_lattice_pallas
+    from ocrd_keraslm_tpu.rater import _alt_steps
+
+    rater.fused_decode = True
+    try:
+        edges = [{'element': 'e%d' % i,
+                  'alternatives': [TextEquivType(Unicode=c, conf=0.9,
+                                                 index=0),
+                                   TextEquivType(Unicode='d', conf=0.85,
+                                                 index=1)]}
+                 for i, c in enumerate('abcab')]
+        n = len(edges)
+        E, A, L, K = 8, 4, 2, 8
+        prepped = rater._prepare_decode_edges(edges)
+        chars, mask, conf, valid = rater._fill_decode_arrays(
+            prepped, E, A, L)
+        wts = rater._decode_weights(None, 0.7)
+        state, cost = rater._fused_traceback(None, K, wts['emb'])
+        kw = dict(n_edges=E, n_alts=A, alt_len=L, beam=K,
+                  depth=rater.depth, width=rater.width,
+                  v_pad=wts['v_pad'], v_real=wts['v_real'],
+                  lm_weight=0.7, device_walk=True,
+                  alt_steps=_alt_steps(mask))
+        n_prep = len(prepped)
+        guarded = decode_lattice_pallas(
+            wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+            chars, mask, conf, valid[:, :, None], state, cost,
+            n_real=np.int32(n_prep), **kw)
+        full = decode_lattice_pallas(
+            wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+            chars, mask, conf, valid[:, :, None], state, cost, **kw)
+        for g, f, name in zip(guarded, full,
+                              ('packed', 'stateF', 'costF')):
+            np.testing.assert_array_equal(np.asarray(g),
+                                          np.asarray(f),
+                                          err_msg=name)
+    finally:
+        rater.fused_decode = False

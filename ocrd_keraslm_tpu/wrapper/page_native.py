@@ -325,50 +325,71 @@ class NativePageDoc:
 
         self._project(level, winner_te, winner_score, decoded)
 
-    def _eff(self, attr: np.ndarray, ei: int, page_val: int,
-             target: int = 1) -> bool:
-        """'or'-chain an element attribute up the parent chain
-        (projection semantics: first PRESENT value wins)."""
-        e = ei
-        while e >= 0:
-            v = int(attr[e])
-            if v:
-                return v == target
-            e = int(self.eparent[e])
-        return page_val == target
-
     def _project(self, level, winner_te, winner_score, decoded):
         """Recompute word/line/region texts from the decoded winners
         (replica of page_update_higher_textequiv_levels without
-        ReadingOrder/Relations/nested regions, which bail at scan)."""
+        ReadingOrder/Relations/nested regions, which bail at scan).
+
+        Vectorized per-element data (winner-or-first te, confidence,
+        effective layout directives, children grouping) — the Python
+        loops touch only the ~word/line/region counts, not glyphs."""
         kind = self.ekind
-        parent = self.eparent
-        # document-order children per parent
+        parent = self.eparent.astype(np.int64)
+        n = self.n_els
         regions = np.nonzero(kind == 0)[0]
-        # element text + conf under the decode: winner if decoded,
-        # else first TextEquiv (page_element_unicode0/conf0 fallback)
+        blob = self.text_blob
+        tt = self.ttext
+
+        # winner-or-first te and effective conf per element (the
+        # page_element_unicode0/conf0 fallback for undecoded elements)
+        te_of = np.where(decoded, winner_te,
+                         self.efirst_te.astype(np.int64))
+        ft = np.maximum(self.efirst_te, 0)
+        ft_conf = self.tconf[ft]
+        ft_conf = np.where(np.isnan(ft_conf), 1.0, ft_conf)
+        ft_conf = np.where(self.efirst_te >= 0, ft_conf, 1.0)
+        conf_of = np.where(decoded, winner_score, ft_conf)
+
+        # 'or'-chain of layout attributes: first PRESENT value wins,
+        # falling through missing (0) ancestors to the page default
+        def effective(attr, page_val):
+            eff = attr.astype(np.int64)
+            anc = parent
+            for _ in range(3):  # word -> line -> region
+                take = (eff == 0) & (anc >= 0)
+                if not take.any():
+                    break
+                eff = np.where(take, attr[np.maximum(anc, 0)], eff)
+                anc = np.where(anc >= 0, parent[np.maximum(anc, 0)],
+                               -1)
+            return np.where(eff == 0, page_val, eff) == 1
+
+        is_rtl = effective(self.erd, self.page_rd)
+        is_btt = effective(self.etlo, self.page_tlo)
+
+        # document-order children per parent (stable argsort keeps
+        # ascending element index = document order within a parent)
+        corder = np.argsort(parent, kind='stable')
+        cbounds = np.searchsorted(parent[corder], np.arange(n + 1))
+
+        def children(p):
+            return corder[cbounds[p]:cbounds[p + 1]]
+
         def el_text(ei):
-            ti = winner_te[ei] if decoded[ei] else self.efirst_te[ei]
-            return self.te_text(int(ti)) if ti >= 0 else ''
-
-        def el_conf(ei):
-            if decoded[ei]:
-                return float(winner_score[ei])
-            ti = self.efirst_te[ei]
-            if ti < 0:
-                return 1.0
-            c = self.tconf[ti]
-            return 1.0 if np.isnan(c) else float(c)
-
-        children = [[] for _ in range(self.n_els)]
-        for ei in range(self.n_els):
-            p = parent[ei]
-            if p >= 0:
-                children[p].append(ei)
+            ti = te_of[ei]
+            return blob[tt[ti, 0]:tt[ti, 1]] if ti >= 0 else ''
 
         edits = self._edits
         new_text: Dict[int, str] = {}
         new_conf: Dict[int, float] = {}
+
+        def cur_text(e):
+            e = int(e)
+            return new_text[e] if e in new_text else el_text(e)
+
+        def cur_conf(e):
+            e = int(e)
+            return new_conf[e] if e in new_conf else float(conf_of[e])
         # per-element own-te spans, grouped once (a per-call
         # towner == ei scan would be O(elements x tes))
         te_order = np.argsort(self.towner, kind='stable')
@@ -401,40 +422,38 @@ class NativePageDoc:
                 edits.append((p, p, frag))
 
         for ri in regions:
-            lines = [c for c in children[ri] if kind[c] == 1]
-            if self._eff(self.etlo, ri, self.page_tlo):
-                lines = list(reversed(lines))
+            lines = children(ri)
+            if is_btt[ri]:
+                lines = lines[::-1]
             if level != 'line':
                 for li in lines:
-                    words = [c for c in children[li] if kind[c] == 2]
-                    if self._eff(self.erd, li, self.page_rd):
-                        words = list(reversed(words))
+                    words = children(li)
+                    if is_rtl[li]:
+                        words = words[::-1]
                     if level != 'word':
                         for wi in words:
-                            glyphs = [c for c in children[wi]
-                                      if kind[c] == 3]
-                            if self._eff(self.erd, wi, self.page_rd):
-                                glyphs = list(reversed(glyphs))
-                            text = ''.join(el_text(g) for g in glyphs)
-                            conf = sum(el_conf(g) for g in glyphs)
-                            if glyphs:
-                                conf /= len(glyphs)
-                            set_te(wi, text, conf)
-                    line_text = ' '.join(
-                        new_text.get(w, el_text(w)) for w in words)
-                    line_conf = sum(
-                        new_conf.get(w, el_conf(w)) for w in words)
-                    if words:
+                            glyphs = children(wi)
+                            if is_rtl[wi]:
+                                glyphs = glyphs[::-1]
+                            tis = te_of[glyphs]
+                            text = ''.join(
+                                blob[tt[ti, 0]:tt[ti, 1]]
+                                for ti in tis if ti >= 0)
+                            conf = (float(conf_of[glyphs].sum() /
+                                          len(glyphs))
+                                    if len(glyphs) else 0.0)
+                            set_te(int(wi), text, conf)
+                    line_text = ' '.join(cur_text(w) for w in words)
+                    line_conf = sum(cur_conf(w) for w in words)
+                    if len(words):
                         line_conf /= len(words)
-                    set_te(li, line_text, line_conf)
-            region_text = '\n'.join(
-                new_text.get(li, el_text(li)) for li in lines)
+                    set_te(int(li), line_text, line_conf)
+            region_text = '\n'.join(cur_text(li) for li in lines)
             region_conf = 0.0
-            if lines:
-                region_conf = sum(
-                    new_conf.get(li, el_conf(li))
-                    for li in lines) / len(lines)
-            set_te(ri, region_text, region_conf)
+            if len(lines):
+                region_conf = sum(cur_conf(li)
+                                  for li in lines) / len(lines)
+            set_te(int(ri), region_text, region_conf)
 
     # -- serialization --------------------------------------------------
 

@@ -482,6 +482,7 @@ def main():
         model_path = _os.path.join(wdir, 'model.h5')
         rater.history = getattr(rater, 'history', {}) or {}
         rater.save(model_path)
+        prior_existing = _os.environ.get('OCRD_EXISTING_OUTPUT')
         _os.environ['OCRD_EXISTING_OUTPUT'] = 'OVERWRITE'  # re-run reps
 
         def run_workflow():
@@ -495,12 +496,20 @@ def main():
             proc.setup()
             proc.process_workspace(ws)
 
-        run_workflow()  # warmup/compile
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            run_workflow()
-            times.append(time.perf_counter() - t0)
+        try:
+            run_workflow()  # warmup/compile
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                run_workflow()
+                times.append(time.perf_counter() - t0)
+        finally:
+            # restore the error-policy env (later sections must not
+            # inherit OVERWRITE semantics)
+            if prior_existing is None:
+                _os.environ.pop('OCRD_EXISTING_OUTPUT', None)
+            else:
+                _os.environ['OCRD_EXISTING_OUTPUT'] = prior_existing
         best = min(times)
         med = sorted(times)[len(times) // 2]
         workflow_pps = n_wpages / best

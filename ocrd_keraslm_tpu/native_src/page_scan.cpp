@@ -182,6 +182,12 @@ bool unescape(const std::string& b, size_t s, size_t e,
             }
             (*cp)++;
             i = semi + 1;
+        } else if (c == '\r') {
+            // XML line-ending normalization: \r\n and bare \r decode
+            // to \n (entity-decoded &#13; stays CR, per spec)
+            out += '\n';
+            (*cp)++;
+            i += (i + 1 < e && b[i + 1] == '\n') ? 2 : 1;
         } else {
             out += (char)c;
             // count only UTF-8 lead bytes as codepoints
@@ -368,17 +374,24 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
         if (!root_seen) {
             if (local != "PcGts") { bail("root is not PcGts"); break; }
             std::string ns;
-            // default or prefixed xmlns must be a PAGE pagecontent ns
+            // the PAGE pagecontent ns must be the DEFAULT xmlns: the
+            // splice path emits unprefixed fragments, which would land
+            // in no namespace under a prefix-bound document
             for (const Attr& a : attrs) {
-                if (a.name == "xmlns" || starts(a.name, 0, "xmlns:")) {
-                    std::string v = b.substr((size_t)a.val_s,
-                                             (size_t)(a.val_e - a.val_s));
-                    if (v.find("PAGE/gts/pagecontent") !=
-                        std::string::npos)
-                        ns = v;
+                std::string v = b.substr((size_t)a.val_s,
+                                         (size_t)(a.val_e - a.val_s));
+                if (v.find("PAGE/gts/pagecontent") ==
+                    std::string::npos)
+                    continue;
+                if (a.name == "xmlns")
+                    ns = v;
+                else if (starts(a.name, 0, "xmlns:")) {
+                    bail("prefix-bound PAGE namespace");
+                    break;
                 }
             }
-            if (ns.empty()) { bail("no PAGE namespace"); break; }
+            if (!d->bail.empty()) break;
+            if (ns.empty()) { bail("no default PAGE namespace"); break; }
             root_seen = true;
             if (!attr_span("pcGtsId", &d->pcgtsid_s, &d->pcgtsid_e))
                 d->root_tag_insert = tag_name_end;
@@ -418,9 +431,10 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             el.self_closing = self_close;
             el.content_end = self_close ? -1 : 0;
             std::string v;
-            if (attr_str("readingDirection", &v))
+            // empty attribute = falsy in the projection or-chain
+            if (attr_str("readingDirection", &v) && !v.empty())
                 el.rd = v == "right-to-left" ? 1 : 2;
-            if (attr_str("textLineOrder", &v))
+            if (attr_str("textLineOrder", &v) && !v.empty())
                 el.tlo = v == "bottom-to-top" ? 1 : 2;
             int64_t ids, ide;
             el.id_s = el.id_e = d->id_cp;
@@ -481,7 +495,10 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             // PAGE semantics: only the FIRST Unicode child counts
             // (the object model breaks after it, page.py)
             if (self_close || te_seen[ti]) {
-                if (!self_close)
+                // a self-closing FIRST Unicode is the (empty) text
+                // result; later siblings must not override it
+                if (self_close) te_seen[ti] = 1;
+                else
                     stack.push_back(StackEnt{local, -1, -1, -1,
                                              (int64_t)tag_end});
                 pos = tag_end;
@@ -500,9 +517,9 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
 
         if (local == "Page") {
             std::string v;
-            if (attr_str("readingDirection", &v))
+            if (attr_str("readingDirection", &v) && !v.empty())
                 d->page_rd = v == "right-to-left" ? 1 : 2;
-            if (attr_str("textLineOrder", &v))
+            if (attr_str("textLineOrder", &v) && !v.empty())
                 d->page_tlo = v == "bottom-to-top" ? 1 : 2;
             if (!self_close)
                 stack.push_back(StackEnt{local, -1, -1, -1,
@@ -721,6 +738,7 @@ extern "C" PyObject* page_lattice(PyObject* cap, int level, int merge,
             (size_t)(t2b[te.text_e] - t2b[te.text_s]));
     };
     long n_warn = 0;
+    long n_problems = 0;
     d->edges.clear();
 
     // tokenisation problems (word level only: TextLine own text vs
@@ -757,7 +775,7 @@ extern "C" PyObject* page_lattice(PyObject* cap, int level, int merge,
             if (a != b2) {
                 line_problem[li] = own;
                 line_has_problem[li] = 1;
-                n_warn++;  // surfaced as a Python-side warning count
+                n_problems++;
             }
         }
     }
@@ -957,10 +975,10 @@ extern "C" PyObject* page_lattice(PyObject* cap, int level, int merge,
     flush_run();
     d->n_prep = (int)d->edge_kind.size();
     d->maxlen = (int)maxlen;
-    return Py_BuildValue("(iiini)", d->n_raw_edges, d->n_prep,
+    return Py_BuildValue("(iiinii)", d->n_raw_edges, d->n_prep,
                          d->maxlen,
                          (Py_ssize_t)d->piece_edge.size(),
-                         (int)n_warn);
+                         (int)n_warn, (int)n_problems);
 }
 
 // Fill the decode-kernel arrays + emission meta arrays.

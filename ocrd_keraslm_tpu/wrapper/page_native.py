@@ -27,6 +27,7 @@ from __future__ import annotations
 import ctypes
 import datetime
 import logging
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -37,8 +38,6 @@ from .page import MetadataItem
 LOG = logging.getLogger(__name__)
 
 _LEVEL_INT = {'word': 2, 'glyph': 3}
-
-import re
 
 _ENT = {'amp': '&', 'lt': '<', 'gt': '>', 'quot': '"', 'apos': "'"}
 _ENT_RE = re.compile(r'&(#x?[0-9a-fA-F]+|[a-z]+);')
@@ -195,10 +194,14 @@ class NativePageDoc:
         if isinstance(out, str):
             self.bail = out
             return None
-        n_raw, n_prep, maxlen, n_pieces, n_warn = out
+        n_raw, n_prep, maxlen, n_pieces, n_warn, n_problems = out
         if n_warn:
             LOG.warning('%d elements without text results/children '
                         'skipped', n_warn)
+        if n_problems:
+            LOG.warning('%d tokenisation inconsistencies detected '
+                        '(joining spaces repaired where the annotated '
+                        'text concatenates)', n_problems)
         self._lat = (n_raw, n_prep, maxlen, n_pieces)
         return n_raw, n_prep, maxlen
 

@@ -462,6 +462,8 @@ class KerasRate:
         return (self.parameter.get('alternative_decoding', True)
                 and self.parameter.get('device_decoding', True)
                 and not self.parameter.get('lookahead_writeback')
+                and self.parameter.get('textequiv_level') in ('word',
+                                                              'glyph')
                 and self.rater is not None and self.rater.fused_decode
                 and os.environ.get('KERASLM_NATIVE_PAGE', '1') != '0'
                 and page_native.available())

@@ -20,7 +20,8 @@ from ocrd_keraslm_tpu.wrapper.page_native import NativePageDoc
 from ocrd_keraslm_tpu.wrapper.rate import page_get_linear_lattice_at
 
 from helpers import build_pcgts, build_workspace, make_tiny_model
-from test_page_fast import _page_content, _rich_page_xml
+from test_page_fast import (_decode_and_serialize, _page_content,
+                            _rich_page_xml)
 
 pytestmark = pytest.mark.skipif(not page_native.available(),
                                 reason='native page scanner '
@@ -88,6 +89,94 @@ def test_scan_bails():
         '<LastChange>', '<Ignored>').replace(
         '</LastChange>', '</Ignored>').encode('utf-8'))
     assert doc.bail == 'incomplete Metadata'
+    # prefix-bound PAGE namespace bails: spliced fragments are emitted
+    # unprefixed and would land in no namespace
+    prefixed = xml.replace('<PcGts xmlns="', '<pc:PcGts xmlns:pc="') \
+        .replace('</PcGts>', '</pc:PcGts>')
+    doc = NativePageDoc(prefixed.encode('utf-8'))
+    assert doc.bail is not None
+
+
+def test_scan_line_ending_normalization():
+    """CRLF-saved documents decode like the lxml lanes (XML spec:
+    \\r\\n and bare \\r normalize to \\n in parsed text)."""
+    xml = _rich_page_xml().encode('utf-8').replace(b'\n', b'\r\n')
+    doc = NativePageDoc(xml)
+    assert doc.bail is None
+    obj = parse_page(xml)
+    glyphs = [g for r in obj.page.get_AllRegions()
+              for l in r.get_TextLine() for w in l.get_Word()
+              for g in w.get_Glyph()]
+    native_glyphs = np.nonzero(doc.ekind == 3)[0]
+    for gi, g in zip(native_glyphs, glyphs):
+        assert doc.te_text(int(doc.efirst_te[gi])) == \
+            g.get_TextEquiv()[0].Unicode
+
+
+def test_empty_reading_direction_falls_through():
+    """An EMPTY readingDirection attribute is falsy in the projection
+    or-chain (same as missing), like the lxml lanes."""
+    xml = _rich_page_xml()
+    xml = xml.replace('<TextLine id="p1_r1_l0">',
+                      '<TextLine id="p1_r1_l0" '
+                      'readingDirection="right-to-left">')
+    xml = xml.replace('<Word id="p1_r1_l0_w0">',
+                      '<Word id="p1_r1_l0_w0" readingDirection="">')
+    out_obj = _decode_and_serialize(parse_page(xml), 'glyph', pick=0)
+    doc = NativePageDoc(xml.encode('utf-8'))
+    assert doc.bail is None
+    out_nat = _native_decode_and_serialize(doc, 'glyph', pick=0)
+    assert _page_content(out_nat) == _page_content(out_obj)
+
+
+def test_self_closing_first_unicode_wins():
+    """<Unicode/> followed by <Unicode>x</Unicode>: the FIRST (empty)
+    result counts, as in the lxml lanes."""
+    xml = _rich_page_xml().replace(
+        '<TextEquiv index="0" conf="0.6"><Unicode>s</Unicode>'
+        '</TextEquiv>',
+        '<TextEquiv index="0" conf="0.6"><Unicode/>'
+        '<Unicode>s</Unicode></TextEquiv>', 1)
+    doc = NativePageDoc(xml.encode('utf-8'))
+    assert doc.bail is None
+    obj = parse_page(xml)
+    glyphs = [g for r in obj.page.get_AllRegions()
+              for l in r.get_TextLine() for w in l.get_Word()
+              for g in w.get_Glyph()]
+    native_glyphs = np.nonzero(doc.ekind == 3)[0]
+    for gi, g in zip(native_glyphs, glyphs):
+        assert doc.te_text(int(doc.efirst_te[gi])) == \
+            g.get_TextEquiv()[0].Unicode
+
+
+def _native_decode_and_serialize(doc, level, pick=0):
+    """Native-lane analogue of test_page_fast._decode_and_serialize:
+    simulate a decode picking alternative ``pick`` per edge via the
+    meta arrays, then apply + serialize."""
+    lat = doc.lattice(level, True, DECODE_MERGE_MAX)
+    assert lat is not None
+    n_raw, n_prep, maxlen = lat
+    import string
+    r = Rater()
+    r.voc_size = 100
+    r.vocab.assign(string.printable[:99])
+    doc.fill(r.vocab._table(), max(n_prep, 8), 4, max(maxlen, 2))
+    choices = np.full(n_prep, pick, np.int64)
+    # costs chosen so every element's score is 2^-0.5ish per char
+    lens = np.maximum(doc.alt_len[np.arange(n_prep),
+                                  np.minimum(choices,
+                                             (doc.alt_te != -2)
+                                             .sum(1) - 1)], 1)
+    run_tot = np.zeros(n_prep)
+    if len(doc.piece_edge):
+        np.add.at(run_tot, doc.piece_edge, doc.piece_len)
+    per_edge = np.where(doc.edge_kind == 1, run_tot, lens)
+    # diff = -log2(0.75) * chars -> every element scores exactly 0.75,
+    # matching test_page_fast._decode_and_serialize's fixed score
+    costs = np.cumsum(-np.log2(0.75) * per_edge)
+    doc.apply_decode(level, choices, costs, 0.0)
+    from ocrd_keraslm_tpu.wrapper.page import to_xml as _to_xml
+    return _to_xml(doc)
 
 
 def _record_arrays(rater, xml, level, merge, E, A, L):

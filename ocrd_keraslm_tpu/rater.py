@@ -1369,11 +1369,16 @@ class Rater:
                 jnp.asarray(cost))
 
     @_gc_paused
-    def fetch_pendings(self, pendings):
+    def fetch_pendings(self, pendings, prefetched=False):
         """Fetch the device arrays of MANY pending decodes in as few
         transfers as possible (same-shape packed arrays are stacked on
         device and fetched once — each separate fetch costs a full
-        round-trip).  Returns pendings with numpy arrays."""
+        round-trip).  Returns pendings with numpy arrays.
+
+        ``prefetched=True``: the caller already started per-array
+        ``copy_to_host_async`` during its dispatch loop, so the bytes
+        are on the host (or in flight) — converting each array
+        directly beats re-staging a stacked copy on device."""
         groups: Dict[Any, List[Tuple[int, int, Any]]] = {}
         new = [list(p) for p in pendings]
         for pi, p in enumerate(pendings):
@@ -1386,9 +1391,9 @@ class Rater:
                 groups.setdefault(tuple(arr.shape), []).append(
                     (pi, bi, arr))
         for shape, items in groups.items():
-            if len(items) == 1:
-                pi, bi, arr = items[0]
-                new[pi][2][bi] = np.asarray(arr)
+            if len(items) == 1 or prefetched:
+                for pi, bi, arr in items:
+                    new[pi][2][bi] = np.asarray(arr)
                 continue
             stacked = np.asarray(jnp.stack([a for _, _, a in items]))
             for row, (pi, bi, _) in enumerate(items):

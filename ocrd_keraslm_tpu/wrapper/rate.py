@@ -321,7 +321,16 @@ class KerasRate:
                     rec, device_tb = self.process_page_pcgts_device_begin(
                         pcgts, device_tb, file_id, page_id)
                     # success is only counted when the page is
-                    # fetched AND written (finish loop below)
+                    # fetched AND written (finish loop below).  Start
+                    # the host copy of this page's packed result now —
+                    # it completes while later pages dispatch, so the
+                    # batch fetch below finds the bytes already on the
+                    # host instead of paying a round-trip at the end
+                    for arr in rec[0][2] if rec[0][0] != 'done' else ():
+                        copy_async = getattr(arr, 'copy_to_host_async',
+                                             None)
+                        if copy_async is not None:
+                            copy_async()
                     device_pending.append(rec + (input_file,))
                 else:
                     prev = self.process_page_pcgts_stateful(
@@ -371,7 +380,7 @@ class KerasRate:
         # routing, COPY fallback, failure accounting)
         if device_pending:
             fetched = self.rater.fetch_pendings(
-                [rec[0] for rec in device_pending])
+                [rec[0] for rec in device_pending], prefetched=True)
             device_pending = [(p,) + rec[1:] for p, rec in
                               zip(fetched, device_pending)]
         results = [None] * len(device_pending)

@@ -433,6 +433,7 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
     # rows (both block-diagonal over docs).
     def kernel(chars_ref, mask_ref, conf_ref, valid_ref,  # per-edge
                steps_ref,                               # SMEM (E, 1)
+               n_real_ref,                              # SMEM (1, 1)
                emb_ref, embT_ref, wcat_ref, bias_ref,   # VMEM weights
                state0_ref, cost0_ref,                   # init
                rec_out_ref, stateF_ref, costF_ref,      # outputs
@@ -446,14 +447,37 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
             cost_ref[:] = cost0_ref[:]
 
         t = pid
-        if L == 1:
-            fast_edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
-                           emb_ref, embT_ref, wcat_ref, bias_ref,
-                           rec_out_ref, state_ref, cost_ref)
-        else:
-            edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
-                      steps_ref, emb_ref, embT_ref, wcat_ref, bias_ref,
-                      rec_out_ref, state_ref, cost_ref)
+
+        @pl.when(t < n_real_ref[0, 0])
+        def _():
+            if L == 1:
+                fast_edge_body(t, chars_ref, mask_ref, conf_ref,
+                               valid_ref, emb_ref, embT_ref, wcat_ref,
+                               bias_ref, rec_out_ref, state_ref,
+                               cost_ref)
+            else:
+                edge_body(t, chars_ref, mask_ref, conf_ref, valid_ref,
+                          steps_ref, emb_ref, embT_ref, wcat_ref,
+                          bias_ref, rec_out_ref, state_ref, cost_ref)
+
+        # bucket-pad edges beyond the group's real maximum skip the
+        # beam step in closed form: every doc's pad edge is an identity
+        # pass (one zero-length free alternative), so rank k keeps its
+        # slot k at unchanged cost — exactly what the full body
+        # computes there (see the single-document kernel's guard)
+        @pl.when(t >= n_real_ref[0, 0])
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            bp_lane = jnp.where(lane < NK, lane % K, 0).astype(
+                jnp.float32)
+            cost_row = jnp.transpose(cost_ref[:])        # (1, NK)
+            if LANE - NK:
+                cost_row = jnp.concatenate(
+                    [cost_row, jnp.zeros((1, LANE - NK), jnp.float32)],
+                    axis=1)
+            rec_out_ref[t] = jnp.concatenate(
+                [bp_lane, jnp.zeros((1, LANE), jnp.float32), cost_row,
+                 jnp.zeros((5, LANE), jnp.float32)], axis=0)
 
         @pl.when(pid == n_p - 1)
         def _():
@@ -733,7 +757,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
                                 n_docs: int, n_edges: int, n_alts: int,
                                 alt_len: int, beam: int, depth: int,
                                 width: int, v_pad: int, v_real: int,
-                                lm_weight: float, alt_steps=None):
+                                lm_weight: float, alt_steps=None,
+                                n_real=None):
     """One-dispatch fused decode of N INDEPENDENT documents.
 
     alt_chars/mask/conf_bits: (E, N*A, L) doc-major per-edge rows;
@@ -753,6 +778,9 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
                          % (N, K, A))
     if alt_steps is None:
         alt_steps = jnp.full((E, 1), L, jnp.int32)
+    if n_real is None:
+        n_real = E
+    n_real_arr = jnp.full((1, 1), n_real, jnp.int32)
     interpret = jax.default_backend() != 'tpu'
     kernel, S = _make_batch_kernel(N, D, K, A, L, W, V, v_real,
                                    lm_weight)
@@ -766,6 +794,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
             vmem((E, N * A, L), lambda t: (0, 0, 0)),
             vmem((E, N * A, 1), lambda t: (0, 0, 0)),
             pl.BlockSpec((E, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
             vmem((V, W), lambda t: (0, 0)),
             vmem((W, V), lambda t: (0, 0)),
@@ -789,8 +819,8 @@ def decode_lattice_pallas_batch(emb, embT, wcat, bias,
             pltpu.VMEM((N * K, S), jnp.float32),
             pltpu.VMEM((N * K, 1), jnp.float32),
         ],
-    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps, emb,
-      embT, wcat, bias, state0, cost0)
+    )(alt_chars, alt_mask, alt_conf_bits, alt_valid, alt_steps,
+      n_real_arr, emb, embT, wcat, bias, state0, cost0)
     return records, stateF, costF
 
 

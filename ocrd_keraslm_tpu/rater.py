@@ -1823,8 +1823,9 @@ class Rater:
             state, cost = state0, cost0
             recs = []          # device records per block
             for lo in range(0, nE, E_blk):
-                E = _bucket(max(min(max(sizes[i] - lo, 0), E_blk)
-                                for i in group), self._E_BUCKETS)
+                n_real_blk = max(min(max(sizes[i] - lo, 0), E_blk)
+                                 for i in group)
+                E = _bucket(n_real_blk, self._E_BUCKETS)
                 cache: Dict[int, Any] = {}
                 per = [doc_arrays(i, lo, E, L, cache) for i in fill]
                 chars = np.stack([p[0] for p in per],
@@ -1846,7 +1847,8 @@ class Rater:
                         n_docs=N, n_edges=E, n_alts=A, alt_len=L,
                         beam=K, depth=D, width=W, v_pad=wts['v_pad'],
                         v_real=wts['v_real'],
-                        lm_weight=float(lm_weight), alt_steps=steps)
+                        lm_weight=float(lm_weight), alt_steps=steps,
+                        n_real=np.int32(n_real_blk))
                 else:
                     # docs doc-major: shard s takes docs [s*N, (s+1)*N)
                     from .parallel.decode import make_fused_batch_decode

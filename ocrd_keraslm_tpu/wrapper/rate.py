@@ -374,11 +374,18 @@ class KerasRate:
                         % (reason, nr_failed, len(self.input_files),
                            dict(nr_errors)))
         # device mode: all pages were dispatched (the beam carry chains
-        # on device with no host sync); batch-fetch all results in as
-        # few round-trips as possible, then write each page — with the
+        # on device with no host sync); now write each page — with the
         # SAME error policy as the dispatch loop (existing-output
-        # routing, COPY fallback, failure accounting)
-        if device_pending:
+        # routing, COPY fallback, failure accounting).  The default
+        # finish loop takes pages in dispatch order WITHOUT a
+        # fetch-all barrier: each page's finish blocks only on its own
+        # (already async-copying) result arrays, so the host
+        # write-back of page i overlaps the device decode of pages
+        # > i (measured ~20% off the e2e workflow wall).  Only the
+        # lookahead mode needs every page's records up front (the
+        # reverse chained walk starts at the LAST page).
+        if device_pending and \
+                self.parameter.get('lookahead_writeback'):
             fetched = self.rater.fetch_pendings(
                 [rec[0] for rec in device_pending], prefetched=True)
             device_pending = [(p,) + rec[1:] for p, rec in

@@ -319,6 +319,12 @@ def load_page_scan():
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             _I32, _F32, _F32, _F32,
             _I8, _I32, _I32, _I32, _I32, _I32, _I32, _I32]
+        lib.page_apply.restype = ctypes.py_object
+        lib.page_apply.argtypes = [
+            ctypes.py_object, ctypes.c_int, _I64, _F64,
+            ctypes.c_int64, ctypes.c_double]
+        lib.page_emit.restype = ctypes.py_object
+        lib.page_emit.argtypes = [ctypes.py_object, ctypes.py_object]
         _PAGE_LIB = lib
     except (OSError, subprocess.CalledProcessError) as err:
         LOG.debug('native page scanner unavailable: %s', err)

@@ -112,6 +112,10 @@ struct Doc {
     std::vector<int8_t> edge_space;
     // plain edges: alt te ids + char lengths, A columns
     std::vector<int32_t> alt_te, alt_len;
+    // decode write-back + projection splice edits (page_apply),
+    // consumed by page_emit
+    struct EmitEdit { int64_t s, e; std::string rep; };
+    std::vector<EmitEdit> apply_edits;
 };
 
 bool starts(const std::string& b, size_t p, const char* s) {
@@ -1108,4 +1112,299 @@ extern "C" int64_t page_fill(PyObject* cap, const int32_t* table,
     std::memcpy(piece_len, d->piece_len.data(),
                 d->piece_len.size() * 4);
     return d->n_prep;
+}
+
+// ---------------------------------------------------------------------
+// decode write-back + projection (native apply) and final emission
+// ---------------------------------------------------------------------
+// C++ replica of page_native.NativePageDoc.apply_decode/_project/
+// fast_tostring's splice assembly (which remain the parity-tested
+// references): the per-winner conf patches, loser deletes, and
+// bottom-up text projection were the last ~10 ms/page of host Python
+// in the serving workflow.  Float formatting is '%.6g' in both.
+
+namespace {
+
+std::string fmt_g6(double v) {
+    char b[32];
+    std::snprintf(b, sizeof b, "%.6g", v);
+    return std::string(b);
+}
+
+void esc_text(const char* s, const char* e, std::string* out) {
+    for (; s < e; s++) {
+        char c = *s;
+        if (c == '&') out->append("&amp;");
+        else if (c == '<') out->append("&lt;");
+        else if (c == '>') out->append("&gt;");
+        else out->push_back(c);
+    }
+}
+
+}  // namespace
+
+// Winners + confidences + projection as stored splice edits.
+// Returns (strlen, n_path) for the caller's ppl log line, or an
+// error string.  choices/costs must hold >= n_prep entries.
+extern "C" PyObject* page_apply(PyObject* cap, int level,
+                                const int64_t* choices,
+                                const double* costs, int64_t n,
+                                double start_cost) {
+    Doc* d = get_doc(cap);
+    if (!d) return PyUnicode_FromString("no document");
+    if (n < d->n_prep)
+        return PyUnicode_FromString("short decode result");
+    size_t n_els = d->els.size(), n_tes = d->tes.size();
+    std::vector<int32_t> winner_te(n_els, -1);
+    std::vector<double> winner_score(n_els, 0.0);
+    long strlen_cp = 0, n_path = 0;
+    auto diff = [&](long k) {
+        return costs[k] - (k ? costs[k - 1] : start_cost);
+    };
+    // merged runs: uniform per-char score over the run
+    if (!d->piece_edge.empty()) {
+        std::vector<long> run_total(d->n_prep, 0);
+        for (size_t p = 0; p < d->piece_edge.size(); p++)
+            run_total[d->piece_edge[p]] += d->piece_len[p];
+        for (size_t p = 0; p < d->piece_edge.size(); p++) {
+            int32_t pe = d->piece_edge[p];
+            long tot = run_total[pe] > 1 ? run_total[pe] : 1;
+            double sc = std::pow(2.0, -diff(pe) / (double)tot);
+            if (sc > 1.0) sc = 1.0;
+            int32_t el = d->piece_elem[p];
+            if (el >= 0) {
+                winner_te[el] = d->piece_te[p];
+                winner_score[el] = sc;
+                const TE& te = d->tes[d->piece_te[p]];
+                strlen_cp += (long)(te.text_e - te.text_s);
+            } else {
+                strlen_cp += 1;  // synthetic space counts 1 char
+            }
+            n_path += 1;
+        }
+    }
+    // plain edges
+    for (long k = 0; k < d->n_prep; k++) {
+        if (d->edge_kind[k] != 0) continue;
+        long n_alts = 0;
+        for (long a = 0; a < 4; a++)
+            if (d->alt_te[k * 4 + a] != -2) n_alts++;
+        long mx = n_alts - 1 > 0 ? n_alts - 1 : 0;
+        long ai = choices[k];
+        if (ai > mx) ai = mx;
+        if (ai < 0) ai = 0;
+        int32_t te = d->alt_te[k * 4 + ai];
+        long ln = d->alt_len[k * 4 + ai];
+        double sc = std::pow(2.0, -diff(k) / (double)(ln > 1 ? ln : 1));
+        if (sc > 1.0) sc = 1.0;
+        int32_t el = d->edge_elem[k];
+        if (el >= 0) {
+            winner_te[el] = te;
+            winner_score[el] = sc;
+            strlen_cp += ln;
+        } else {
+            strlen_cp += 1;
+        }
+        n_path += 1;
+    }
+
+    d->apply_edits.clear();
+    // loser TextEquiv deletes (owner decoded, not the winner),
+    // ascending te index — same append order as the Python replica
+    for (size_t ti = 0; ti < n_tes; ti++) {
+        int32_t ow = d->tes[ti].owner;
+        if (ow >= 0 && winner_te[ow] >= 0 &&
+            winner_te[ow] != (int32_t)ti)
+            d->apply_edits.push_back({d->tes[ti].span_s,
+                                      d->tes[ti].span_e, ""});
+    }
+    // winner conf := score, ascending element index
+    for (size_t ei = 0; ei < n_els; ei++) {
+        if (winner_te[ei] < 0) continue;
+        const TE& te = d->tes[winner_te[ei]];
+        std::string sb = fmt_g6(winner_score[ei]);
+        if (te.conf_e > te.conf_s)
+            d->apply_edits.push_back({te.conf_s, te.conf_e, sb});
+        else
+            d->apply_edits.push_back({te.tag_insert, te.tag_insert,
+                                      " conf=\"" + sb + "\""});
+    }
+
+    // ---- projection (replica of _project) ----
+    const std::vector<int64_t> t2b = cp_to_byte(d->text_blob);
+    std::vector<int32_t> te_of(n_els);
+    std::vector<double> conf_of(n_els);
+    std::vector<int32_t> order_tmp;
+    for (size_t ei = 0; ei < n_els; ei++) {
+        if (winner_te[ei] >= 0) {
+            te_of[ei] = winner_te[ei];
+            conf_of[ei] = winner_score[ei];
+        } else {
+            int32_t ft = first_te(d, d->els[ei], &order_tmp);
+            te_of[ei] = ft;
+            double c = 1.0;
+            if (ft >= 0) {
+                c = d->tes[ft].conf;
+                if (std::isnan(c)) c = 1.0;
+            }
+            conf_of[ei] = c;
+        }
+    }
+    // 'or'-chain of layout attributes: first PRESENT value wins,
+    // falling through missing (0) ancestors to the page default
+    auto effective = [&](int8_t El::*attr, int8_t page_val,
+                         int32_t ei) {
+        int8_t eff = d->els[ei].*attr;
+        int32_t anc = d->els[ei].parent;
+        for (int it = 0; it < 3 && eff == 0 && anc >= 0; it++) {
+            eff = d->els[anc].*attr;
+            anc = d->els[anc].parent;
+        }
+        if (eff == 0) eff = page_val;
+        return eff == 1;
+    };
+    std::vector<std::string> new_text(n_els);
+    std::vector<double> new_conf(n_els, 0.0);
+    std::vector<char> has_new(n_els, 0);
+    auto el_text = [&](int32_t ei, std::string* out) {
+        int32_t ti = te_of[ei];
+        if (ti >= 0) {
+            const TE& te = d->tes[ti];
+            out->append(d->text_blob, t2b[te.text_s],
+                        t2b[te.text_e] - t2b[te.text_s]);
+        }
+    };
+    auto cur_text = [&](int32_t ei, std::string* out) {
+        if (has_new[ei]) out->append(new_text[ei]);
+        else el_text(ei, out);
+    };
+    auto cur_conf = [&](int32_t ei) {
+        return has_new[ei] ? new_conf[ei] : conf_of[ei];
+    };
+    auto set_te = [&](int32_t ei, std::string text, double conf) {
+        for (int32_t ti : d->els[ei].te_list)
+            d->apply_edits.push_back({d->tes[ti].span_s,
+                                      d->tes[ti].span_e, ""});
+        std::string frag = "<TextEquiv conf=\"" + fmt_g6(conf) +
+                           "\"><Unicode>";
+        esc_text(text.data(), text.data() + text.size(), &frag);
+        frag += "</Unicode></TextEquiv>";
+        const El& el = d->els[ei];
+        if (el.self_closing) {
+            // '<Tag .../>' -> '<Tag ...>' + frag + '</Tag>' (XML
+            // forbids whitespace inside '/>', so the tag always ends
+            // with those two bytes)
+            std::string tag = d->buf.substr(
+                el.span_s, el.span_e - el.span_s);
+            size_t ne = 1;
+            while (ne < tag.size() && tag[ne] != ' ' &&
+                   tag[ne] != '>' && tag[ne] != '/')
+                ne++;
+            std::string name = tag.substr(1, ne - 1);
+            d->apply_edits.push_back(
+                {el.span_s, el.span_e,
+                 tag.substr(0, tag.size() - 2) + ">" + frag +
+                     "</" + name + ">"});
+        } else {
+            d->apply_edits.push_back({el.content_end, el.content_end,
+                                      frag});
+        }
+        new_text[ei] = std::move(text);
+        new_conf[ei] = conf;
+        has_new[ei] = 1;
+    };
+    bool word_level = (level == 2);
+    std::vector<int32_t> lines, words, glyphs;
+    for (size_t ri = 0; ri < n_els; ri++) {
+        if (d->els[ri].kind != K_REGION) continue;
+        lines = d->els[ri].children;
+        if (effective(&El::tlo, d->page_tlo, (int32_t)ri))
+            std::reverse(lines.begin(), lines.end());
+        for (int32_t li : lines) {
+            words = d->els[li].children;
+            if (effective(&El::rd, d->page_rd, li))
+                std::reverse(words.begin(), words.end());
+            if (!word_level) {
+                for (int32_t wi : words) {
+                    glyphs = d->els[wi].children;
+                    if (effective(&El::rd, d->page_rd, wi))
+                        std::reverse(glyphs.begin(), glyphs.end());
+                    std::string text;
+                    double conf = 0.0;
+                    for (int32_t gi : glyphs) {
+                        el_text(gi, &text);
+                        conf += conf_of[gi];
+                    }
+                    if (!glyphs.empty()) conf /= (double)glyphs.size();
+                    set_te(wi, std::move(text), conf);
+                }
+            }
+            std::string line_text;
+            double line_conf = 0.0;
+            for (size_t k = 0; k < words.size(); k++) {
+                if (k) line_text += ' ';
+                cur_text(words[k], &line_text);
+                line_conf += cur_conf(words[k]);
+            }
+            if (!words.empty()) line_conf /= (double)words.size();
+            set_te(li, std::move(line_text), line_conf);
+        }
+        std::string region_text;
+        double region_conf = 0.0;
+        for (size_t k = 0; k < lines.size(); k++) {
+            if (k) region_text += '\n';
+            cur_text(lines[k], &region_text);
+            region_conf += cur_conf(lines[k]);
+        }
+        if (!lines.empty()) region_conf /= (double)lines.size();
+        set_te((int32_t)ri, std::move(region_text), region_conf);
+    }
+    return Py_BuildValue("(ll)", strlen_cp, n_path);
+}
+
+// Final output assembly: the stored apply edits merged with the
+// caller's extra edits (lastchange, metadata fragment, pcGtsId — a
+// Python list of (start, end, bytes)), stable-sorted and spliced into
+// the original bytes.  Returns bytes, or an error string on
+// overlapping edits.
+extern "C" PyObject* page_emit(PyObject* cap, PyObject* extra) {
+    Doc* d = get_doc(cap);
+    if (!d) return PyUnicode_FromString("no document");
+    std::vector<Doc::EmitEdit> edits = d->apply_edits;
+    if (extra && extra != Py_None) {
+        PyObject* seq = PySequence_Fast(extra, "extra edits");
+        if (!seq) return nullptr;
+        Py_ssize_t ne = PySequence_Fast_GET_SIZE(seq);
+        for (Py_ssize_t i = 0; i < ne; i++) {
+            PyObject* it = PySequence_Fast_GET_ITEM(seq, i);
+            long long s, e;
+            const char* rep;
+            Py_ssize_t rn;
+            if (!PyArg_ParseTuple(it, "LLy#", &s, &e, &rep, &rn)) {
+                Py_DECREF(seq);
+                return nullptr;
+            }
+            edits.push_back({(int64_t)s, (int64_t)e,
+                             std::string(rep, (size_t)rn)});
+        }
+        Py_DECREF(seq);
+    }
+    std::stable_sort(edits.begin(), edits.end(),
+                     [](const Doc::EmitEdit& a,
+                        const Doc::EmitEdit& b) {
+                         return a.s != b.s ? a.s < b.s : a.e < b.e;
+                     });
+    std::string out;
+    out.reserve(d->buf.size() + 4096);
+    int64_t pos = 0;
+    for (const auto& ed : edits) {
+        if (ed.s < pos)
+            return PyUnicode_FromString("overlapping splice edits");
+        out.append(d->buf, pos, ed.s - pos);
+        out.append(ed.rep);
+        pos = ed.e;
+    }
+    out.append(d->buf, pos, d->buf.size() - pos);
+    return PyBytes_FromStringAndSize(out.data(),
+                                     (Py_ssize_t)out.size());
 }

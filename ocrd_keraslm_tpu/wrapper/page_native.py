@@ -27,6 +27,7 @@ from __future__ import annotations
 import ctypes
 import datetime
 import logging
+import os
 import re
 from typing import Dict, List, Optional
 
@@ -99,6 +100,7 @@ class NativePageDoc:
         self._edits: List = []       # (start, end, replacement bytes)
         self._meta_items: List[MetadataItem] = []
         self._pcgtsid_override: Optional[str] = None
+        self._native_applied = False  # edits live doc-side (page_emit)
         self._lat = None
         if self.bail is not None:
             return
@@ -246,9 +248,36 @@ class NativePageDoc:
         device result, then higher-level text projection — all as
         splice edits.  Logs the avg/char-ppl/level-ppl line the tests
         parse (replica of wrapper/rate.py _page_update_from_path +
-        page_update_higher_textequiv_levels)."""
+        page_update_higher_textequiv_levels).
+
+        Runs in C++ (``page_apply``, edits stored doc-side for
+        ``page_emit``) unless ``KERASLM_NATIVE_APPLY=0``; the Python
+        body below remains the parity-tested reference and the
+        fallback."""
         logger = logger or LOG
         n_raw, n_prep, maxlen, n_pieces = self._lat
+        if os.environ.get('KERASLM_NATIVE_APPLY') != '0' and \
+                hasattr(self._lib, 'page_apply'):
+            ch = np.ascontiguousarray(
+                np.asarray(choices[:n_prep]), np.int64)
+            co = np.ascontiguousarray(
+                np.asarray(costs[:n_prep]), np.float64)
+            out = self._lib.page_apply(
+                self.cap, _LEVEL_INT[level],
+                _ptr(ch, ctypes.c_int64), _ptr(co, ctypes.c_double),
+                n_prep, float(start_cost))
+            if not isinstance(out, str):
+                strlen, n_path = out
+                if strlen:
+                    entropy = (float(co[-1]) - start_cost) / strlen
+                    logger.info(
+                        'avg: %.3f, char ppl: %.3f, %s ppl: %.3f',
+                        2.0 ** (-entropy), 2.0 ** entropy, level,
+                        2.0 ** (entropy * strlen / max(n_path, 1)))
+                self._native_applied = True
+                return
+            logger.debug('native page_apply bailed (%s): python '
+                         'apply', out)
         choices = np.asarray(choices[:n_prep], np.int64)
         costs = np.asarray(costs[:n_prep], np.float64)
         diffs = np.diff(np.concatenate(([start_cost], costs)))
@@ -463,7 +492,10 @@ class NativePageDoc:
     def fast_tostring(self) -> str:
         """Assemble the output bytes: original document spliced with
         the queued edits (decode write-back, projection, metadata,
-        pcGtsId).  Dispatched by page.to_xml."""
+        pcGtsId).  Dispatched by page.to_xml.  After a native
+        ``page_apply`` the decode/projection edits live doc-side and
+        ``page_emit`` splices everything in C++; otherwise the Python
+        splice below runs."""
         edits = list(self._edits)
         now = datetime.datetime.now().isoformat()
         edits.append((int(self.lastchange_s), int(self.lastchange_e),
@@ -501,6 +533,11 @@ class NativePageDoc:
             else:
                 p = int(self.root_tag_insert)
                 edits.append((p, p, b' pcGtsId="' + vb + b'"'))
+        if self._native_applied:
+            out = self._lib.page_emit(self.cap, edits)
+            if isinstance(out, str):
+                raise RuntimeError('native page_emit: %s' % out)
+            return out.decode('utf-8')
         edits.sort(key=lambda t: (t[0], t[1]))
         out = []
         pos = 0

@@ -399,3 +399,88 @@ def test_splice_preserves_unmodeled_content(tmp_path, monkeypatch):
     _, content = _page_content(out)
     assert all(len(texts) == 1 for _, texts, _ in content)
     assert 'ocrd-keraslm-rate' in out
+
+
+def _btt_rtl_page_xml():
+    """Layout-directive + self-closing coverage: bottom-to-top region,
+    right-to-left line, an empty self-closing word, and a mix of
+    conf-attr-present / conf-attr-missing winner TextEquivs."""
+    from lxml import etree
+    xml = _rich_page_xml()
+    root = etree.fromstring(xml.encode('utf-8'))
+    ns = {'p': root.nsmap[None] if None in root.nsmap
+          else root.nsmap.get('pc', list(root.nsmap.values())[0])}
+    regions = root.findall('.//p:TextRegion', ns)
+    regions[0].set('textLineOrder', 'bottom-to-top')
+    lines = regions[0].findall('.//p:TextLine', ns)
+    lines[0].set('readingDirection', 'right-to-left')
+    # empty self-closing word at the end of the first line
+    etree.SubElement(lines[0], '{%s}Word' % ns['p'], id='p1_w_empty')
+    out = etree.tostring(root, encoding='unicode')
+    # lxml expands <Word/> only if it has content; ensure self-closing
+    assert '<Word id="p1_w_empty"/>' in out
+    return out
+
+
+@pytest.mark.parametrize('level', ['glyph', 'word'])
+@pytest.mark.parametrize('xml_fn', [_rich_page_xml, _btt_rtl_page_xml])
+@pytest.mark.parametrize('pick', [0, 1])
+def test_native_apply_matches_python_apply(level, xml_fn, pick,
+                                           monkeypatch):
+    """The C++ page_apply/page_emit path must produce the same
+    document as the parity-tested Python apply/splice on the same
+    decode result: same parsed content (texts + confs) and identical
+    bytes up to the LastChange timestamp."""
+    import re as _re
+    xml = xml_fn()
+    data = xml.encode('utf-8') if isinstance(xml, str) else xml
+    outs = {}
+    for mode in ('native', 'python'):
+        monkeypatch.setenv('KERASLM_NATIVE_APPLY',
+                           '0' if mode == 'python' else '1')
+        doc = NativePageDoc(data)
+        assert doc.bail is None
+        outs[mode] = _native_decode_and_serialize(doc, level,
+                                                  pick=pick)
+        assert doc._native_applied == (mode == 'native')
+
+    def strip_ts(s):
+        return _re.sub(r'<LastChange>[^<]*</LastChange>',
+                       '<LastChange/>', s)
+
+    assert _page_content(outs['native']) == _page_content(outs['python'])
+    assert strip_ts(outs['native']) == strip_ts(outs['python'])
+
+
+def test_native_apply_used_in_processor(tmp_path, monkeypatch):
+    """The e2e processor output is identical with the native apply on
+    and off (the three-lane test runs with it on by default)."""
+    import os as _os
+
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+    model = make_tiny_model(tmp_path / 'model.h5')
+    pages = {'phys_0001': [['Das', 'ist'], ['ein', 'Test']],
+             'phys_0002': [['Ende', 'gut']]}
+    alts = {(0, 0, 0): [('D', 0.9), ('O', 0.88)],
+            (1, 0, 1): [('e', 0.7), ('c', 0.69)]}
+    outs = {}
+    for mode in ('1', '0'):
+        wdir = tmp_path / ('ws_%s' % mode)
+        ws = build_workspace(wdir, pages, glyph_alternatives=alts)
+        monkeypatch.setenv('KERASLM_NATIVE_APPLY', mode)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': 'glyph',
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True  # CPU: force the fused kernel
+        proc.process_workspace(ws)
+        outs[mode] = {
+            page_id: _page_content(open(
+                _os.path.join(wdir, 'OCR-D-LM',
+                              'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read())
+            for page_id in pages}
+    assert outs['1'] == outs['0']

@@ -196,9 +196,22 @@ class KerasRate:
         if self.rater is None:
             self.workspace = workspace
             self.setup()
-        if not self.parameter['alternative_decoding']:
-            return self.process_workspace_stateless(workspace)
-        return self.process_workspace_stateful(workspace)
+        # defer the METS save to ONE write at end-of-run (ocrd core
+        # semantics: the workspace METS is saved after processing, not
+        # per page — and per-page saves re-serialize the whole file
+        # section, O(pages^2) on long documents).  A mid-run abort
+        # still persists everything added so far (finally).
+        self._defer_mets = True
+        self._mets_dirty = False
+        try:
+            if not self.parameter['alternative_decoding']:
+                return self.process_workspace_stateless(workspace)
+            return self.process_workspace_stateful(workspace)
+        finally:
+            self._defer_mets = False
+            if self._mets_dirty:
+                with self._ws_lock:
+                    self.workspace.save_mets()
 
     def process_workspace_stateless(self, workspace: Workspace) -> None:
         """Plain scoring: pages are independent (the OCR-D default
@@ -711,7 +724,10 @@ class KerasRate:
             content=to_xml(pcgts),
             force=_config_env('OCRD_EXISTING_OUTPUT',
                               'SKIP') == 'OVERWRITE')
-        self.workspace.save_mets()
+        if getattr(self, '_defer_mets', False):
+            self._mets_dirty = True
+        else:
+            self.workspace.save_mets()
 
     def _copy_page_file(self, input_file):
         path = os.path.join(self.workspace.directory,
@@ -725,7 +741,10 @@ class KerasRate:
             local_filename=os.path.join(self.output_file_grp,
                                         file_id + '.xml'),
             mimetype=MIMETYPE_PAGE, content=content, force=True)
-        self.workspace.save_mets()
+        if getattr(self, '_defer_mets', False):
+            self._mets_dirty = True
+        else:
+            self.workspace.save_mets()
 
     def _handle_page_error(self, err, page_id, input_file=None):
         """Apply OCRD_MISSING_OUTPUT to one page failure: ABORT

@@ -319,14 +319,23 @@ def load_page_scan():
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             _I32, _F32, _F32, _F32,
             _I8, _I32, _I32, _I32, _I32, _I32, _I32, _I32]
-        lib.page_apply.restype = ctypes.py_object
-        lib.page_apply.argtypes = [
-            ctypes.py_object, ctypes.c_int, _I64, _F64,
-            ctypes.c_int64, ctypes.c_double]
-        lib.page_emit.restype = ctypes.py_object
-        lib.page_emit.argtypes = [ctypes.py_object, ctypes.py_object]
+        try:
+            # newer symbols: a stale cached .so (mtime-only rebuild
+            # check) may predate them — the scan lane stays usable,
+            # apply falls back to Python (hasattr check there)
+            lib.page_apply.restype = ctypes.py_object
+            lib.page_apply.argtypes = [
+                ctypes.py_object, ctypes.c_int, _I64, _F64,
+                ctypes.c_int64, ctypes.c_double]
+            lib.page_emit.restype = ctypes.py_object
+            lib.page_emit.argtypes = [ctypes.py_object,
+                                      ctypes.py_object]
+        except AttributeError:
+            LOG.debug('cached page_scan.so predates page_apply; '
+                      'python apply path')
         _PAGE_LIB = lib
-    except (OSError, subprocess.CalledProcessError) as err:
+    except (OSError, AttributeError,
+            subprocess.CalledProcessError) as err:
         LOG.debug('native page scanner unavailable: %s', err)
         _PAGE_LIB = None
     return _PAGE_LIB

@@ -1293,11 +1293,13 @@ extern "C" PyObject* page_apply(PyObject* cap, int level,
         if (el.self_closing) {
             // '<Tag .../>' -> '<Tag ...>' + frag + '</Tag>' (XML
             // forbids whitespace inside '/>', so the tag always ends
-            // with those two bytes)
+            // with those two bytes).  The tag NAME ends at any XML
+            // whitespace — including tab/CR/LF from pretty-printed
+            // attributes — or '/' or '>'.
             std::string tag = d->buf.substr(
                 el.span_s, el.span_e - el.span_s);
             size_t ne = 1;
-            while (ne < tag.size() && tag[ne] != ' ' &&
+            while (ne < tag.size() && !is_ws(tag[ne]) &&
                    tag[ne] != '>' && tag[ne] != '/')
                 ne++;
             std::string name = tag.substr(1, ne - 1);

@@ -262,10 +262,13 @@ class NativePageDoc:
                 np.asarray(choices[:n_prep]), np.int64)
             co = np.ascontiguousarray(
                 np.asarray(costs[:n_prep]), np.float64)
+            # pass the REAL lengths so the C++ short-result guard can
+            # fire (a truncated decode then falls through to the
+            # Python path's clean IndexError instead of an OOB read)
             out = self._lib.page_apply(
                 self.cap, _LEVEL_INT[level],
                 _ptr(ch, ctypes.c_int64), _ptr(co, ctypes.c_double),
-                n_prep, float(start_cost))
+                min(len(ch), len(co)), float(start_cost))
             if not isinstance(out, str):
                 strlen, n_path = out
                 if strlen:
@@ -441,11 +444,12 @@ class NativePageDoc:
             if self.eself[ei]:
                 # self-closing element: reopen it around the fragment
                 # (a '<Tag .../>' span always ends with the two bytes
-                # '/>'; XML forbids whitespace between them)
+                # '/>'; XML forbids whitespace between them).  The tag
+                # NAME ends at any XML whitespace — including tab/CR/LF
+                # from pretty-printed attributes — or '/' or '>'.
                 s, e = self.espan[ei]
                 tag = self.data[s:e]
-                name = tag[1:].split(b' ')[0].split(b'>')[0] \
-                    .split(b'/')[0]
+                name = re.split(br'[ \t\r\n/>]', tag[1:], 1)[0]
                 edits.append((int(s), int(e),
                               tag[:-2] + b'>' + frag +
                               b'</' + name + b'>'))

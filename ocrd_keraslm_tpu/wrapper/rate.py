@@ -397,15 +397,13 @@ class KerasRate:
         # > i (measured ~20% off the e2e workflow wall).  Only the
         # lookahead mode needs every page's records up front (the
         # reverse chained walk starts at the LAST page).
+        results = [None] * len(device_pending)
         if device_pending and \
                 self.parameter.get('lookahead_writeback'):
             fetched = self.rater.fetch_pendings(
                 [rec[0] for rec in device_pending], prefetched=True)
             device_pending = [(p,) + rec[1:] for p, rec in
                               zip(fetched, device_pending)]
-        results = [None] * len(device_pending)
-        if device_pending and \
-                self.parameter.get('lookahead_writeback'):
             # reference lock-in emulation: walk pages in REVERSE,
             # chaining the entry slot — page N's path is the one the
             # globally best final path traverses (rating.py:736-741),

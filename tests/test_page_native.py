@@ -484,3 +484,29 @@ def test_native_apply_used_in_processor(tmp_path, monkeypatch):
                 encoding='utf-8').read())
             for page_id in pages}
     assert outs['1'] == outs['0']
+
+
+def test_self_closing_tag_name_with_tab_newline_attrs(monkeypatch):
+    """Pretty-printed self-closing elements (tab/newline-indented
+    attributes) must reopen with a clean closing tag in BOTH apply
+    paths — the name scan stops at any XML whitespace."""
+    from lxml import etree
+    xml = _rich_page_xml()
+    # raw byte injection: lxml would normalize the attribute
+    # whitespace away on re-serialization
+    marker = '</Word>'
+    assert marker in xml
+    data = xml.replace(marker,
+                       marker + '<Word\n\tid="p1_w_tabbed"/>',
+                       1).encode('utf-8')
+    assert b'<Word\n\tid="p1_w_tabbed"/>' in data
+    nsuri = etree.fromstring(data).nsmap[None]
+    for mode in ('1', '0'):
+        monkeypatch.setenv('KERASLM_NATIVE_APPLY', mode)
+        doc = NativePageDoc(data)
+        assert doc.bail is None
+        out = _native_decode_and_serialize(doc, 'glyph')
+        assert '</p1_w_tabbed' not in out  # no attr leaked into name
+        parsed = etree.fromstring(out.encode('utf-8'))  # parseable
+        w = parsed.find('.//{%s}Word[@id="p1_w_tabbed"]' % nsuri)
+        assert w is not None and len(w) == 1  # one projected TextEquiv

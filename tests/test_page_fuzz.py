@@ -263,3 +263,70 @@ def test_fuzz_three_lane_equality(tmp_path, monkeypatch, tiny_model,
         'seed %d: native lane diverged' % seed
     assert outputs['records'] == outputs['object'], \
         'seed %d: record lane diverged' % seed
+
+
+def _run_lanes(tmp_path, monkeypatch, model, page_xmls, parameter,
+               lanes):
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    outputs = {}
+    for lane, (fast, nat) in lanes.items():
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = _build_raw_workspace(wdir, page_xmls)
+        monkeypatch.setenv('KERASLM_FAST_PAGE', fast)
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter=dict(parameter, model_file=model))
+        proc.setup()
+        proc.rater.fused_decode = True
+        proc.process_workspace(ws)
+        outputs[lane] = {
+            page_id: _page_content(open(
+                os.path.join(wdir, 'OCR-D-LM',
+                             'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read())
+            for page_id in page_xmls}
+    return outputs
+
+
+@pytest.mark.parametrize('seed', range(max(2, N_SEEDS // 3)))
+def test_fuzz_lookahead_lane_equality(tmp_path, monkeypatch,
+                                      tiny_model, seed):
+    """Lookahead write-back (reference lock-in emulation): the native
+    lane gates itself off; the lxml and requested-native runs must
+    match the object lane exactly."""
+    rnd = random.Random(5000 + seed)
+    page_xmls = {}
+    for pi in range(2):
+        page_id = 'phys_%04d' % (pi + 1)
+        xml, _ = fuzz_page_xml(rnd, page_id)
+        page_xmls[page_id] = xml
+    outputs = _run_lanes(
+        tmp_path, monkeypatch, tiny_model, page_xmls,
+        {'textequiv_level': 'glyph', 'alternative_decoding': True,
+         'lookahead_writeback': True, 'beam_width': 4},
+        {'native': ('1', '1'), 'records': ('1', '0'),
+         'object': ('0', '0')})
+    assert outputs['native'] == outputs['records'] == \
+        outputs['object'], 'seed %d: lookahead lanes diverged' % seed
+
+
+@pytest.mark.parametrize('seed', range(max(2, N_SEEDS // 3)))
+def test_fuzz_scoring_lane_equality(tmp_path, monkeypatch, tiny_model,
+                                    seed):
+    """Plain scoring (alternative_decoding=false): record and object
+    lanes blend confidences identically on fuzzed documents."""
+    rnd = random.Random(7000 + seed)
+    level = 'word' if rnd.random() < 0.5 else 'glyph'
+    page_xmls = {}
+    for pi in range(rnd.randint(1, 2)):
+        page_id = 'phys_%04d' % (pi + 1)
+        xml, _ = fuzz_page_xml(rnd, page_id)
+        page_xmls[page_id] = xml
+    outputs = _run_lanes(
+        tmp_path, monkeypatch, tiny_model, page_xmls,
+        {'textequiv_level': level, 'alternative_decoding': False},
+        {'records': ('1', '0'), 'object': ('0', '0')})
+    assert outputs['records'] == outputs['object'], \
+        'seed %d: scoring lanes diverged' % seed

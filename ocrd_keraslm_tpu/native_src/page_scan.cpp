@@ -116,6 +116,10 @@ struct Doc {
     // consumed by page_emit
     struct EmitEdit { int64_t s, e; std::string rep; };
     std::vector<EmitEdit> apply_edits;
+    // codepoint -> byte table of text_blob, built on first use
+    // (text_blob is immutable after the scan; lattice, fill, and
+    // apply all need the same table)
+    std::vector<int64_t> t2b_cache;
 };
 
 bool starts(const std::string& b, size_t p, const char* s) {
@@ -630,6 +634,16 @@ std::vector<int64_t> cp_to_byte(const std::string& blob) {
     return off;
 }
 
+// the Doc's text_blob table, built once and cached (the blob is
+// immutable after the scan; lattice, fill, and apply share it)
+const std::vector<int64_t>& doc_t2b(Doc* d) {
+    if (d->t2b_cache.empty() && !d->text_blob.empty())
+        d->t2b_cache = cp_to_byte(d->text_blob);
+    else if (d->t2b_cache.empty())
+        d->t2b_cache.push_back(0);
+    return d->t2b_cache;
+}
+
 // first te of an element after the PAGE index-sort rule (index = rank
 // when ALL tes carry one); -1 if the element has no tes
 int32_t first_te(const Doc* d, const El& el, std::vector<int32_t>* order) {
@@ -734,7 +748,7 @@ extern "C" PyObject* page_lattice(PyObject* cap, int level, int merge,
         return PyUnicode_FromString(d->bail.c_str());
     if (level != (int)K_GLYPH && level != (int)K_WORD)
         return PyUnicode_FromString("level not in fast lane");
-    const std::vector<int64_t> t2b = cp_to_byte(d->text_blob);
+    const std::vector<int64_t>& t2b = doc_t2b(d);
     auto text_of = [&](int32_t ti) {
         const TE& te = d->tes[ti];
         return d->text_blob.substr(
@@ -996,7 +1010,7 @@ extern "C" int64_t page_fill(PyObject* cap, const int32_t* table,
                              int32_t* piece_len) {
     Doc* d = get_doc(cap);
     if (!d) return -1;
-    const std::vector<int64_t> t2b = cp_to_byte(d->text_blob);
+    const std::vector<int64_t>& t2b = doc_t2b(d);
 
     // encode a te's text into ids via the codepoint table
     auto encode = [&](int32_t ti, std::vector<int32_t>* out) {
@@ -1231,7 +1245,7 @@ extern "C" PyObject* page_apply(PyObject* cap, int level,
     }
 
     // ---- projection (replica of _project) ----
-    const std::vector<int64_t> t2b = cp_to_byte(d->text_blob);
+    const std::vector<int64_t>& t2b = doc_t2b(d);
     std::vector<int32_t> te_of(n_els);
     std::vector<double> conf_of(n_els);
     std::vector<int32_t> order_tmp;
@@ -1372,11 +1386,16 @@ extern "C" PyObject* page_apply(PyObject* cap, int level,
 extern "C" PyObject* page_emit(PyObject* cap, PyObject* extra) {
     Doc* d = get_doc(cap);
     if (!d) return PyUnicode_FromString("no document");
-    std::vector<Doc::EmitEdit> edits = d->apply_edits;
+    // the apply edits carry ~page-sized replacement strings: sort an
+    // index over [apply_edits | extra] instead of deep-copying them.
+    // Index order preserves the stable-sort tie semantics (apply
+    // edits first, each list in insertion order).
+    std::vector<Doc::EmitEdit> extra_edits;
     if (extra && extra != Py_None) {
         PyObject* seq = PySequence_Fast(extra, "extra edits");
         if (!seq) return nullptr;
         Py_ssize_t ne = PySequence_Fast_GET_SIZE(seq);
+        extra_edits.reserve((size_t)ne);
         for (Py_ssize_t i = 0; i < ne; i++) {
             PyObject* it = PySequence_Fast_GET_ITEM(seq, i);
             long long s, e;
@@ -1386,25 +1405,30 @@ extern "C" PyObject* page_emit(PyObject* cap, PyObject* extra) {
                 Py_DECREF(seq);
                 return nullptr;
             }
-            edits.push_back({(int64_t)s, (int64_t)e,
-                             std::string(rep, (size_t)rn)});
+            extra_edits.push_back({(int64_t)s, (int64_t)e,
+                                   std::string(rep, (size_t)rn)});
         }
         Py_DECREF(seq);
     }
-    std::stable_sort(edits.begin(), edits.end(),
-                     [](const Doc::EmitEdit& a,
-                        const Doc::EmitEdit& b) {
-                         return a.s != b.s ? a.s < b.s : a.e < b.e;
+    std::vector<const Doc::EmitEdit*> order;
+    order.reserve(d->apply_edits.size() + extra_edits.size());
+    for (const auto& ed : d->apply_edits) order.push_back(&ed);
+    for (const auto& ed : extra_edits) order.push_back(&ed);
+    std::stable_sort(order.begin(), order.end(),
+                     [](const Doc::EmitEdit* a,
+                        const Doc::EmitEdit* b) {
+                         return a->s != b->s ? a->s < b->s
+                                             : a->e < b->e;
                      });
     std::string out;
     out.reserve(d->buf.size() + 4096);
     int64_t pos = 0;
-    for (const auto& ed : edits) {
-        if (ed.s < pos)
+    for (const Doc::EmitEdit* ed : order) {
+        if (ed->s < pos)
             return PyUnicode_FromString("overlapping splice edits");
-        out.append(d->buf, pos, ed.s - pos);
-        out.append(ed.rep);
-        pos = ed.e;
+        out.append(d->buf, pos, ed->s - pos);
+        out.append(ed->rep);
+        pos = ed->e;
     }
     out.append(d->buf, pos, d->buf.size() - pos);
     return PyBytes_FromStringAndSize(out.data(),

@@ -449,7 +449,8 @@ class NativePageDoc:
                 # from pretty-printed attributes — or '/' or '>'.
                 s, e = self.espan[ei]
                 tag = self.data[s:e]
-                name = re.split(br'[ \t\r\n/>]', tag[1:], 1)[0]
+                name = re.split(br'[ \t\r\n/>]', tag[1:],
+                                maxsplit=1)[0]
                 edits.append((int(s), int(e),
                               tag[:-2] + b'>' + frag +
                               b'</' + name + b'>'))
@@ -475,8 +476,14 @@ class NativePageDoc:
                             text = ''.join(
                                 blob[tt[ti, 0]:tt[ti, 1]]
                                 for ti in tis if ti >= 0)
-                            conf = (float(conf_of[glyphs].sum() /
-                                          len(glyphs))
+                            # sequential sum in glyph order, NOT
+                            # numpy's pairwise .sum(): the native
+                            # page_apply accumulates sequentially and
+                            # the two differ in the last ulp for >= 8
+                            # glyphs, which can flip a %.6g boundary
+                            # and break native/Python byte parity
+                            conf = (sum(float(conf_of[g])
+                                        for g in glyphs) / len(glyphs)
                                     if len(glyphs) else 0.0)
                             set_te(int(wi), text, conf)
                     line_text = ' '.join(cur_text(w) for w in words)

@@ -123,6 +123,11 @@ class KerasRate:
         self._ws_lock = threading.Lock()
         self.download = download
         self.parameter = dict(parameter or {})
+        # deferred-METS-save state (see process_workspace): explicit
+        # lifecycle instead of getattr guards in the write helpers
+        self._defer_mets = False
+        self._mets_dirty = False
+        self._mets_unsaved = 0
         for name, schema in OCRD_TOOL['parameters'].items():
             if name not in self.parameter:
                 if schema.get('required'):
@@ -196,22 +201,41 @@ class KerasRate:
         if self.rater is None:
             self.workspace = workspace
             self.setup()
-        # defer the METS save to ONE write at end-of-run (ocrd core
-        # semantics: the workspace METS is saved after processing, not
-        # per page — and per-page saves re-serialize the whole file
-        # section, O(pages^2) on long documents).  A mid-run abort
-        # still persists everything added so far (finally).
+        # defer the METS save to end-of-run (ocrd core semantics: the
+        # workspace METS is saved after processing, not per page — and
+        # per-page saves re-serialize the whole file section,
+        # O(pages^2) on long documents).  Durability: a Python-level
+        # abort persists everything via the except arm below; hard
+        # kills (SIGKILL/OOM) lose at most one flush window of
+        # registrations (_mets_mark_dirty_locked flushes every
+        # KERASLM_METS_FLUSH_PAGES pages, default 64).
         self._defer_mets = True
         self._mets_dirty = False
+        self._mets_unsaved = 0
         try:
             if not self.parameter['alternative_decoding']:
-                return self.process_workspace_stateless(workspace)
-            return self.process_workspace_stateful(workspace)
-        finally:
+                result = self.process_workspace_stateless(workspace)
+            else:
+                result = self.process_workspace_stateful(workspace)
+        except BaseException:
+            # persist what was registered so far, but never mask the
+            # in-flight error with a failing save (the root cause may
+            # already have killed the METS server or the filesystem)
             self._defer_mets = False
-            if self._mets_dirty:
-                with self._ws_lock:
-                    self.workspace.save_mets()
+            try:
+                if self._mets_dirty:
+                    with self._ws_lock:
+                        self.workspace.save_mets()
+            except Exception as save_err:
+                self._base_logger.error(
+                    'deferred METS save failed during abort: %s',
+                    save_err)
+            raise
+        self._defer_mets = False
+        if self._mets_dirty:
+            with self._ws_lock:
+                self.workspace.save_mets()
+        return result
 
     def process_workspace_stateless(self, workspace: Workspace) -> None:
         """Plain scoring: pages are independent (the OCR-D default
@@ -722,10 +746,25 @@ class KerasRate:
             content=to_xml(pcgts),
             force=_config_env('OCRD_EXISTING_OUTPUT',
                               'SKIP') == 'OVERWRITE')
-        if getattr(self, '_defer_mets', False):
-            self._mets_dirty = True
+        if self._defer_mets:
+            self._mets_mark_dirty_locked()
         else:
             self.workspace.save_mets()
+
+    def _mets_mark_dirty_locked(self):
+        """Under ``_ws_lock``: record a deferred METS mutation; flush
+        every ``KERASLM_METS_FLUSH_PAGES`` pages (default 64, 0 =
+        end-of-run only) so a hard kill loses at most one window of
+        registrations while the save stays O(pages/window) instead of
+        the per-page O(pages^2)."""
+        self._mets_dirty = True
+        self._mets_unsaved += 1
+        window = int(os.environ.get('KERASLM_METS_FLUSH_PAGES',
+                                    '64') or 0)
+        if window > 0 and self._mets_unsaved >= window:
+            self.workspace.save_mets()
+            self._mets_unsaved = 0
+            self._mets_dirty = False
 
     def _copy_page_file(self, input_file):
         path = os.path.join(self.workspace.directory,
@@ -733,16 +772,17 @@ class KerasRate:
         with open(path, encoding='utf-8') as fh:
             content = fh.read()
         file_id = self._make_file_id(input_file)
-        self.workspace.add_file(
-            file_grp=self.output_file_grp, ID=file_id,
-            pageId=input_file.pageId,
-            local_filename=os.path.join(self.output_file_grp,
-                                        file_id + '.xml'),
-            mimetype=MIMETYPE_PAGE, content=content, force=True)
-        if getattr(self, '_defer_mets', False):
-            self._mets_dirty = True
-        else:
-            self.workspace.save_mets()
+        with self._ws_lock:
+            self.workspace.add_file(
+                file_grp=self.output_file_grp, ID=file_id,
+                pageId=input_file.pageId,
+                local_filename=os.path.join(self.output_file_grp,
+                                            file_id + '.xml'),
+                mimetype=MIMETYPE_PAGE, content=content, force=True)
+            if self._defer_mets:
+                self._mets_mark_dirty_locked()
+            else:
+                self.workspace.save_mets()
 
     def _handle_page_error(self, err, page_id, input_file=None):
         """Apply OCRD_MISSING_OUTPUT to one page failure: ABORT

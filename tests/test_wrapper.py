@@ -281,3 +281,93 @@ def test_missing_output_policy_stateless(tmp_path, policy, monkeypatch):
         fileGrp='OCR-D-LM')}
     assert 'phys_0001' in outputs and 'phys_0003' in outputs
     assert ('phys_0002' in outputs) == (policy == 'COPY')
+
+
+def _durability_setup(tmp_path):
+    pages = {
+        'phys_0001': [['Was', 'ist', 'Aufklärung']],
+        'phys_0002': [['der', 'Mensch', 'denkt']],
+        'phys_0003': [['die', 'Vernunft', 'siegt']],
+    }
+    ws = build_workspace(str(tmp_path), pages)
+    model = make_tiny_model(tmp_path / 'model.h5',
+                            chars='abcdefghijklmnorstuvwzäßAVEMW ü\n'
+                                  'kfgpD')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'word',
+                                'alternative_decoding': False})
+    proc.setup()
+    return ws, proc
+
+
+def test_mets_abort_save_durability(tmp_path, monkeypatch):
+    """A Python-level abort mid-run persists the pages registered so
+    far to the on-disk METS (the deferred-save except arm)."""
+    monkeypatch.setenv('KERASLM_METS_FLUSH_PAGES', '0')
+    ws, proc = _durability_setup(tmp_path)
+    orig_write = proc._write_page
+
+    def write_then_boom(pcgts, file_id, page_id):
+        if page_id == 'phys_0003':
+            raise RuntimeError('boom on page 3')
+        return orig_write(pcgts, file_id, page_id)
+
+    monkeypatch.setattr(proc, '_write_page', write_then_boom)
+    monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'ABORT')
+    with pytest.raises(RuntimeError, match='boom'):
+        proc.process_workspace(ws)
+    # a FRESH load of the on-disk METS registers the completed pages
+    on_disk = Workspace(ws.directory)
+    got = {f.pageId for f in on_disk.mets.find_files(
+        fileGrp='OCR-D-LM')}
+    assert got == {'phys_0001', 'phys_0002'}
+
+
+def test_mets_abort_save_never_masks_root_cause(tmp_path, monkeypatch):
+    """When the deferred METS save itself fails during an abort, the
+    ORIGINAL error must propagate (not the save failure)."""
+    monkeypatch.setenv('KERASLM_METS_FLUSH_PAGES', '0')
+    ws, proc = _durability_setup(tmp_path)
+    orig_write = proc._write_page
+
+    def write_then_boom(pcgts, file_id, page_id):
+        if page_id == 'phys_0003':
+            raise RuntimeError('root cause')
+        return orig_write(pcgts, file_id, page_id)
+
+    monkeypatch.setattr(proc, '_write_page', write_then_boom)
+    monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'ABORT')
+
+    def broken_save():
+        raise OSError('mets server is gone')
+
+    monkeypatch.setattr(ws, 'save_mets', broken_save)
+    with pytest.raises(RuntimeError, match='root cause'):
+        proc.process_workspace(ws)
+
+
+def test_mets_periodic_flush_window(tmp_path, monkeypatch):
+    """KERASLM_METS_FLUSH_PAGES=1 flushes the METS per page, bounding
+    what a hard kill (SIGKILL/OOM) can lose; the default window saves
+    once at end-of-run."""
+    for window, min_saves in (('1', 3), ('0', 1)):
+        wdir = tmp_path / ('w%s' % window)
+        wdir.mkdir()
+        monkeypatch.setenv('KERASLM_METS_FLUSH_PAGES', window)
+        ws, proc = _durability_setup(wdir)
+        calls = []
+        orig_save = ws.save_mets
+        monkeypatch.setattr(
+            ws, 'save_mets',
+            lambda orig_save=orig_save, calls=calls:
+                (calls.append(1), orig_save())[1])
+        proc.process_workspace(ws)
+        assert len(calls) >= min_saves, window
+        if window == '0':
+            assert len(calls) == 1  # ONE end-of-run save
+        on_disk = Workspace(ws.directory)
+        got = {f.pageId for f in on_disk.mets.find_files(
+            fileGrp='OCR-D-LM')}
+        assert got == {'phys_0001', 'phys_0002', 'phys_0003'}

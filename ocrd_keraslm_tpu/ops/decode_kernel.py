@@ -51,23 +51,21 @@ BIG = 1.0e30
 LANE = 128
 
 
-def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
-               emb_ref, D, W, v_real, viota):
-    """One masked char step shared by BOTH decode kernels: the LSTM
-    stack over packed rows ``[xemb | h_0.. | c_0..]``, the tied-softmax
-    -log2 p of the current char, and the updated packed state.  Keeping
-    this in ONE place is what makes the batch kernel's "per-doc
-    semantics identical to the single-document kernel" guarantee hold
-    by construction.  Returns (stateE_new, nll2 (rows, 1))."""
+def _lstm_stack(state, wcat_ref, bias_ref, D, W):
+    """The D-layer LSTM gate stack over packed rows
+    ``[xemb | h_0.. | c_0..]`` — ONE implementation for every decode
+    kernel body (masked char step and the batch kernel's L==1 parent-
+    row fast path), so dtype handling and gate order can never drift
+    between them.  Returns (new_h list, new_c list, top h)."""
     new_h, new_c = [], []
     inp = None
     for d in range(D):
         if d == 0:
             # [xemb | h_0] is contiguous in the packed layout
-            operand = stateE[:, 0:2 * W]
+            operand = state[:, 0:2 * W]
         else:
             operand = jnp.concatenate(
-                [inp, stateE[:, (1 + d) * W:(2 + d) * W]], axis=1)
+                [inp, state[:, (1 + d) * W:(2 + d) * W]], axis=1)
         # .astype follows the weights' dtype: a no-op at f32; under
         # the opt-in bf16 decode mode the gate matmul runs ONE MXU
         # pass on bf16 inputs (f32 accumulate) instead of the
@@ -79,11 +77,23 @@ def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
         f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
         g = jnp.tanh(z[:, 2 * W:3 * W])
         o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
-        c2 = f * stateE[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
+        c2 = f * state[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
         h2 = o * jnp.tanh(c2)
         new_h.append(h2)
         new_c.append(c2)
         inp = h2
+    return new_h, new_c, inp
+
+
+def _char_step(stateE, onehot_cur, wcat_ref, bias_ref, embT_ref,
+               emb_ref, D, W, v_real, viota):
+    """One masked char step shared by BOTH decode kernels: the LSTM
+    stack over packed rows ``[xemb | h_0.. | c_0..]``, the tied-softmax
+    -log2 p of the current char, and the updated packed state.  Keeping
+    this in ONE place is what makes the batch kernel's "per-doc
+    semantics identical to the single-document kernel" guarantee hold
+    by construction.  Returns (stateE_new, nll2 (rows, 1))."""
+    new_h, new_c, inp = _lstm_stack(stateE, wcat_ref, bias_ref, D, W)
 
     logits = jnp.dot(inp.astype(embT_ref.dtype), embT_ref[:],
                      preferred_element_type=jnp.float32)
@@ -504,27 +514,8 @@ def _make_batch_kernel(N, D, K, A, L, W, V, V_real, lm_weight):
         state = state_ref[:]                               # (NK, S)
 
         # ---- LSTM stack + softmax stats at NK parent rows ----
-        new_h, new_c = [], []
-        inp = None
-        for d in range(D):
-            if d == 0:
-                operand = state[:, 0:2 * W]
-            else:
-                operand = jnp.concatenate(
-                    [inp, state[:, (1 + d) * W:(2 + d) * W]], axis=1)
-            # dtype-following cast: no-op at f32, one MXU pass at bf16
-            z = (jnp.dot(operand.astype(wcat_ref.dtype), wcat_ref[d],
-                         preferred_element_type=jnp.float32)
-                 + bias_ref[d])
-            i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
-            f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
-            g = jnp.tanh(z[:, 2 * W:3 * W])
-            o = jax.nn.sigmoid(z[:, 3 * W:4 * W])
-            c2 = f * state[:, (1 + D + d) * W:(2 + D + d) * W] + i * g
-            h2 = o * jnp.tanh(c2)
-            new_h.append(h2)
-            new_c.append(c2)
-            inp = h2
+        new_h, new_c, inp = _lstm_stack(state, wcat_ref, bias_ref,
+                                        D, W)
         viota_nk = jax.lax.broadcasted_iota(jnp.int32, (NK, V), 1)
         logits = jnp.dot(inp.astype(embT_ref.dtype), embT_ref[:],
                          preferred_element_type=jnp.float32)  # (NK, V)

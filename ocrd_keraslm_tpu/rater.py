@@ -291,6 +291,28 @@ def _linear_edges(graph):
     return out
 
 
+def _stacked_fetch(items):
+    """ONE host fetch per distinct array shape.
+
+    ``items`` is ``[(key, device_array), ...]``; returns
+    ``{key: np.ndarray}``.  Each host<->device sync costs a full RTT
+    (~25ms over tunneled setups, measured), so same-shape arrays cross
+    in one ``jnp.stack`` instead of one fetch each."""
+    out: Dict[Any, np.ndarray] = {}
+    by_shape: Dict[Any, list] = {}
+    for key, arr in items:
+        by_shape.setdefault(tuple(arr.shape), []).append((key, arr))
+    for group in by_shape.values():
+        if len(group) == 1:
+            key, arr = group[0]
+            out[key] = np.asarray(arr)
+            continue
+        stacked = np.asarray(jnp.stack([a for _, a in group]))
+        for row, (key, _) in enumerate(group):
+            out[key] = stacked[row]
+    return out
+
+
 def _alt_steps(alt_mask):
     """Per-edge char-step bound for the fused kernels' ``fori_loop``
     (ops/decode_kernel.py): the longest real alternative at each edge.
@@ -1110,14 +1132,17 @@ class Rater:
         if mesh is not None:
             n_data = mesh.shape.get('data', 1)
             N = -(-n_live // n_data) * n_data
-        fill = [edges_list[live[i % n_live]] for i in range(N)]
+        fill_idx = [live[i % n_live] for i in range(N)]
         chars = np.zeros((N, E, A, L), np.int32)
         mask = np.zeros((N, E, A, L), np.float32)
         conf = np.zeros((N, E, A, L), np.float32)
         valid = np.zeros((N, E, A), np.float32)
-        for i, edges in enumerate(fill):
-            (chars[i], mask[i], conf[i],
-             valid[i]) = self._fill_decode_arrays(edges, E, A, L)
+        filled = {}  # mesh-padding repeats reuse the filled arrays
+        for i, src in enumerate(fill_idx):
+            if src not in filled:
+                filled[src] = self._fill_decode_arrays(
+                    edges_list[src], E, A, L)
+            (chars[i], mask[i], conf[i], valid[i]) = filled[src]
         h0, c0, x0, cost0 = self._xla_traceback(None, K)
         h0 = np.broadcast_to(h0, (N,) + h0.shape).copy()
         c0 = np.broadcast_to(c0, (N,) + c0.shape).copy()
@@ -1379,8 +1404,8 @@ class Rater:
         ``copy_to_host_async`` during its dispatch loop, so the bytes
         are on the host (or in flight) — converting each array
         directly beats re-staging a stacked copy on device."""
-        groups: Dict[Any, List[Tuple[int, int, Any]]] = {}
         new = [list(p) for p in pendings]
+        items = []
         for pi, p in enumerate(pendings):
             if p[0] == 'done':
                 continue
@@ -1388,16 +1413,12 @@ class Rater:
             for bi, arr in enumerate(p[2]):
                 if isinstance(arr, np.ndarray):
                     continue
-                groups.setdefault(tuple(arr.shape), []).append(
-                    (pi, bi, arr))
-        for shape, items in groups.items():
-            if len(items) == 1 or prefetched:
-                for pi, bi, arr in items:
+                if prefetched:
                     new[pi][2][bi] = np.asarray(arr)
-                continue
-            stacked = np.asarray(jnp.stack([a for _, _, a in items]))
-            for row, (pi, bi, _) in enumerate(items):
-                new[pi][2][bi] = stacked[row]
+                else:
+                    items.append(((pi, bi), arr))
+        for (pi, bi), val in _stacked_fetch(items).items():
+            new[pi][2][bi] = val
         return [tuple(p) for p in new]
 
     @_gc_paused
@@ -1900,20 +1921,9 @@ class Rater:
         # host<->device sync costs a full RTT (~25ms over tunneled
         # setups, measured; per-group fetches regressed the batch
         # bench), so everything crosses in as few syncs as possible
-        flat = [(gi, bi, w) for gi, (_, _, ws) in enumerate(pending)
-                for bi, w in enumerate(ws)]
-        fetched: Dict[Tuple[int, int], np.ndarray] = {}
-        by_shape: Dict[Any, List[Tuple[int, int, Any]]] = {}
-        for gi, bi, w in flat:
-            by_shape.setdefault(tuple(w.shape), []).append((gi, bi, w))
-        for shape, items in by_shape.items():
-            if len(items) == 1:
-                gi, bi, w = items[0]
-                fetched[(gi, bi)] = np.asarray(w)
-                continue
-            stacked = np.asarray(jnp.stack([a for _, _, a in items]))
-            for row, (gi, bi, _) in enumerate(items):
-                fetched[(gi, bi)] = stacked[row]
+        fetched = _stacked_fetch(
+            [((gi, bi), w) for gi, (_, _, ws) in enumerate(pending)
+             for bi, w in enumerate(ws)])
         for gi, (group, E_blk, ws) in enumerate(pending):
             for di, i in enumerate(group):
                 edges = prepared[i]

@@ -93,11 +93,14 @@ def train_step(params, opt_state, cfg: LMConfig, x, zs, y, mask, carry,
     return params, opt_state, carry, loss, nll, acc
 
 
-@partial(jax.jit, static_argnames='cfg')
+@partial(jax.jit, static_argnames=('cfg', 'use_pallas'))
 def eval_step(params, cfg: LMConfig, x, zs, y, mask, carry,
-              x_mask=None):
+              x_mask=None, use_pallas=False):
+    # use_pallas: same fused-recurrence gate as train_step — the
+    # validation pass runs every epoch and should not pay the scan
+    # dispatch cost the kernel exists to avoid (forward-only here)
     _, (nll, acc, carry) = _loss_fn(params, cfg, x, zs, y, mask, carry,
-                                    None, False, x_mask)
+                                    None, False, x_mask, use_pallas)
     return nll, acc, carry
 
 
@@ -298,7 +301,11 @@ def train_rater(rater, data, val_data=None) -> None:
     history: Dict[str, List[float]] = {
         'loss': [], 'accuracy': [], 'val_loss': [], 'val_accuracy': []}
     best_val = np.inf
-    best_params = params
+    # None until the first improvement: aliasing the initial `params`
+    # would keep a reference to buffers the first train_step DONATES
+    # (donate_argnums=0) — snapshotting them later would device_get
+    # deleted arrays
+    best_params = None
     best_epoch = -1
     bad_epochs = 0
     nan_seen = False
@@ -320,7 +327,9 @@ def train_rater(rater, data, val_data=None) -> None:
     def snapshot(epoch_done):
         if ckpt_mgr is None:
             return
-        state = {'params': params, 'best_params': best_params,
+        state = {'params': params,
+                 'best_params': (best_params if best_params is not None
+                                 else params),
                  'opt': jax.tree_util.tree_leaves(opt_state)}
         ckpt_mgr.save(epoch_done, state, {
             'epoch_done': epoch_done,
@@ -367,6 +376,7 @@ def train_rater(rater, data, val_data=None) -> None:
             acc_acc = jnp.float32(0)
             acc_n = 0.0
             last_loss = None
+            interrupted = False
             from .native import Prefetcher
             for batch in Prefetcher(make_gen(plan.training_files,
                                              True, data_rng)):
@@ -403,6 +413,7 @@ def train_rater(rater, data, val_data=None) -> None:
                 steps_done += 1
                 last_loss = loss
                 if stopper.received:
+                    interrupted = True
                     break
             tr_loss = float(acc_nll)
             tr_acc = float(acc_acc)
@@ -431,7 +442,8 @@ def train_rater(rater, data, val_data=None) -> None:
                     carry = zero_carry(cfg, batch_dim)
                 nll, acc, carry = eval_step(
                     params, cfg, batch.x, tuple(batch.zs), batch.y,
-                    batch.mask, carry, batch.x_mask)
+                    batch.mask, carry, batch.x_mask,
+                    use_pallas=fast_recurrence)
                 w = float(np.sum(batch.mask))
                 va_nll_acc = va_nll_acc + nll * w
                 va_acc_acc = va_acc_acc + acc * w
@@ -491,11 +503,21 @@ def train_rater(rater, data, val_data=None) -> None:
                 # but never before MIN_STEPS_BEFORE_STOP optimizer
                 # steps (see constant)
                 if bad_epochs >= PATIENCE and \
-                        steps_done >= MIN_STEPS_BEFORE_STOP:
+                        steps_done >= MIN_STEPS_BEFORE_STOP and \
+                        not interrupted:
                     snapshot(epoch + 1)
                     rater.logger.info('early stopping (best epoch %d)',
                                       best_epoch + 1)
                     break
+            if interrupted:
+                # SIGINT broke the batch loop mid-epoch: keep the
+                # previous epoch's snapshot — the resume contract is
+                # last-COMPLETED-epoch, and recording the partial pass
+                # would make a resume skip its unseen data.  (The
+                # validation/improvement bookkeeping above still ran,
+                # like the reference's on_epoch_end after stop_training
+                # — best weights may come from the partial epoch.)
+                break
             snapshot(epoch + 1)
             if stopper.received:
                 break
@@ -504,7 +526,8 @@ def train_rater(rater, data, val_data=None) -> None:
         if ckpt_mgr is not None:
             ckpt_mgr.close()  # wait for + commit the in-flight save
 
-    rater.params = best_params if best_epoch >= 0 else params
+    rater.params = best_params if (
+        best_epoch >= 0 and best_params is not None) else params
     if hasattr(rater, '_params_changed'):
         rater._params_changed()  # invalidate device weight caches
     rater.history = history

@@ -151,6 +151,7 @@ class TrainCheckpointer:
         self._ckptr = ocp.AsyncCheckpointer(
             ocp.PyTreeCheckpointHandler())
         self._committer = None
+        self._commit_error = None
 
     def save(self, epoch_done: int, state: Dict[str, Any],
              meta: Dict[str, Any]) -> None:
@@ -176,8 +177,16 @@ class TrainCheckpointer:
 
     def _wait_and_commit(self, tmp: str, final: str) -> None:
         import shutil
-        self._ckptr.wait_until_finished()
-        os.rename(tmp, final)
+        # a failure here (disk full, permissions, Orbax write error)
+        # must NOT die silently with the daemon thread: training would
+        # keep running believing every epoch is checkpointed.  Record
+        # it and re-raise at the next synchronization point.
+        try:
+            self._ckptr.wait_until_finished()
+            os.rename(tmp, final)
+        except BaseException as err:  # noqa: BLE001 — surfaced below
+            self._commit_error = err
+            return
         # prune everything but the newest committed snapshot
         for entry in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, entry)
@@ -185,10 +194,15 @@ class TrainCheckpointer:
                 shutil.rmtree(full, ignore_errors=True)
 
     def finalize(self) -> None:
-        """Block until the in-flight snapshot (if any) is committed."""
+        """Block until the in-flight snapshot (if any) is committed.
+        Raises the commit thread's failure, if it had one."""
         if self._committer is not None:
             self._committer.join()
             self._committer = None
+        if self._commit_error is not None:
+            err, self._commit_error = self._commit_error, None
+            raise RuntimeError('checkpoint snapshot commit failed: %s'
+                               % err) from err
 
     def close(self) -> None:
         self.finalize()

@@ -255,3 +255,70 @@ def test_cross_topology_resume(tmp_path):
         np.testing.assert_allclose(
             rc.history[key], ra.history[key], rtol=1e-3,
             err_msg='cross-topology resumed %s diverged' % key)
+
+
+def test_sigint_mid_epoch_keeps_last_completed_snapshot(
+        corpus, tmp_path, monkeypatch):
+    """A SIGINT that breaks the batch loop mid-epoch must NOT record
+    the partial epoch as completed: resume would skip its unseen data
+    (the contract is last-COMPLETED-epoch)."""
+    from ocrd_keraslm_tpu.utils.orbaxio import load_train_state
+
+    snap1 = tmp_path / 'snap_sig1'
+    _train(corpus, tmp_path, 1, resume_dir=snap1, tag='s1')
+    st1 = load_train_state(str(snap1))
+    steps_epoch = int(st1['meta']['steps_done'])
+    assert st1['meta']['epoch_done'] == 1
+    assert steps_epoch > 4
+
+    counter = {'n': 0}
+    real_step = training.train_step
+
+    def counting_step(*a, **k):
+        counter['n'] += 1
+        return real_step(*a, **k)
+
+    class FakeStop:
+        """Flips 'received' two steps into epoch 2."""
+
+        def __init__(self, *a, **k):
+            pass
+
+        @property
+        def received(self):
+            return counter['n'] >= steps_epoch + 2
+
+        def restore(self):
+            pass
+
+    monkeypatch.setattr(training, 'train_step', counting_step)
+    monkeypatch.setattr(training, 'StopSignal', FakeStop)
+    snap2 = tmp_path / 'snap_sig2'
+    _train(corpus, tmp_path, 4, resume_dir=snap2, tag='s2')
+    st2 = load_train_state(str(snap2))
+    assert st2['meta']['epoch_done'] == 1, \
+        'partial epoch 2 recorded as completed'
+
+
+def test_snapshot_commit_failure_surfaces(tmp_path):
+    """A failed async snapshot commit (disk full, permissions) must
+    raise at the next synchronization point, not die silently with
+    the daemon thread."""
+    from ocrd_keraslm_tpu.utils.orbaxio import (TrainCheckpointer,
+                                                load_train_state)
+
+    ck = TrainCheckpointer(str(tmp_path / 'snap'))
+    ck.save(1, {'x': np.zeros(3, np.float32)}, {'epoch_done': 1})
+    ck.finalize()
+
+    # drive the commit path against a rename that cannot succeed (the
+    # same failure mode as disk-full/permissions at commit time)
+    ck._wait_and_commit(str(tmp_path / 'snap' / 'missing.tmp'),
+                        str(tmp_path / 'snap' / 'ep_0002'))
+    with pytest.raises(RuntimeError, match='snapshot commit failed'):
+        ck.finalize()
+    # a second finalize does not re-raise; the committed snapshot
+    # remains the loadable one
+    ck.finalize()
+    st = load_train_state(str(tmp_path / 'snap'))
+    assert st['meta']['epoch_done'] == 1

@@ -279,7 +279,8 @@ def test_early_stop_respects_step_floor(corpus, tmp_path, monkeypatch):
     import jax.numpy as jnp
     real_eval = training.eval_step
 
-    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None):
+    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None,
+                  use_pallas=False):
         nll, acc, carry = real_eval(
             params, cfg, x, zs, y, mask, carry, x_mask)
         return jnp.float32(1.0), acc, carry  # constant val loss
@@ -307,7 +308,8 @@ def test_epochs_below_patience(corpus, tmp_path, monkeypatch):
     import jax.numpy as jnp
     real_eval = training.eval_step
 
-    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None):
+    def flat_eval(params, cfg, x, zs, y, mask, carry, x_mask=None,
+                  use_pallas=False):
         nll, acc, carry = real_eval(
             params, cfg, x, zs, y, mask, carry, x_mask)
         return jnp.float32(1.0), acc, carry

@@ -138,6 +138,9 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
                 raise ValueError(
                     'stateful mode needs >= 2 files to split '
                     '(or explicit validation files)')
+            # ceil can otherwise claim EVERY file for validation at
+            # validation_split >= (n-1)/n, silently training on nothing
+            cut = min(cut, len(files) - 1)
             training, validation = files[:-cut], files[-cut:]
         for name in training:
             total += lens[name]
@@ -265,7 +268,10 @@ def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
                     x_mask=x_mask)
     rand = (rand - char_deg) / (1 - char_deg)
     if 0 < rand < ctx_deg and zs:
-        j = int((len(zs) - 1) * rand / ctx_deg) if len(zs) > 1 else 0
+        # reference rating.py:1074: j = int(n_inputs-1 * q)+1 over
+        # [chars|ctx...] covers ALL contexts; (len(zs)-1)*q missed
+        # the last one for n>=2
+        j = int(len(zs) * rand / ctx_deg)
         za = [z.copy() for z in zs]
         za[j][:] = 0
         yield Batch(x.copy(), za, y, mask, file_name=name,
@@ -309,7 +315,10 @@ def _stateful_augment(x, zs, y, mask, rand, char_deg, ctx_deg, length,
                     file_name=name)
     rand = (rand - char_deg) / (1 - char_deg)
     if 0 < rand < ctx_deg and zs:
-        j = int((len(zs) - 1) * rand / ctx_deg) if len(zs) > 1 else 0
+        # reference rating.py:1074: j = int(n_inputs-1 * q)+1 over
+        # [chars|ctx...] covers ALL contexts; (len(zs)-1)*q missed
+        # the last one for n>=2
+        j = int(len(zs) * rand / ctx_deg)
         za = [z.copy() for z in zs]
         za[j][:] = 0
         yield Batch(x.copy(), za, y, mask, file_name=name)
@@ -420,17 +429,19 @@ def _stream_windows_numpy(ids, size, batch_size, length):
     """NumPy fallback for the native stream batch builder."""
     B = max(1, min(batch_size, (size - 1) // (length + 1)))
     stream_len = (size - 1) // B
-    # CEIL: the final partial window carries up to length-1 chars per
-    # stream (masked); flooring silently dropped them from training
-    n_windows = max(-(-stream_len // length), 1)
+    # the LAST stream absorbs the (size-1) % B tiling remainder (equal
+    # tiling silently dropped up to B-1 trailing chars per file); CEIL
+    # includes the masked final partial window
+    last_len = (size - 1) - (B - 1) * stream_len
+    n_windows = max(-(-last_len // length), 1)
     for w in range(n_windows):
         x = np.zeros((batch_size, length), np.int32)
         y = np.zeros((batch_size, length), np.int32)
         mask = np.zeros((batch_size, length), np.float32)
         for b in range(B):
+            end = size - 1 if b == B - 1 else (b + 1) * stream_len
             lo = b * stream_len + w * length
-            hi = min(lo + length, b * stream_len + stream_len,
-                     size - 1)
+            hi = min(lo + length, end)
             n = hi - lo
             if n <= 0:
                 continue

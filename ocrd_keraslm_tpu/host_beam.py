@@ -196,22 +196,26 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
     zs = rater._context_arrays(context, Np)
     row = np.arange(Np)
     maxlen = max((len(s) for s in seqs), default=0)
+    # hoisted per-edge constants (these were rebuilt in Python per
+    # char step: O(maxlen * N) overhead on the CPU/parity path)
+    bits_pad = np.zeros((Np,), np.float64)
+    bits_pad[:N] = np.tile(np.asarray(bits, np.float64), nB)
+    lens_pad = np.zeros((Np,), np.int64)
+    lens_pad[:N] = np.tile(np.array([len(s) for s in seqs],
+                                    np.int64), nB)
+    seq_pad = np.zeros((Np, max(maxlen, 1)), np.int32)
+    for ai, seq in enumerate(seqs):
+        if len(seq):
+            seq_pad[np.arange(nB) * nA + ai, :len(seq)] = seq
     for t in range(maxlen):
         probs, h2, c2 = _predict_step(rater.params, rater.cfg, x, zs,
                                       h, c)
         probs = np.asarray(probs)
-        nxt = x.copy()
-        live = np.zeros((Np,), bool)
-        for i in range(N):
-            seq = seqs[i % nA]
-            if t < len(seq):
-                live[i] = True
-                nxt[i] = seq[t]
+        live = t < lens_pad
+        nxt = np.where(live, seq_pad[:, t], x)
         p = probs[row, nxt]
         step_bits = (lm_weight * -np.log2(np.maximum(p, 1e-99))
-                     + (1.0 - lm_weight)
-                     * np.array([bits[i % nA] for i in range(N)]
-                                + [0.0] * (Np - N)))
+                     + (1.0 - lm_weight) * bits_pad)
         cost = cost + np.where(live[:N], step_bits[:N], 0.0)
         h = np.where(live[None, :, None], np.asarray(h2), h)
         c = np.where(live[None, :, None], np.asarray(c2), c)

@@ -190,8 +190,11 @@ def build_stream_batches(ids: np.ndarray, batch: int, length: int):
         return None
     B = max(1, min(batch, (n - 1) // (length + 1)))
     stream_len = (n - 1) // B
-    # CEIL: include the masked final partial window of every stream
-    max_windows = max(-(-stream_len // length), 1)
+    # the last stream absorbs the (n-1) % B remainder, so size the
+    # window axis to ITS (longest) length; CEIL includes the masked
+    # final partial window
+    last_len = (n - 1) - (B - 1) * stream_len
+    max_windows = max(-(-last_len // length), 1)
     x = np.zeros((max_windows, batch, length), np.int32)
     y = np.zeros((max_windows, batch, length), np.int32)
     mask = np.zeros((max_windows, batch, length), np.float32)

@@ -29,9 +29,13 @@ int64_t build_stream_batches(const int32_t* ids, int64_t n,
     int64_t B = std::min<int64_t>(
         batch, std::max<int64_t>((n - 1) / (length + 1), 1));
     int64_t stream_len = (n - 1) / B;
+    // the LAST stream absorbs the tiling remainder (n-1) % B — plain
+    // equal tiling silently dropped up to B-1 trailing chars of every
+    // file from training
+    int64_t last_len = (n - 1) - (B - 1) * stream_len;
     // CEIL: the masked final partial window must be included
     int64_t n_windows = std::max<int64_t>(
-        (stream_len + length - 1) / length, 1);
+        (last_len + length - 1) / length, 1);
     n_windows = std::min(n_windows, max_windows);
     *B_used = B;
 
@@ -44,10 +48,10 @@ int64_t build_stream_batches(const int32_t* ids, int64_t n,
         std::memset(yw, 0, sizeof(int32_t) * plane);
         std::memset(mw, 0, sizeof(float) * plane);
         for (int64_t b = 0; b < B; ++b) {
+            int64_t end = (b == B - 1) ? (n - 1)
+                                       : (b + 1) * stream_len;
             int64_t lo = b * stream_len + w * length;
-            int64_t hi = std::min(lo + length,
-                                  std::min(b * stream_len + stream_len,
-                                           n - 1));
+            int64_t hi = std::min(lo + length, end);
             if (hi <= lo)
                 continue;
             int64_t cnt = hi - lo;

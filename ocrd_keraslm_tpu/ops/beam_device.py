@@ -498,19 +498,24 @@ def decode_lattice_device(params, cfg: LMConfig, alt_chars, alt_mask,
         def back_step(k, rec):
             bp_e, ai_e, co_e = rec
             return bp_e[k], (ai_e[k], co_e[k])
-        _, (choices, path_costs) = jax.lax.scan(
+        k_fin, (choices, path_costs) = jax.lax.scan(
             back_step, jnp.int32(0), (backptrs, altidxs, costs),
             reverse=True)
+        # anchor at the ENTRY slot's initial cost (exact, like the
+        # host engine) — the walked path may continue from a non-best
+        # previous-page hypothesis (see decode_kernel's device_walk)
         header = jnp.stack(
-            [jnp.min(cost0), jnp.float32(0)])[None, :]
+            [cost0[k_fin], jnp.float32(0)])[None, :]
         packed = jnp.concatenate([
             header,
             jnp.stack([choices.astype(jnp.float32), path_costs],
                       axis=1),
         ], axis=0)
         return packed, h, c, x_prev, cost
+    # ship the initial-beam cost row in the header's cost third: the
+    # host walker anchors at its computed entry slot
     header = jnp.zeros((1, 3 * K), jnp.float32).at[0, 0].set(
-        jnp.min(cost0))
+        jnp.min(cost0)).at[0, 2 * K:3 * K].set(cost0)
     packed = jnp.concatenate([
         header,
         jnp.concatenate([backptrs.astype(jnp.float32),

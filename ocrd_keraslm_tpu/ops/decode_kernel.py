@@ -394,15 +394,26 @@ def decode_lattice_pallas(emb, embT, wcat, bias,
         def back_step(k, rec_):
             bp_e, alt_e, co_e = rec_
             return bp_e[k].astype(jnp.int32), (alt_e[k], co_e[k])
-        _, (choices, path_costs) = jax.lax.scan(
+        k_fin, (choices, path_costs) = jax.lax.scan(
             back_step, jnp.int32(0), (bp, alt, costs), reverse=True)
-        header = jnp.stack([min_in, jnp.float32(0)])[None, :]
+        # the emission anchor is the ENTRY slot's initial cost (the
+        # walked path may continue from a non-best previous-page
+        # hypothesis), matching the host engine's exact
+        # prev_anchor.cost_after — min(cost0) would deflate the first
+        # edge's conf and inflate the page entropy by the entry slot's
+        # deficit
+        start_in = cost0[0, k_fin]
+        header = jnp.stack([start_in, jnp.float32(0)])[None, :]
         packed = jnp.concatenate([
             header,
             jnp.stack([choices, path_costs], axis=1),
         ], axis=0)
         return packed, stateF, costF
+    # records protocol: the host walks later, so ship the whole
+    # initial-beam cost row in the header's cost third — the walker
+    # anchors at its computed entry slot ([0, 0] keeps min for compat)
     header = jnp.zeros((1, 3 * beam), jnp.float32).at[0, 0].set(min_in)
+    header = header.at[0, 2 * beam:3 * beam].set(cost0[0, :beam])
     packed = jnp.concatenate(
         [header, jnp.concatenate([bp, alt, costs], axis=1)], axis=0)
     return packed, stateF, costF

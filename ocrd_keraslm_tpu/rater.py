@@ -1450,17 +1450,23 @@ class Rater:
                                    start_cost)
         all_rows = []
         start_cost = None
+        start_costs = None
         for packed in packed_blocks:
             packed = np.asarray(packed)
             if start_cost is None:
                 start_cost = float(packed[0, 0])
+                # per-slot initial-beam costs (header cost third): the
+                # walker anchors at its computed entry slot
+                start_costs = np.asarray(packed[0, 2 * K:3 * K],
+                                         np.float64)
             all_rows.append(packed[1:])
         # host traceback (exact across blocks): top_k sorts ascending,
         # so the best final hypothesis is slot 0
         return self._walk_traceback(edges, all_rows, K,
                                     self._E_BUCKETS[-1], start_cost,
                                     start_slot=start_slot,
-                                    return_entry=return_entry)
+                                    return_entry=return_entry,
+                                    start_costs=start_costs)
 
     def _fused_decode_fits(self, rows: int, na: int, L: int,
                            E_blk: int) -> bool:
@@ -2063,7 +2069,8 @@ class Rater:
         return alt_chars, alt_mask, alt_conf, alt_valid
 
     def _walk_traceback(self, edges, all_rows, K, E_MAX,
-                        start_cost, start_slot=0, return_entry=False):
+                        start_cost, start_slot=0, return_entry=False,
+                        start_costs=None):
         """Host backpointer walk over fetched [bp|alt|cost] rows (exact
         across chained blocks; slot 0 is the best final hypothesis),
         then path emission with merged-run score attribution.
@@ -2101,6 +2108,11 @@ class Rater:
             choices.extend(rev_choices[pos:pos + block_len])
             path_costs.extend(rev_costs[pos:pos + block_len])
             pos += len(rows_blk)
+        if start_costs is not None and len(start_costs) > k:
+            # anchor at the ENTRY slot's initial cost, like the host
+            # engine's prev_anchor.cost_after: the walked path may
+            # continue from a non-best previous-page hypothesis
+            start_cost = float(start_costs[k])
         out = self._emit_path(edges, choices, path_costs, start_cost)
         return (out, k) if return_entry else out
 

@@ -77,7 +77,14 @@ class MetsServer:
         if os.path.exists(url):
             # a LIVE server must not be silently hijacked (two
             # 'authoritative' METS instances would alternately
-            # overwrite mets.xml); only a stale socket is removed
+            # overwrite mets.xml); only a stale SOCKET is removed —
+            # anything else at the path (e.g. the user passed the
+            # mets.xml itself as --url) must never be unlinked
+            import stat
+            if not stat.S_ISSOCK(os.stat(url).st_mode):
+                raise OSError(
+                    '%s exists and is not a socket (pass a socket '
+                    'path as the METS server url)' % url)
             probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             try:
                 probe.connect(url)

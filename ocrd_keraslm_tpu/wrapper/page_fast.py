@@ -43,6 +43,9 @@ from .page import (MetadataItem, emit_metadata_item, parse_page_root,
 
 _Q_TEXTEQUIV = _P + 'TextEquiv'
 _Q_UNICODE = _P + 'Unicode'
+# PAGE schema: TextEquiv precedes these trailing children
+_Q_AFTER_TEXTEQUIV = (_P + 'TextStyle', _P + 'UserDefined',
+                      _P + 'Labels')
 _Q_TEXTREGION = _P + 'TextRegion'
 _Q_TEXTLINE = _P + 'TextLine'
 _Q_WORD = _P + 'Word'
@@ -109,8 +112,11 @@ def _parse_tes(el) -> List[FastTextEquiv]:
 def _append_textequiv(parent_node, te) -> etree._Element:
     """Materialize a TextEquiv object as a node under ``parent_node``
     (projection-made plain TextEquivType instances and synthetic
-    winners have no source node)."""
-    te_el = etree.SubElement(parent_node, _Q_TEXTEQUIV)
+    winners have no source node).  Inserted BEFORE any
+    TextStyle/UserDefined child: the PAGE schema orders TextEquiv
+    ahead of them, and a trailing append would break XSD validation
+    of styled elements."""
+    te_el = etree.Element(_Q_TEXTEQUIV)
     index = getattr(te, 'index', None)
     if index is not None:
         te_el.set('index', str(index))
@@ -118,6 +124,12 @@ def _append_textequiv(parent_node, te) -> etree._Element:
         te_el.set('conf', '%.6g' % float(te.conf))
     uni = etree.SubElement(te_el, _Q_UNICODE)
     uni.text = te.Unicode
+    for pos, child in enumerate(parent_node):
+        if child.tag in _Q_AFTER_TEXTEQUIV:
+            parent_node.insert(pos, te_el)
+            break
+    else:
+        parent_node.append(te_el)
     return te_el
 
 
@@ -150,20 +162,22 @@ class _FastText:
         keep = set(map(id, tes))
         node = self.node
         for te in old:
-            if id(te) not in keep and te.node is not None:
-                node.remove(te.node)
+            # projection-made plain TextEquivType objects may have no
+            # node attribute at all — getattr, not te.node
+            te_node = getattr(te, 'node', None)
+            if id(te) not in keep and te_node is not None:
+                node.remove(te_node)
         for te in tes:
             if getattr(te, 'node', None) is None:
-                te_el = _append_textequiv(node, te)
-                if isinstance(te, FastTextEquiv):
-                    te.node = te_el
+                # back-link EVERY materialized node (plain
+                # TextEquivType included) so a later set_TextEquiv on
+                # the same element can remove it again
+                te.node = _append_textequiv(node, te)
         self.text_equivs = list(tes)
 
     def add_TextEquiv(self, te):
         if getattr(te, 'node', None) is None:
-            te_el = _append_textequiv(self.node, te)
-            if isinstance(te, FastTextEquiv):
-                te.node = te_el
+            te.node = _append_textequiv(self.node, te)
         self.text_equivs.append(te)
 
     def get_readingDirection(self):

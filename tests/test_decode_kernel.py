@@ -288,3 +288,59 @@ def test_pad_edge_skip_bit_exact(rater):
                                           err_msg=name)
     finally:
         rater.fused_decode = False
+
+
+@pytest.fixture(scope='module')
+def rater_ambig(tmp_path_factory):
+    """Model trained on BOTH 'abcd' and 'abxe': after 'ab' the chars
+    'c' and 'x' are near-equally likely; only the NEXT page's text
+    resolves which was right."""
+    path = tmp_path_factory.mktemp('ma') / 'lm.h5'
+    model, _ = train_tiny_model(str(path), 'abcd abxe ' * 300,
+                                width=24, length=64, steps=1500)
+    r = Rater()
+    r.load_config(model)
+    r.configure()
+    r.load_weights(model)
+    return r
+
+
+@pytest.mark.parametrize('fused', [True, False])
+def test_cross_page_entry_slot_anchor(rater_ambig, fused):
+    """When page 2's best path continues from a NON-best slot of page
+    1's final beam, the emission anchor must be that entry slot's
+    initial cost (exact, like the host engine's prev_anchor), not
+    min(cost0): page 2's entropy equals final cost minus the ENTRY
+    slot's carried cost."""
+    r = rater_ambig
+    r.fused_decode = fused
+    try:
+        # page 1 ends ambiguously: OCR prefers 'x', the LM is split
+        alternatives = {(1, 2): [('x', 0.95), ('c', 0.5)]}
+        g1, s1, e1 = _toy_graph(['abcd', 'abc'],
+                                alternatives=alternatives)
+        path1, _, tb = r.rate_best_device(g1, s1, e1, beam_width=4)
+        assert path1[-1][1].Unicode == 'x', \
+            'scenario: OCR confidence must win page 1 locally'
+        # page 2 starts with 'd' — only follows 'abc' in training
+        g2, s2, e2 = _toy_graph(['d', 'ab'])
+        pending, _ = r.rate_best_device_begin(
+            g2, s2, e2, device_traceback=tb, beam_width=4,
+            defer_walk=True)
+        (path2, ent2), entry = r.rate_best_device_finish(
+            pending, return_entry=True)
+        assert entry != 0, \
+            'scenario: page 2 must continue from a non-best slot'
+        # exact anchoring: entropy == final cost - entry slot's cost
+        cost0 = np.asarray(tb[-1], np.float64).reshape(-1)
+        rows = np.concatenate(
+            [np.asarray(b)[1:] for b in pending[2]], axis=0)
+        K = pending[3]
+        nE = len(pending[1])
+        final_cost = float(rows[nE - 1, 2 * K])  # rank-0 final slot
+        assert ent2 == pytest.approx(final_cost - cost0[entry],
+                                     abs=1e-4)
+        # the min() anchor would have inflated the entropy
+        assert cost0[entry] > cost0.min() + 1e-6
+    finally:
+        r.fused_decode = False

@@ -224,3 +224,19 @@ def test_processing_server(tmp_path):
     finally:
         httpd.shutdown()
         thread.join(timeout=5)
+
+
+def test_server_never_unlinks_non_socket(tmp_path):
+    """A regular file at the --url path (e.g. the user passed the
+    mets.xml itself) must raise, NEVER be unlinked as a 'stale
+    socket'."""
+    from ocrd_keraslm_tpu.wrapper.mets_server import MetsServer
+
+    ws_dir = tmp_path / 'ws'
+    ws_dir.mkdir()
+    build_workspace(str(ws_dir), PAGES)
+    mets_path = ws_dir / 'mets.xml'
+    assert mets_path.exists()
+    with pytest.raises(OSError, match='not a socket'):
+        MetsServer(Workspace(str(ws_dir)), str(mets_path))
+    assert mets_path.exists(), 'mets.xml was deleted'

@@ -262,3 +262,42 @@ def test_processor_e2e_fast_vs_object_scoring(tmp_path, monkeypatch):
             os.path.join(wdir, 'OCR-D-LM', 'OCR-D-LM_phys_0001.xml'),
             encoding='utf-8').read())
     assert outputs['1'] == outputs['0']
+
+
+def test_set_textequiv_twice_after_projection():
+    """Re-setting TextEquivs on an element whose previous set came
+    from projection (plain TextEquivType, no source node) must replace
+    the materialized node, not crash or duplicate it."""
+    xml = _rich_page_xml()
+    doc = parse_page_fast(xml.encode('utf-8'))
+    word = doc.page.get_AllRegions()[0].get_TextLine()[0].get_Word()[0]
+    word.set_TextEquiv([TextEquivType(Unicode='erste', conf=0.5)])
+    word.set_TextEquiv([TextEquivType(Unicode='zweite', conf=0.6)])
+    out = to_xml(doc)
+    reparsed = parse_page(out)
+    w2 = reparsed.page.get_AllRegions()[0].get_TextLine()[0] \
+        .get_Word()[0]
+    assert [te.Unicode for te in w2.get_TextEquiv()] == ['zweite']
+
+
+def test_textequiv_inserted_before_textstyle():
+    """PAGE schema order: a materialized TextEquiv must precede an
+    existing TextStyle child (a trailing append breaks validation)."""
+    from lxml import etree
+
+    xml = _rich_page_xml()
+    # give the first word a TextStyle child
+    xml = xml.replace('</Word>',
+                      '<TextStyle fontSize="8"/></Word>', 1)
+    doc = parse_page_fast(xml.encode('utf-8'))
+    word = doc.page.get_AllRegions()[0].get_TextLine()[0].get_Word()[0]
+    word.set_TextEquiv([TextEquivType(Unicode='neu', conf=0.5)])
+    out = to_xml(doc)
+    root = etree.fromstring(out.encode('utf-8')
+                            if isinstance(out, str) else out)
+    ns = {'p': 'http://schema.primaresearch.org/PAGE/gts/'
+               'pagecontent/2019-07-15'}
+    w_el = root.find('.//p:Word', ns)
+    tags = [etree.QName(ch).localname for ch in w_el]
+    assert 'TextEquiv' in tags and 'TextStyle' in tags
+    assert tags.index('TextEquiv') < tags.index('TextStyle')

@@ -168,8 +168,9 @@ def test_stream_windows_cover_all_chars(tmp_path):
     for batch in gen_stateful_streams([str(p)], vocab, length=256,
                                       batch_size=128):
         covered += int(np.sum(batch.mask))
-    # every stream char (B * stream_len) is trained on exactly once
-    assert covered == 128 * ((len(text) - 1) // 128)
+    # EVERY char of the file is trained on exactly once (the last
+    # stream absorbs the (size-1) % B tiling remainder)
+    assert covered == len(text) - 1
 
 
 def test_parity_layout_short_file(tmp_path):
@@ -344,3 +345,27 @@ def test_streams_layout_matches_parity_quality(corpus, tmp_path):
     v_str = min(r_str.history['val_loss'])
     assert abs(v_par - v_str) < 0.35, (
         'streams val_loss %.3f vs parity %.3f' % (v_str, v_par))
+
+
+def test_context_degradation_covers_all_contexts():
+    """The context-degradation augmentation must be able to zero EVERY
+    context variable (the reference's j = int(n*q)+1 over the input
+    list covers all of them, rating.py:1074); (n-1)*q missed the last
+    one for n >= 2."""
+    import numpy as np
+
+    from ocrd_keraslm_tpu.data import _augment
+
+    x = np.ones((2, 8), np.int32)
+    y = np.ones((2, 8), np.int32)
+    mask = np.ones((2, 8), np.float32)
+    zs = [np.ones((2,), np.int32), np.full((2,), 7, np.int32)]
+    zeroed = set()
+    for rand in np.linspace(0.011, 0.105, 50):
+        # shift past char_deg so the context branch sees (0, ctx_deg)
+        for b in _augment(x, zs, y, mask, float(rand), 0.01, 0.1, 0.0,
+                          8, None, 'f'):
+            for j, z in enumerate(b.zs):
+                if (np.asarray(z) == 0).all():
+                    zeroed.add(j)
+    assert zeroed == {0, 1}

@@ -258,3 +258,29 @@ def test_embedding_plots_smoke(tmp_path):
     r.plot_context_embeddings_projection(str(paths[2]))
     for p in paths:
         assert p.exists() and p.stat().st_size > 100, p
+
+
+def test_spread_labels_deoverlap():
+    """The projection plot's label de-overlap (the capability of the
+    reference's optional adjustText extra, lib/rating.py:1222-1234):
+    clustered labels are pushed apart to >= ~2% of the plot span,
+    isolated labels stay where they are."""
+    from ocrd_keraslm_tpu.rater import _spread_labels
+
+    pts = np.array([[0.0, 0.0], [0.001, 0.0], [0.0, 0.001],  # cluster
+                    [1.0, 1.0]],                              # isolated
+                   np.float64)
+    out = _spread_labels(pts)
+    span = max(np.ptp(out[:, 0]), np.ptp(out[:, 1]))
+    # every pair separated to at least ~the repulsion radius
+    for i in range(len(out)):
+        for j in range(i + 1, len(out)):
+            assert np.linalg.norm(out[i] - out[j]) >= 0.015 * span, \
+                (i, j, out)
+    # the isolated label does not move
+    np.testing.assert_allclose(out[3], [1.0, 1.0])
+    # exactly coincident labels must also separate (fallback dirs)
+    out2 = _spread_labels(np.zeros((3, 2)))
+    d = [np.linalg.norm(out2[i] - out2[j])
+         for i in range(3) for j in range(i + 1, 3)]
+    assert min(d) > 0

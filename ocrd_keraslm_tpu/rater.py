@@ -25,6 +25,7 @@ from __future__ import annotations
 import gc
 import logging
 import os
+from collections import OrderedDict
 from functools import partial, wraps
 from math import exp, log
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -64,6 +65,12 @@ DECODE_MERGE_MAX = 8
 # beyond these the XLA scan path decodes exactly (any K, any length)
 FUSED_MAX_BEAM = 32
 FUSED_MAX_ALT_LEN = 64
+
+# process-wide device-resident decode weights, keyed by the loaded
+# model file's (path, size, mtime_ns) fingerprint + context + dtype:
+# a serving loop that re-instantiates the processor per run reuses
+# the already-staged device arrays (see Rater._decode_weights)
+_DECODE_WCACHE: 'OrderedDict[tuple, dict]' = OrderedDict()
 
 
 # shared bucketing helpers (historic local names kept: half the
@@ -400,6 +407,10 @@ class Rater:
         # (id(params) is unsafe: in-place mutation keeps the id, and
         # freed dicts can reuse one)
         self._params_epoch = 0
+        # (path, size, mtime_ns) of the loaded h5 + the epoch right
+        # after loading: keys the PROCESS-wide decode-weight cache
+        self._weights_fp = None
+        self._fp_epoch = None
         self._sharded_score = None  # (mesh, jitted fn) cache
         _enable_compilation_cache()
         # runtime variables
@@ -558,6 +569,19 @@ class Rater:
             self.params = orbaxio.load_weights(filename, self.cfg)
         else:
             self.params = h5io.load_weights(filename, self.cfg)
+            # model-file fingerprint: lets a NEW Rater over the same
+            # (unchanged) h5 reuse the process-wide device-resident
+            # decode weights instead of re-staging ~MBs per instance
+            # (serving loops re-instantiate the processor per run);
+            # only consulted while params are untouched since load
+            # (_fp_epoch match), so any API mutation disables it
+            try:
+                st = os.stat(filename)
+                self._weights_fp = (os.path.abspath(filename),
+                                    st.st_size, st.st_mtime_ns)
+                self._fp_epoch = self._params_epoch + 1
+            except OSError:
+                self._weights_fp = None
         self.voc_size = self.params['char_embedding'].shape[0]
         self._params_changed()
         self.cfg = self.cfg.replace(voc_size=self.voc_size)
@@ -1533,6 +1557,21 @@ class Rater:
         cached = self._decode_cache.get(key)
         if cached is not None:
             return cached
+        # process-wide cache keyed by the loaded h5's fingerprint:
+        # serving loops re-instantiate the processor (and its Rater)
+        # per run over the same model file — re-staging ~MBs of device
+        # weights cost ~45 ms/run (measured).  Only consulted while
+        # params are UNTOUCHED since load (epoch match): any API
+        # mutation (training, vocab growth/pruning) disables it.
+        mkey = None
+        if self._weights_fp is not None and \
+                self._params_epoch == self._fp_epoch:
+            mkey = (self._weights_fp, ctx, bool(bf16))
+            hit = _DECODE_WCACHE.get(mkey)
+            if hit is not None:
+                _DECODE_WCACHE.move_to_end(mkey)
+                self._decode_cache[key] = hit
+                return hit
         W, D, V = self.width, self.depth, self.voc_size
         V_pad = max(128, -(-V // 128) * 128)
         emb = jnp.zeros((V_pad, W), jnp.float32)
@@ -1576,6 +1615,11 @@ class Rater:
         while len(self._decode_cache) >= 4:
             del self._decode_cache[next(iter(self._decode_cache))]
         self._decode_cache[key] = weights
+        if mkey is not None:
+            _DECODE_WCACHE[mkey] = weights
+            _DECODE_WCACHE.move_to_end(mkey)
+            while len(_DECODE_WCACHE) > 4:
+                _DECODE_WCACHE.popitem(last=False)
         return weights
 
     def fused_gate_arrays(self, n_prep, maxlen, beam_width):
@@ -1635,6 +1679,109 @@ class Rater:
         return (packed[1:n_prep + 1, 0].astype(np.int64),
                 np.asarray(packed[1:n_prep + 1, 1], np.float64),
                 start_cost)
+
+    @_gc_paused
+    def rate_best_device_begin_arrays_group(self, segs,
+                                            device_traceback=None,
+                                            context=None,
+                                            lm_weight=0.5,
+                                            beam_width=10):
+        """Fused decode of MULTIPLE consecutive pages in ONE kernel
+        dispatch: the pages of a document form one linear lattice, so
+        per-page dispatches only pay per-dispatch overhead (measured
+        ~6 ms/page over tunneled links vs ~9 us/edge of kernel time).
+
+        ``segs``: list of per-page ``(n_prep, chars, mask, conf,
+        valid)`` with arrays of shape ``(n_prep_i, A, L)`` at a COMMON
+        A/L (unpadded real edges only; the caller sizes the group so
+        the concatenation fits one kernel block, see
+        ``fused_group_fits``).  Returns ``(group_pending,
+        traceback)``; per-page results come from
+        ``rate_best_device_finish_group(group_pending, i)``.
+
+        Bit-identical to per-page dispatches: the kernel's per-edge
+        math does not depend on the E bucket (pad edges are skipped in
+        closed form), the beam carry flows through the concatenated
+        edges exactly as it would across per-page kernel boundaries,
+        and each page's traceback starts at its own final edge's
+        rank-0 slot, anchored at its entry slot's carried cost (the
+        reference's cross-page prev_anchor semantics,
+        reference lib/rating.py:736-741, 876)."""
+        from .ops.decode_kernel import decode_lattice_pallas
+
+        D, W = self.depth, self.width
+        K = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
+        A = 4
+        bounds = np.cumsum([0] + [s[0] for s in segs])
+        n_group = int(bounds[-1])
+        L = segs[0][1].shape[2]
+        E = _bucket(n_group, self._E_BUCKETS)
+        chars = np.zeros((E, A, L), np.int32)
+        mask = np.zeros((E, A, L), np.float32)
+        conf = np.zeros((E, A, L), np.float32)
+        valid = np.zeros((E, A), np.float32)
+        for (n_i, ch_i, m_i, cf_i, v_i), lo in zip(segs, bounds):
+            chars[lo:lo + n_i] = ch_i[:n_i]
+            mask[lo:lo + n_i] = m_i[:n_i]
+            conf[lo:lo + n_i] = cf_i[:n_i]
+            valid[lo:lo + n_i] = v_i[:n_i]
+        wts = self._decode_weights(context, lm_weight,
+                                   bf16=self._decode_bf16())
+        state, cost = self._fused_traceback(device_traceback, K,
+                                            wts['emb'])
+        steps = _alt_steps(mask) if L > 1 else None
+        packed, state, cost = decode_lattice_pallas(
+            wts['emb'], wts['embT'], wts['wcat'], wts['bias'],
+            chars, mask, conf, valid[:, :, None],
+            state, cost, n_edges=E, n_alts=A, alt_len=L, beam=K,
+            depth=D, width=W, v_pad=wts['v_pad'],
+            v_real=wts['v_real'], lm_weight=float(lm_weight),
+            device_walk=False, alt_steps=steps,
+            n_real=np.int32(n_group))
+        return ('group', bounds, [packed], K, {}), (state, cost)
+
+    def fused_group_fits(self, n_group, maxlen, beam_width):
+        """Whether a page group totalling ``n_group`` prep edges with
+        alternative length ``maxlen`` still fits ONE fused-kernel
+        block (same gates as ``fused_gate_arrays``)."""
+        return self.fused_gate_arrays(n_group, maxlen,
+                                      beam_width) is not None
+
+    @staticmethod
+    def rate_best_device_finish_group(pending, i):
+        """(choices, costs, start_cost) for page segment ``i`` of a
+        group pending.  The fetched records are converted once per
+        group (cached in the pending); each page is walked back from
+        its own final edge's rank-0 slot through its own edge range,
+        and anchored at the entry slot's carried cost — identical to
+        what the per-page device walk would have produced."""
+        _, bounds, packed_blocks, K, cache = pending
+        if 'bp' not in cache:
+            packed = np.asarray(packed_blocks[0])
+            rows = packed[1:]
+            # list conversion once per group: per-walk numpy scalar
+            # indexing costs ~us/edge and the walks are host-sequential
+            cache['bp'] = rows[:, :K].astype(np.int32).tolist()
+            cache['alt'] = rows[:, K:2 * K].astype(np.int64).tolist()
+            cache['cost'] = np.asarray(rows[:, 2 * K:3 * K],
+                                       np.float64).tolist()
+            cache['cost0'] = np.asarray(packed[0, 2 * K:3 * K],
+                                        np.float64)
+        bp, alt, co = cache['bp'], cache['alt'], cache['cost']
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        n = hi - lo
+        choices = np.empty(n, np.int64)
+        costs = np.empty(n, np.float64)
+        k = 0
+        for j in range(hi - 1, lo - 1, -1):
+            choices[j - lo] = alt[j][k]
+            costs[j - lo] = co[j][k]
+            k = bp[j][k]
+        if lo == 0:
+            start_cost = float(cache['cost0'][k])
+        else:
+            start_cost = co[lo - 1][k]
+        return choices, costs, start_cost
 
     def _rate_best_pallas(self, edges, device_traceback, context,
                           lm_weight, beam_width, defer_walk=False,

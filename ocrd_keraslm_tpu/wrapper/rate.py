@@ -342,6 +342,12 @@ class KerasRate:
         device_tb = None
         device_mode = self.parameter.get('device_decoding', True)
         device_pending = []  # dispatched pages awaiting fetch/write
+        # page-group fusion: consecutive native-lane pages accumulate
+        # here and dispatch as ONE fused kernel call (bit-identical
+        # results, ~4x fewer dispatches; KERASLM_FUSE_PAGES=0 forces
+        # the per-page dispatch path)
+        gbuf: List[tuple] = []
+        fuse_pages = os.environ.get('KERASLM_FUSE_PAGES', '1') != '0'
         for input_file in self.input_files:
             page_id = input_file.pageId
             self._base_logger.info('preparing page %s', page_id)
@@ -355,6 +361,35 @@ class KerasRate:
                 if self._output_exists(file_id):
                     continue
                 if device_mode:
+                    if fuse_pages and isinstance(pcgts, NativePageDoc):
+                        scan = self._native_scan_for_group(pcgts)
+                        if scan is not None:
+                            n_raw, n_prep, maxlen = scan
+                            beam_width = self.parameter['beam_width']
+                            if gbuf and not self.rater.fused_group_fits(
+                                    sum(g[3] for g in gbuf) + n_prep,
+                                    max(max(g[4] for g in gbuf),
+                                        maxlen), beam_width):
+                                device_tb = self._flush_page_group(
+                                    gbuf, device_tb, device_pending)
+                            # per-page log lines stay format-identical
+                            # to the per-page dispatch path
+                            level = self.parameter['textequiv_level']
+                            self.rater.logger.info(
+                                "Scoring text in page '%s' at the %s "
+                                'level (device beam)',
+                                pcgts.get_pcGtsId(), level)
+                            self.rater.logger.info(
+                                'Rating %d elements including its '
+                                'alternatives', n_raw)
+                            gbuf.append((pcgts, file_id, page_id,
+                                         n_prep, maxlen, n_raw,
+                                         input_file))
+                            continue
+                    # ineligible for fusion: flush the group first so
+                    # the beam carry stays in page order
+                    device_tb = self._flush_page_group(
+                        gbuf, device_tb, device_pending)
                     rec, device_tb = self.process_page_pcgts_device_begin(
                         pcgts, device_tb, file_id, page_id)
                     # success is only counted when the page is
@@ -410,6 +445,9 @@ class KerasRate:
                         'too many failures with %s output (%d of %d, %s)'
                         % (reason, nr_failed, len(self.input_files),
                            dict(nr_errors)))
+        # trailing group: dispatch whatever is still buffered
+        device_tb = self._flush_page_group(gbuf, device_tb,
+                                           device_pending)
         # device mode: all pages were dispatched (the beam carry chains
         # on device with no host sync); now write each page — with the
         # SAME error policy as the dispatch loop (existing-output
@@ -519,6 +557,90 @@ class KerasRate:
                 and os.environ.get('KERASLM_NATIVE_PAGE', '1') != '0'
                 and page_native.available())
 
+    def _native_scan_for_group(self, doc: NativePageDoc):
+        """Lattice-scan a native doc for page-group fusion; returns
+        (n_raw, n_prep, maxlen) when the fused kernel can serve the
+        page, else None (the caller flushes the group and takes the
+        per-page path, which re-checks its own gates)."""
+        from ..rater import DECODE_MERGE_MAX
+        level = self.parameter['textequiv_level']
+        lat = doc.lattice(level, self.rater.merge_runs,
+                          DECODE_MERGE_MAX)
+        if lat is None:
+            return None
+        n_raw, n_prep, maxlen = lat
+        if self.rater.fused_gate_arrays(
+                n_prep, maxlen, self.parameter['beam_width']) is None:
+            return None
+        return n_raw, n_prep, maxlen
+
+    def _flush_page_group(self, gbuf, device_tb, device_pending):
+        """Dispatch the buffered native pages as ONE fused kernel
+        call: consecutive pages of a document form one linear lattice,
+        so fusing them cuts the per-dispatch overhead (~6 ms/page over
+        tunneled links) without changing any result — the beam carry
+        flows through the concatenated edges exactly as it would
+        across per-page kernel boundaries, and each page is walked
+        from its own final edge's rank-0 slot (see
+        ``Rater.rate_best_device_begin_arrays_group``).  Falls back to
+        per-page dispatches if the group call fails."""
+        if not gbuf:
+            return device_tb
+        beam_width = self.parameter['beam_width']
+        lm_weight = self.parameter['lm_weight']
+        context = mets_get_context(self.workspace.mets)
+        maxlen = max(g[4] for g in gbuf)
+        n_group = sum(g[3] for g in gbuf)
+        table = self.rater.vocab._table()
+        try:
+            gate = self.rater.fused_gate_arrays(n_group, maxlen,
+                                                beam_width)
+            if gate is None:
+                raise RuntimeError(
+                    'page group no longer fits one fused block')
+            _, L = gate
+            segs = []
+            for doc, _fid, _pid, n_prep, _ml, _nr, _inf in gbuf:
+                segs.append((n_prep,)
+                            + doc.fill(table, n_prep, 4, L))
+            pending, device_tb = \
+                self.rater.rate_best_device_begin_arrays_group(
+                    segs, device_traceback=device_tb, context=context,
+                    lm_weight=lm_weight, beam_width=beam_width)
+            # start the host copy of the group's packed records now —
+            # it completes while later groups dispatch (same protocol
+            # as the per-page loop)
+            for arr in pending[2]:
+                copy_async = getattr(arr, 'copy_to_host_async', None)
+                if copy_async is not None:
+                    copy_async()
+            for i, (doc, fid, pid, _n, _ml, _nr, inf) in \
+                    enumerate(gbuf):
+                device_pending.append((('gseg', pending, i), doc,
+                                       fid, pid, inf))
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            # systemic dispatch failure: retry each page through the
+            # regular per-page begin (native lane with lxml fallback);
+            # a failure THERE is a genuine page/document failure and
+            # propagates to the caller's policy handling
+            self._base_logger.exception(
+                'page-group dispatch failed; falling back to '
+                'per-page dispatches')
+            for doc, fid, pid, _n, _ml, _nr, inf in gbuf:
+                rec, device_tb = self.process_page_pcgts_device_begin(
+                    doc, device_tb, fid, pid)
+                for arr in rec[0][2] if rec[0][0] != 'done' else ():
+                    copy_async = getattr(arr, 'copy_to_host_async',
+                                         None)
+                    if copy_async is not None:
+                        copy_async()
+                device_pending.append(rec + (inf,))
+        finally:
+            gbuf.clear()
+        return device_tb
+
     def _device_begin_native(self, doc: NativePageDoc, device_tb,
                              file_id: str, page_id: str):
         """Native-lane begin: array lattice straight into the fused
@@ -592,6 +714,17 @@ class KerasRate:
     def _finish_device_page(self, rec, result=None):
         pending, pcgts, file_id, page_id = rec
         level = self.parameter['textequiv_level']
+        if pending[0] == 'gseg':
+            # page segment of a fused page-group dispatch: walk this
+            # page's edge range of the shared group records
+            _, group_pending, seg_i = pending
+            choices, costs, start_cost = \
+                self.rater.rate_best_device_finish_group(
+                    group_pending, seg_i)
+            pcgts.apply_decode(level, choices, costs, start_cost,
+                               logger=self.logger)
+            self._write_page(pcgts, file_id, page_id)
+            return
         if isinstance(pcgts, NativePageDoc):
             # array protocol: winners/projection/serialization happen
             # as byte-splice edits inside the doc

@@ -220,3 +220,53 @@ def test_decode_weight_cache_cross_instance(tmp_path):
     r4 = fresh()
     w4 = r4._decode_weights(None, 0.5)
     assert w4['emb'] is not w1['emb']
+
+
+@pytest.mark.parametrize('policy', ['SKIP', 'COPY'])
+def test_group_error_policy_mid_document(tmp_path, monkeypatch,
+                                         policy):
+    """A corrupt (non-XML) page mid-document under page-group fusion:
+    the open group flushes, the bad page routes through the
+    OCRD_MISSING_OUTPUT policy, and the following pages regroup —
+    outputs equal the unfused run's."""
+    model = make_tiny_model(tmp_path / 'model.h5')
+    outputs = {}
+    for lane, fuse in (('polfuse', True), ('polplain', False)):
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = build_workspace(wdir, PAGES, glyph_alternatives=ALTS)
+        bad = os.path.join(str(wdir), 'OCR-D-OCR',
+                           'OCR-D-OCR_phys_0002.xml')
+        with open(bad, 'w', encoding='utf-8') as fh:
+            fh.write('this is not XML <<<')
+        monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', '1')
+        monkeypatch.setenv('KERASLM_FUSE_PAGES',
+                           '1' if fuse else '0')
+        monkeypatch.setenv('OCRD_MISSING_OUTPUT', policy)
+        monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': 'glyph',
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True
+        proc.process_workspace(ws)
+        got = {}
+        for page_id in PAGES:
+            path = os.path.join(wdir, 'OCR-D-LM',
+                                'OCR-D-LM_%s.xml' % page_id)
+            got[page_id] = (_strip_timestamps(open(
+                path, encoding='utf-8').read())
+                if os.path.exists(path) else None)
+        outputs[lane] = got
+    fused, plain = outputs['polfuse'], outputs['polplain']
+    assert fused == plain
+    assert fused['phys_0001'] is not None
+    assert fused['phys_0003'] is not None and \
+        fused['phys_0004'] is not None
+    if policy == 'COPY':
+        assert fused['phys_0002'] == 'this is not XML <<<'
+    else:
+        assert fused['phys_0002'] is None

@@ -348,103 +348,139 @@ class KerasRate:
         # the per-page dispatch path)
         gbuf: List[tuple] = []
         fuse_pages = os.environ.get('KERASLM_FUSE_PAGES', '1') != '0'
-        for input_file in self.input_files:
-            page_id = input_file.pageId
-            self._base_logger.info('preparing page %s', page_id)
-            try:
-                # inside the policy guard: a non-PAGE input is a page
-                # failure (SKIP/COPY/ABORT), not a silent skip
-                pcgts = self._load_page(input_file, page_id)
-                if pcgts is None:
-                    continue
-                file_id = self._make_file_id(input_file)
-                if self._output_exists(file_id):
-                    continue
-                if device_mode:
-                    if fuse_pages and isinstance(pcgts, NativePageDoc):
-                        scan = self._native_scan_for_group(pcgts)
-                        if scan is not None:
-                            n_raw, n_prep, maxlen = scan
-                            beam_width = self.parameter['beam_width']
-                            if gbuf and not self.rater.fused_group_fits(
-                                    sum(g[3] for g in gbuf) + n_prep,
-                                    max(max(g[4] for g in gbuf),
-                                        maxlen), beam_width):
-                                device_tb = self._flush_page_group(
-                                    gbuf, device_tb, device_pending)
-                            # per-page log lines stay format-identical
-                            # to the per-page dispatch path
-                            level = self.parameter['textequiv_level']
-                            self.rater.logger.info(
-                                "Scoring text in page '%s' at the %s "
-                                'level (device beam)',
-                                pcgts.get_pcGtsId(), level)
-                            self.rater.logger.info(
-                                'Rating %d elements including its '
-                                'alternatives', n_raw)
-                            gbuf.append((pcgts, file_id, page_id,
-                                         n_prep, maxlen, n_raw,
-                                         input_file))
-                            continue
-                    # ineligible for fusion: flush the group first so
-                    # the beam carry stays in page order
-                    device_tb = self._flush_page_group(
-                        gbuf, device_tb, device_pending)
-                    rec, device_tb = self.process_page_pcgts_device_begin(
-                        pcgts, device_tb, file_id, page_id)
-                    # success is only counted when the page is
-                    # fetched AND written (finish loop below).  Start
-                    # the host copy of this page's packed result now —
-                    # it completes while later pages dispatch, so the
-                    # batch fetch below finds the bytes already on the
-                    # host instead of paying a round-trip at the end
-                    for arr in rec[0][2] if rec[0][0] != 'done' else ():
-                        copy_async = getattr(arr, 'copy_to_host_async',
-                                             None)
-                        if copy_async is not None:
-                            copy_async()
-                    device_pending.append(rec + (input_file,))
-                else:
-                    prev = self.process_page_pcgts_stateful(
-                        pcgts, prev, file_id, page_id)
-                    nr_succeeded += 1
-            except FileExistsError as err:
-                existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
-                                              'SKIP')
-                if existing_policy == 'ABORT':
+        # one-ahead page-load prefetch: file read + native scan of page
+        # i+1 overlap page i's lattice/dispatch work (~2.7 ms/page of
+        # the serving wall, measured).  One worker thread, one page
+        # ahead; exceptions surface at .result() INSIDE the consuming
+        # page's try, so the error policy attribution is unchanged.
+        # Gated off when inputs are downloaded (download_file mutates
+        # the workspace; keep that serial).
+        prefetcher = None
+        input_files = list(self.input_files)
+        futures: List[Any] = [None] * len(input_files)
+        if device_mode and not self.download and len(input_files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            prefetcher = ThreadPoolExecutor(max_workers=1)
+
+        def load_page_at(i):
+            if prefetcher is None:
+                return self._load_page(input_files[i],
+                                       input_files[i].pageId)
+            if futures[i] is None:
+                futures[i] = prefetcher.submit(
+                    self._load_page, input_files[i],
+                    input_files[i].pageId)
+            if i + 1 < len(input_files) and futures[i + 1] is None:
+                futures[i + 1] = prefetcher.submit(
+                    self._load_page, input_files[i + 1],
+                    input_files[i + 1].pageId)
+            return futures[i].result()
+
+        try:
+            for page_i, input_file in enumerate(input_files):
+                page_id = input_file.pageId
+                self._base_logger.info('preparing page %s', page_id)
+                try:
+                    # inside the policy guard: a non-PAGE input is a page
+                    # failure (SKIP/COPY/ABORT), not a silent skip
+                    pcgts = load_page_at(page_i)
+                    if pcgts is None:
+                        continue
+                    file_id = self._make_file_id(input_file)
+                    if self._output_exists(file_id):
+                        continue
+                    if device_mode:
+                        if fuse_pages and isinstance(pcgts, NativePageDoc):
+                            scan = self._native_scan_for_group(pcgts)
+                            if scan is not None:
+                                n_raw, n_prep, maxlen = scan
+                                beam_width = self.parameter['beam_width']
+                                if gbuf and not self.rater.fused_group_fits(
+                                        sum(g[3] for g in gbuf) + n_prep,
+                                        max(max(g[4] for g in gbuf),
+                                            maxlen), beam_width):
+                                    device_tb = self._flush_page_group(
+                                        gbuf, device_tb, device_pending)
+                                # per-page log lines stay format-identical
+                                # to the per-page dispatch path
+                                level = self.parameter['textequiv_level']
+                                self.rater.logger.info(
+                                    "Scoring text in page '%s' at the %s "
+                                    'level (device beam)',
+                                    pcgts.get_pcGtsId(), level)
+                                self.rater.logger.info(
+                                    'Rating %d elements including its '
+                                    'alternatives', n_raw)
+                                gbuf.append((pcgts, file_id, page_id,
+                                             n_prep, maxlen, n_raw,
+                                             input_file))
+                                continue
+                        # ineligible for fusion: flush the group first so
+                        # the beam carry stays in page order
+                        device_tb = self._flush_page_group(
+                            gbuf, device_tb, device_pending)
+                        rec, device_tb = self.process_page_pcgts_device_begin(
+                            pcgts, device_tb, file_id, page_id)
+                        # success is only counted when the page is
+                        # fetched AND written (finish loop below).  Start
+                        # the host copy of this page's packed result now —
+                        # it completes while later pages dispatch, so the
+                        # batch fetch below finds the bytes already on the
+                        # host instead of paying a round-trip at the end
+                        for arr in rec[0][2] if rec[0][0] != 'done' else ():
+                            copy_async = getattr(arr, 'copy_to_host_async',
+                                                 None)
+                            if copy_async is not None:
+                                copy_async()
+                        device_pending.append(rec + (input_file,))
+                    else:
+                        prev = self.process_page_pcgts_stateful(
+                            pcgts, prev, file_id, page_id)
+                        nr_succeeded += 1
+                except FileExistsError as err:
+                    existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
+                                                  'SKIP')
+                    if existing_policy == 'ABORT':
+                        raise
+                    if existing_policy == 'OVERWRITE':
+                        raise RuntimeError(
+                            'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
+                            % err)
+                except KeyboardInterrupt:
                     raise
-                if existing_policy == 'OVERWRITE':
-                    raise RuntimeError(
-                        'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
-                        % err)
-            except KeyboardInterrupt:
-                raise
-            except Exception as err:
-                if missing_policy == 'ABORT':
-                    self._base_logger.error(
+                except Exception as err:
+                    if missing_policy == 'ABORT':
+                        self._base_logger.error(
+                            'Failure on page %s: %s', page_id,
+                            str(err) or err.__class__.__name__)
+                        raise
+                    self._base_logger.exception(
                         'Failure on page %s: %s', page_id,
                         str(err) or err.__class__.__name__)
-                    raise
-                self._base_logger.exception(
-                    'Failure on page %s: %s', page_id,
-                    str(err) or err.__class__.__name__)
-                if missing_policy == 'COPY':
-                    self._copy_page_file(input_file)
-                nr_errors[err.__class__.__name__] += 1
-                nr_failed += 1
-                # early abort only when the ratio is ALREADY hopeless
-                # (even if every remaining page succeeds) — the
-                # processed-pages ratio is enforced at end-of-run.
-                # Dividing by successes-so-far here would spuriously
-                # abort device mode, where successes are only counted
-                # in the finish loop below.
-                max_missing = self._max_missing_ratio()
-                if 0 < max_missing < \
-                        nr_failed / max(len(self.input_files), 1):
-                    raise RuntimeError(
-                        'too many failures with %s output (%d of %d, %s)'
-                        % (reason, nr_failed, len(self.input_files),
-                           dict(nr_errors)))
+                    if missing_policy == 'COPY':
+                        self._copy_page_file(input_file)
+                    nr_errors[err.__class__.__name__] += 1
+                    nr_failed += 1
+                    # early abort only when the ratio is ALREADY hopeless
+                    # (even if every remaining page succeeds) — the
+                    # processed-pages ratio is enforced at end-of-run.
+                    # Dividing by successes-so-far here would spuriously
+                    # abort device mode, where successes are only counted
+                    # in the finish loop below.
+                    max_missing = self._max_missing_ratio()
+                    if 0 < max_missing < \
+                            nr_failed / max(len(self.input_files), 1):
+                        raise RuntimeError(
+                            'too many failures with %s output (%d of %d, %s)'
+                            % (reason, nr_failed, len(self.input_files),
+                               dict(nr_errors)))
+        finally:
+            # the prefetch thread must not outlive the run
+            # (long-lived worker/server processes would leak
+            # one idle thread per aborted document)
+            if prefetcher is not None:
+                prefetcher.shutdown(wait=False,
+                                    cancel_futures=True)
         # trailing group: dispatch whatever is still buffered
         device_tb = self._flush_page_group(gbuf, device_tb,
                                            device_pending)

@@ -20,7 +20,7 @@
 // SCOPE: the scanner is deliberately conservative.  Anything outside
 // the well-formed UTF-8 PAGE profile it understands (DOCTYPE, CDATA,
 // unknown entities, non-UTF-8 declarations, nested TextRegion,
-// ReadingOrder, Relations, line/region decode levels) sets a bail
+// Relations, line/region decode levels) sets a bail
 // reason and the caller falls back to the lxml path — correctness
 // first, the fast lane only serves shapes it provably handles.
 //
@@ -536,8 +536,17 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             continue;
         }
 
-        if (local == "ReadingOrder" || local == "Relations") {
-            bail("ReadingOrder/Relations present");
+        // ReadingOrder is semantically INERT for the pages this lane
+        // serves: the lattice builder walks regions in document order
+        // (all three lanes, like the reference graph builder), and the
+        // projection only consults reading order for NESTED text
+        // regions — which bail at scan separately.  Its subtree
+        // (OrderedGroup/RegionRef*) falls through to the balanced
+        // unknown-tag skip below and the splice preserves its bytes.
+        // Relations DO matter (type=join changes the projection's
+        // separators), so they still bail to the lxml lane.
+        if (local == "Relations") {
+            bail("Relations present");
             break;
         }
         if (local == "Metadata") {

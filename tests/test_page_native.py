@@ -74,16 +74,23 @@ def test_scan_bails():
         (xml.replace('<TextRegion id="p1_r2">',
                      '<TextRegion id="p1_r2"><TextRegion id="nested">'
                      '</TextRegion>'), 'nested'),
-        (xml.replace('<Page ',
-                     '<Page><ReadingOrder/></Page><Page2 ')
-         if False else
-         xml.replace('</Page>', '<ReadingOrder></ReadingOrder></Page>'),
-         'ReadingOrder'),
+        (xml.replace('</Page>', '<Relations><Relation type="join"/>'
+                     '</Relations></Page>'), 'Relations'),
         (xml.replace('Das', 'D&unknown;as'), 'entity'),
     ]
     for bad, why in cases:
         doc = NativePageDoc(bad.encode('utf-8'))
         assert doc.bail is not None, why
+    # a FLAT page's ReadingOrder is semantically inert (document-order
+    # lattice, projection only consults it for nested subregions) and
+    # must NOT bail — its subtree skips balanced and the splice
+    # preserves the bytes
+    with_ro = xml.replace(
+        '</Page>', '<ReadingOrder><OrderedGroup id="ro">'
+        '<RegionRefIndexed index="0" regionRef="p1_r1"/>'
+        '</OrderedGroup></ReadingOrder></Page>')
+    doc = NativePageDoc(with_ro.encode('utf-8'))
+    assert doc.bail is None
     # incomplete metadata also bails (the object path re-emits it)
     doc = NativePageDoc(xml.replace(
         '<LastChange>', '<Ignored>').replace(
@@ -304,7 +311,7 @@ def test_native_lane_actually_used(tmp_path, monkeypatch):
 
 
 def test_mixed_lanes_cross_page_chain(tmp_path, monkeypatch):
-    """A page the scanner bails on (ReadingOrder) drops to the lxml
+    """A page the scanner bails on (Relations) drops to the lxml
     lane mid-document; the cross-page beam carry must chain across the
     lane switch and outputs must match an all-lxml run."""
     from ocrd_keraslm_tpu.wrapper import KerasRate
@@ -318,14 +325,15 @@ def test_mixed_lanes_cross_page_chain(tmp_path, monkeypatch):
     for lane, nat in (('mixed', '1'), ('records', '0')):
         wdir = tmp_path / ('ws_%s' % lane)
         ws = build_workspace(wdir, pages, glyph_alternatives=alts)
-        # page 2 gets a ReadingOrder -> native lane bails there only
+        # page 2 gets a Relations block -> native lane bails there
         p2 = os.path.join(wdir, 'OCR-D-OCR', 'OCR-D-OCR_phys_0002.xml')
         xml = open(p2, encoding='utf-8').read()
         with open(p2, 'w', encoding='utf-8') as fh:
             fh.write(xml.replace(
-                '</Page>', '<ReadingOrder><OrderedGroup id="ro">'
-                '<RegionRefIndexed index="0" regionRef="phys_0002_r1"/>'
-                '</OrderedGroup></ReadingOrder></Page>'))
+                '</Page>', '<Relations><Relation type="join">'
+                '<SourceRegionRef regionRef="phys_0002_r1"/>'
+                '<TargetRegionRef regionRef="phys_0002_r1"/>'
+                '</Relation></Relations></Page>'))
         monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
         monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
         proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
@@ -510,3 +518,60 @@ def test_self_closing_tag_name_with_tab_newline_attrs(monkeypatch):
         parsed = etree.fromstring(out.encode('utf-8'))  # parseable
         w = parsed.find('.//{%s}Word[@id="p1_w_tabbed"]' % nsuri)
         assert w is not None and len(w) == 1  # one projected TextEquiv
+
+
+def test_flat_reading_order_stays_native(tmp_path, monkeypatch):
+    """Real OCR outputs commonly carry a flat ReadingOrder (one
+    OrderedGroup of RegionRefIndexed).  It is semantically inert for
+    this lane's pages (document-order lattice; projection only
+    consults reading order for nested subregions), so the native lane
+    must SERVE such documents — content equal to the records lane,
+    and the ReadingOrder bytes preserved verbatim in the output."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    pages = {'phys_0001': [['Das', 'ist'], ['ein', 'Test']],
+             'phys_0002': [['Ende', 'gut']]}
+    alts = {(0, 0, 0): [('D', 0.9), ('O', 0.88)]}
+    outputs = {}
+    for lane, nat in (('native', '1'), ('records', '0')):
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = build_workspace(wdir, pages, glyph_alternatives=alts)
+        for page_id in pages:
+            path = os.path.join(
+                str(wdir), 'OCR-D-OCR', 'OCR-D-OCR_%s.xml' % page_id)
+            xml = open(path, encoding='utf-8').read()
+            with open(path, 'w', encoding='utf-8') as fh:
+                fh.write(xml.replace(
+                    '</Page>',
+                    '<ReadingOrder><OrderedGroup id="ro_%s">'
+                    '<RegionRefIndexed index="0" regionRef="%s_r1"/>'
+                    '</OrderedGroup></ReadingOrder></Page>'
+                    % (page_id, page_id)))
+        monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': 'glyph',
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True
+        if nat == '1':
+            # guard: the native lane must actually serve these pages
+            doc = proc._load_page(proc.input_files[0], 'phys_0001')
+            assert isinstance(doc, NativePageDoc) and doc.bail is None
+        proc.process_workspace(ws)
+        outputs[lane] = {
+            page_id: open(os.path.join(
+                wdir, 'OCR-D-LM', 'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read()
+            for page_id in pages}
+    for page_id in pages:
+        nat_out = outputs['native'][page_id]
+        # the RO subtree survives the splice write-back verbatim
+        assert ('<ReadingOrder><OrderedGroup id="ro_%s">' % page_id) \
+            in nat_out
+        assert _page_content(nat_out) == \
+            _page_content(outputs['records'][page_id]), page_id

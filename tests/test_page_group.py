@@ -102,7 +102,7 @@ def test_group_split_by_bucket_limit(tmp_path, monkeypatch):
 
 
 def test_group_flush_on_ineligible_page(tmp_path, monkeypatch):
-    """A mid-document page the native lane bails on (Relations)
+    """A mid-document page the native lane bails on (nested region)
     flushes the open group, decodes through the lxml lane, and the
     next pages regroup — byte-identical to the unfused run."""
     model = make_tiny_model(tmp_path / 'model.h5')
@@ -113,10 +113,11 @@ def test_group_flush_on_ineligible_page(tmp_path, monkeypatch):
         xml = open(p2, encoding='utf-8').read()
         with open(p2, 'w', encoding='utf-8') as fh:
             fh.write(xml.replace(
-                '</Page>', '<Relations><Relation type="join">'
-                '<SourceRegionRef regionRef="phys_0002_r1"/>'
-                '<TargetRegionRef regionRef="phys_0002_r1"/>'
-                '</Relation></Relations></Page>'))
+                '<TextRegion id="phys_0002_r1">',
+                '<TextRegion id="phys_0002_r1">'
+                '<TextRegion id="phys_0002_r1_nested">'
+                '<TextEquiv><Unicode>x</Unicode></TextEquiv>'
+                '</TextRegion>'))
 
     outputs = {}
     for lane, fuse in (('mixfuse', True), ('mixplain', False)):

@@ -74,8 +74,6 @@ def test_scan_bails():
         (xml.replace('<TextRegion id="p1_r2">',
                      '<TextRegion id="p1_r2"><TextRegion id="nested">'
                      '</TextRegion>'), 'nested'),
-        (xml.replace('</Page>', '<Relations><Relation type="join"/>'
-                     '</Relations></Page>'), 'Relations'),
         (xml.replace('Das', 'D&unknown;as'), 'entity'),
     ]
     for bad, why in cases:
@@ -90,6 +88,15 @@ def test_scan_bails():
         '<RegionRefIndexed index="0" regionRef="p1_r1"/>'
         '</OrderedGroup></ReadingOrder></Page>')
     doc = NativePageDoc(with_ro.encode('utf-8'))
+    assert doc.bail is None
+    # ... and so is a flat page's Relations block (joins only change
+    # the separator between NESTED subregions, which bail separately)
+    with_rel = xml.replace(
+        '</Page>', '<Relations><Relation type="join">'
+        '<SourceRegionRef regionRef="p1_r1"/>'
+        '<TargetRegionRef regionRef="p1_r2"/>'
+        '</Relation></Relations></Page>')
+    doc = NativePageDoc(with_rel.encode('utf-8'))
     assert doc.bail is None
     # incomplete metadata also bails (the object path re-emits it)
     doc = NativePageDoc(xml.replace(
@@ -311,7 +318,7 @@ def test_native_lane_actually_used(tmp_path, monkeypatch):
 
 
 def test_mixed_lanes_cross_page_chain(tmp_path, monkeypatch):
-    """A page the scanner bails on (Relations) drops to the lxml
+    """A page the scanner bails on (nested region) drops to the lxml
     lane mid-document; the cross-page beam carry must chain across the
     lane switch and outputs must match an all-lxml run."""
     from ocrd_keraslm_tpu.wrapper import KerasRate
@@ -325,15 +332,16 @@ def test_mixed_lanes_cross_page_chain(tmp_path, monkeypatch):
     for lane, nat in (('mixed', '1'), ('records', '0')):
         wdir = tmp_path / ('ws_%s' % lane)
         ws = build_workspace(wdir, pages, glyph_alternatives=alts)
-        # page 2 gets a Relations block -> native lane bails there
+        # page 2 gets a nested TextRegion -> native lane bails there
         p2 = os.path.join(wdir, 'OCR-D-OCR', 'OCR-D-OCR_phys_0002.xml')
         xml = open(p2, encoding='utf-8').read()
         with open(p2, 'w', encoding='utf-8') as fh:
             fh.write(xml.replace(
-                '</Page>', '<Relations><Relation type="join">'
-                '<SourceRegionRef regionRef="phys_0002_r1"/>'
-                '<TargetRegionRef regionRef="phys_0002_r1"/>'
-                '</Relation></Relations></Page>'))
+                '<TextRegion id="phys_0002_r1">',
+                '<TextRegion id="phys_0002_r1">'
+                '<TextRegion id="phys_0002_r1_nested">'
+                '<TextEquiv><Unicode>x</Unicode></TextEquiv>'
+                '</TextRegion>'))
         monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
         monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
         proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',

@@ -330,3 +330,84 @@ def test_fuzz_scoring_lane_equality(tmp_path, monkeypatch, tiny_model,
         {'records': ('1', '0'), 'object': ('0', '0')})
     assert outputs['records'] == outputs['object'], \
         'seed %d: scoring lanes diverged' % seed
+
+
+def test_fuzz_native_scanner_mutation_safety():
+    """The C++ byte scanner parses UNTRUSTED files: under random byte
+    mutations (truncations, flips, span deletes/duplications, hostile
+    insertions) it must either bail or scan successfully — never
+    crash.  Runs in a subprocess so a segfault fails THIS test with
+    the offending seed instead of killing the pytest process."""
+    import subprocess
+    import sys
+
+    script = r'''
+import os
+import sys
+tests_dir = %r
+sys.path.insert(0, tests_dir)
+sys.path.insert(0, os.path.dirname(tests_dir))
+import numpy as np
+from helpers import build_pcgts
+from ocrd_keraslm_tpu.wrapper import page_native
+from ocrd_keraslm_tpu.wrapper.page import to_xml
+from ocrd_keraslm_tpu.wrapper.page_native import NativePageDoc
+
+if not page_native.available():
+    print('SKIP')
+    sys.exit(0)
+
+base = to_xml(build_pcgts(
+    [['Das', 'ist'], ['ein', 'Test']],
+    glyph_alternatives={(0, 0, 0): [('D', 0.9), ('O', 0.8)]}
+)).encode('utf-8')
+rng = np.random.default_rng(20260819)
+hostile = [b'<', b'>', b'&', b'&#x0;', b'&amp', b'<TextEquiv>',
+           b'</Word>', b'\xff\xfe', b'\xc3', b'<![CDATA[', b'\x00']
+for trial in range(300):
+    data = bytearray(base)
+    for _ in range(int(rng.integers(1, 4))):
+        op = int(rng.integers(5))
+        if op == 0 and len(data) > 10:       # truncate
+            data = data[:int(rng.integers(1, len(data)))]
+        elif op == 1 and len(data) > 1:      # flip bytes
+            for _ in range(int(rng.integers(1, 8))):
+                data[int(rng.integers(len(data)))] = \
+                    int(rng.integers(256))
+        elif op == 2 and len(data) > 20:     # delete a span
+            a = int(rng.integers(len(data) - 10))
+            b2 = a + int(rng.integers(1, min(64, len(data) - a)))
+            del data[a:b2]
+        elif op == 3 and len(data) > 20:     # duplicate a span
+            a = int(rng.integers(len(data) - 10))
+            b2 = a + int(rng.integers(1, min(64, len(data) - a)))
+            data[a:a] = data[a:b2]
+        else:                                # hostile insertion
+            frag = hostile[int(rng.integers(len(hostile)))]
+            a = int(rng.integers(len(data)))
+            data[a:a] = frag
+    try:
+        doc = NativePageDoc(bytes(data))
+        if doc.bail is None:
+            # a successful scan must survive its accessors too
+            doc.get_pcGtsId()
+            lat = doc.lattice('glyph', True, 8)
+            if lat is not None and lat[1] > 0:
+                import string
+                table = np.zeros(1114112, np.int32)
+                for i, c in enumerate(string.printable):
+                    table[ord(c)] = i + 1
+                doc.fill(table, max(lat[1], 8), 4,
+                         max(min(lat[2], 64), 1))
+    except (ValueError, RuntimeError, MemoryError):
+        pass  # a Python-level error is an acceptable rejection
+print('OK 300')
+''' % os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, '-c', script],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (
+        'scanner crashed under mutation fuzzing:\n%s\n%s'
+        % (proc.stdout[-2000:], proc.stderr[-2000:]))
+    assert 'OK 300' in proc.stdout or 'SKIP' in proc.stdout

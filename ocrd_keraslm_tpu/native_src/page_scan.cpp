@@ -20,7 +20,7 @@
 // SCOPE: the scanner is deliberately conservative.  Anything outside
 // the well-formed UTF-8 PAGE profile it understands (DOCTYPE, CDATA,
 // unknown entities, non-UTF-8 declarations, nested TextRegion,
-// line/region decode levels) sets a bail
+// Relations, line/region decode levels) sets a bail
 // reason and the caller falls back to the lxml path — correctness
 // first, the fast lane only serves shapes it provably handles.
 //
@@ -536,17 +536,22 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             continue;
         }
 
-        // ReadingOrder and Relations are semantically INERT for the
-        // pages this lane serves: the lattice builder walks regions in
-        // document order (all three lanes, like the reference graph
-        // builder), the projection only consults reading order for
-        // NESTED text regions, and Relation type=join only changes the
-        // separator between NESTED subregions (wrapper/rate.py
-        // page_update_higher_textequiv_levels) — and nested regions
-        // bail at scan separately.  Both subtrees fall through to the
-        // balanced unknown-tag skip below; the splice preserves their
-        // bytes verbatim.  (The lxml lanes ignore top-level-region
-        // joins identically, so lane outputs stay equal.)
+        // ReadingOrder is semantically INERT for the pages this lane
+        // serves: the lattice builder walks regions in document order
+        // (all three lanes, like the reference graph builder), and the
+        // projection only consults reading order for NESTED text
+        // regions — which bail at scan separately.  Its subtree
+        // (OrderedGroup/RegionRef*) falls through to the balanced
+        // unknown-tag skip below and the splice preserves its bytes.
+        // Relations are NOT inert: type=join suppresses the newline
+        // between consecutive LINES whose boundary words are joined
+        // (wrapper/rate.py page_update_higher_textequiv_levels,
+        // region_unicode loop) — that applies to flat pages, so they
+        // bail to the lxml lane, which implements it.
+        if (local == "Relations") {
+            bail("Relations present");
+            break;
+        }
         if (local == "Metadata") {
             in_metadata = true;
             if (!self_close)

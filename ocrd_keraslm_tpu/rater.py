@@ -25,6 +25,7 @@ from __future__ import annotations
 import gc
 import logging
 import os
+import threading
 from collections import OrderedDict
 from functools import partial, wraps
 from math import exp, log
@@ -69,8 +70,11 @@ FUSED_MAX_ALT_LEN = 64
 # process-wide device-resident decode weights, keyed by the loaded
 # model file's (path, size, mtime_ns) fingerprint + context + dtype:
 # a serving loop that re-instantiates the processor per run reuses
-# the already-staged device arrays (see Rater._decode_weights)
+# the already-staged device arrays (see Rater._decode_weights).
+# Lock-guarded: concurrent Raters in one serving process would
+# otherwise race get/move_to_end against the eviction popitem.
 _DECODE_WCACHE: 'OrderedDict[tuple, dict]' = OrderedDict()
+_DECODE_WCACHE_LOCK = threading.Lock()
 
 
 # shared bucketing helpers (historic local names kept: half the
@@ -1567,9 +1571,11 @@ class Rater:
         if self._weights_fp is not None and \
                 self._params_epoch == self._fp_epoch:
             mkey = (self._weights_fp, ctx, bool(bf16))
-            hit = _DECODE_WCACHE.get(mkey)
+            with _DECODE_WCACHE_LOCK:
+                hit = _DECODE_WCACHE.get(mkey)
+                if hit is not None:
+                    _DECODE_WCACHE.move_to_end(mkey)
             if hit is not None:
-                _DECODE_WCACHE.move_to_end(mkey)
                 self._decode_cache[key] = hit
                 return hit
         W, D, V = self.width, self.depth, self.voc_size
@@ -1616,10 +1622,11 @@ class Rater:
             del self._decode_cache[next(iter(self._decode_cache))]
         self._decode_cache[key] = weights
         if mkey is not None:
-            _DECODE_WCACHE[mkey] = weights
-            _DECODE_WCACHE.move_to_end(mkey)
-            while len(_DECODE_WCACHE) > 4:
-                _DECODE_WCACHE.popitem(last=False)
+            with _DECODE_WCACHE_LOCK:
+                _DECODE_WCACHE[mkey] = weights
+                _DECODE_WCACHE.move_to_end(mkey)
+                while len(_DECODE_WCACHE) > 4:
+                    _DECODE_WCACHE.popitem(last=False)
         return weights
 
     def fused_gate_arrays(self, n_prep, maxlen, beam_width):

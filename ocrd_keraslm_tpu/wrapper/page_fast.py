@@ -43,9 +43,11 @@ from .page import (MetadataItem, emit_metadata_item, parse_page_root,
 
 _Q_TEXTEQUIV = _P + 'TextEquiv'
 _Q_UNICODE = _P + 'Unicode'
-# PAGE schema: TextEquiv precedes these trailing children
-_Q_AFTER_TEXTEQUIV = (_P + 'TextStyle', _P + 'UserDefined',
-                      _P + 'Labels')
+# PAGE schema: TextStyle is the ONLY child that may follow TextEquiv
+# (in every type: ..., TextEquiv*, TextStyle?).  UserDefined/Labels
+# are LEADING children — anchoring on them would misplace a
+# region-level TextEquiv before the region's TextLines.
+_Q_AFTER_TEXTEQUIV = (_P + 'TextStyle',)
 _Q_TEXTREGION = _P + 'TextRegion'
 _Q_TEXTLINE = _P + 'TextLine'
 _Q_WORD = _P + 'Word'

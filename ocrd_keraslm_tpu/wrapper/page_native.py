@@ -14,8 +14,8 @@ path (tests/test_page_native.py): lattice arrays, decode choices,
 projected texts, confidence scores, and metadata agents must all
 match.  Any input shape the scanner does not provably handle (bail
 reasons include DOCTYPE/CDATA, unknown entities, non-UTF-8, nested
-regions, line/region levels, missing Metadata; a flat page's
-ReadingOrder/Relations are inert and skipped, see page_scan.cpp)
+regions, Relations, line/region levels, missing Metadata; a flat
+page's ReadingOrder is inert and skipped, see page_scan.cpp)
 falls back to the lxml lane — this module is an accelerator, never the
 only path.
 
@@ -363,10 +363,12 @@ class NativePageDoc:
 
     def _project(self, level, winner_te, winner_score, decoded):
         """Recompute word/line/region texts from the decoded winners
-        (replica of page_update_higher_textequiv_levels without nested
-        regions, which bail at scan; a flat page's ReadingOrder and
-        Relation joins are inert — the projection only consults them
-        for nested subregions).
+        (replica of page_update_higher_textequiv_levels without
+        Relations/nested regions, which bail at scan; a flat page's
+        ReadingOrder is inert — the projection only consults reading
+        order for nested subregions.  Relation type=join is NOT inert:
+        it suppresses the newline between joined consecutive lines,
+        so Relations pages take the lxml lane).
 
         Vectorized per-element data (winner-or-first te, confidence,
         effective layout directives, children grouping) — the Python

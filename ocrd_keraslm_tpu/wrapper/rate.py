@@ -342,6 +342,40 @@ class KerasRate:
         device_tb = None
         device_mode = self.parameter.get('device_decoding', True)
         device_pending = []  # dispatched pages awaiting fetch/write
+
+        def page_failure(input_file, page_id, err):
+            """OCRD_MISSING_OUTPUT policy for ONE failed page: ABORT
+            raises, COPY emits the input as fallback, every failure is
+            logged and counted toward the ratio abort.  Shared by the
+            dispatch loop's exception handler and the group-flush
+            per-page fallback (so a failure inside a buffered group is
+            attributed to ITS page, not the page being processed)."""
+            nonlocal nr_failed
+            if missing_policy == 'ABORT':
+                self._base_logger.error(
+                    'Failure on page %s: %s', page_id,
+                    str(err) or err.__class__.__name__)
+                raise err
+            self._base_logger.exception(
+                'Failure on page %s: %s', page_id,
+                str(err) or err.__class__.__name__)
+            if missing_policy == 'COPY':
+                self._copy_page_file(input_file)
+            nr_errors[err.__class__.__name__] += 1
+            nr_failed += 1
+            # early abort only when the ratio is ALREADY hopeless
+            # (even if every remaining page succeeds) — the
+            # processed-pages ratio is enforced at end-of-run.
+            # Dividing by successes-so-far here would spuriously
+            # abort device mode, where successes are only counted
+            # in the finish loop below.
+            max_missing = self._max_missing_ratio()
+            if 0 < max_missing < \
+                    nr_failed / max(len(self.input_files), 1):
+                raise RuntimeError(
+                    'too many failures with %s output (%d of %d, %s)'
+                    % (reason, nr_failed, len(self.input_files),
+                       dict(nr_errors)))
         # page-group fusion: consecutive native-lane pages accumulate
         # here and dispatch as ONE fused kernel call (bit-identical
         # results, ~4x fewer dispatches; KERASLM_FUSE_PAGES=0 forces
@@ -400,7 +434,8 @@ class KerasRate:
                                         max(max(g[4] for g in gbuf),
                                             maxlen), beam_width):
                                     device_tb = self._flush_page_group(
-                                        gbuf, device_tb, device_pending)
+                                        gbuf, device_tb, device_pending,
+                                        on_failure=page_failure)
                                 # per-page log lines stay format-identical
                                 # to the per-page dispatch path
                                 level = self.parameter['textequiv_level']
@@ -418,7 +453,8 @@ class KerasRate:
                         # ineligible for fusion: flush the group first so
                         # the beam carry stays in page order
                         device_tb = self._flush_page_group(
-                            gbuf, device_tb, device_pending)
+                            gbuf, device_tb, device_pending,
+                            on_failure=page_failure)
                         rec, device_tb = self.process_page_pcgts_device_begin(
                             pcgts, device_tb, file_id, page_id)
                         # success is only counted when the page is
@@ -449,31 +485,7 @@ class KerasRate:
                 except KeyboardInterrupt:
                     raise
                 except Exception as err:
-                    if missing_policy == 'ABORT':
-                        self._base_logger.error(
-                            'Failure on page %s: %s', page_id,
-                            str(err) or err.__class__.__name__)
-                        raise
-                    self._base_logger.exception(
-                        'Failure on page %s: %s', page_id,
-                        str(err) or err.__class__.__name__)
-                    if missing_policy == 'COPY':
-                        self._copy_page_file(input_file)
-                    nr_errors[err.__class__.__name__] += 1
-                    nr_failed += 1
-                    # early abort only when the ratio is ALREADY hopeless
-                    # (even if every remaining page succeeds) — the
-                    # processed-pages ratio is enforced at end-of-run.
-                    # Dividing by successes-so-far here would spuriously
-                    # abort device mode, where successes are only counted
-                    # in the finish loop below.
-                    max_missing = self._max_missing_ratio()
-                    if 0 < max_missing < \
-                            nr_failed / max(len(self.input_files), 1):
-                        raise RuntimeError(
-                            'too many failures with %s output (%d of %d, %s)'
-                            % (reason, nr_failed, len(self.input_files),
-                               dict(nr_errors)))
+                    page_failure(input_file, page_id, err)
         finally:
             # the prefetch thread must not outlive the run
             # (long-lived worker/server processes would leak
@@ -481,9 +493,11 @@ class KerasRate:
             if prefetcher is not None:
                 prefetcher.shutdown(wait=False,
                                     cancel_futures=True)
-        # trailing group: dispatch whatever is still buffered
+        # trailing group: dispatch whatever is still buffered — its
+        # fallback failures route through the same per-page policy
         device_tb = self._flush_page_group(gbuf, device_tb,
-                                           device_pending)
+                                           device_pending,
+                                           on_failure=page_failure)
         # device mode: all pages were dispatched (the beam carry chains
         # on device with no host sync); now write each page — with the
         # SAME error policy as the dispatch loop (existing-output
@@ -610,7 +624,8 @@ class KerasRate:
             return None
         return n_raw, n_prep, maxlen
 
-    def _flush_page_group(self, gbuf, device_tb, device_pending):
+    def _flush_page_group(self, gbuf, device_tb, device_pending,
+                          on_failure=None):
         """Dispatch the buffered native pages as ONE fused kernel
         call: consecutive pages of a document form one linear lattice,
         so fusing them cuts the per-dispatch overhead (~6 ms/page over
@@ -619,7 +634,10 @@ class KerasRate:
         across per-page kernel boundaries, and each page is walked
         from its own final edge's rank-0 slot (see
         ``Rater.rate_best_device_begin_arrays_group``).  Falls back to
-        per-page dispatches if the group call fails."""
+        per-page dispatches if the group call fails; a page that ALSO
+        fails its per-page dispatch routes through ``on_failure``
+        (the caller's OCRD_MISSING_OUTPUT policy) attributed to ITS
+        page id, and the remaining pages still dispatch."""
         if not gbuf:
             return device_tb
         beam_width = self.parameter['beam_width']
@@ -665,8 +683,20 @@ class KerasRate:
                 'page-group dispatch failed; falling back to '
                 'per-page dispatches')
             for doc, fid, pid, _n, _ml, _nr, inf in gbuf:
-                rec, device_tb = self.process_page_pcgts_device_begin(
-                    doc, device_tb, fid, pid)
+                try:
+                    rec, device_tb = \
+                        self.process_page_pcgts_device_begin(
+                            doc, device_tb, fid, pid)
+                except KeyboardInterrupt:
+                    raise
+                except Exception as err:
+                    if on_failure is None:
+                        raise
+                    # ABORT/ratio raise from the handler; otherwise
+                    # the failure is logged+counted for THIS page and
+                    # the rest of the group still dispatches
+                    on_failure(inf, pid, err)
+                    continue
                 for arr in rec[0][2] if rec[0][0] != 'done' else ():
                     copy_async = getattr(arr, 'copy_to_host_async',
                                          None)

@@ -301,3 +301,33 @@ def test_textequiv_inserted_before_textstyle():
     tags = [etree.QName(ch).localname for ch in w_el]
     assert 'TextEquiv' in tags and 'TextStyle' in tags
     assert tags.index('TextEquiv') < tags.index('TextStyle')
+
+
+def test_region_textequiv_inserted_after_lines():
+    """Regression (review finding): UserDefined/Labels are LEADING
+    children in the PAGE schema — a region-level TextEquiv must land
+    AFTER the region's TextLines (before TextStyle only), not before
+    them."""
+    from lxml import etree
+
+    xml = _rich_page_xml()
+    # region with a leading UserDefined and a trailing TextStyle
+    xml = xml.replace(
+        '<TextRegion id="p1_r1">',
+        '<TextRegion id="p1_r1"><UserDefined><UserAttribute '
+        'name="k" value="v"/></UserDefined>')
+    xml = xml.replace('</TextRegion>',
+                      '<TextStyle fontSize="9"/></TextRegion>', 1)
+    doc = parse_page_fast(xml.encode('utf-8'))
+    region = doc.page.get_AllRegions()[0]
+    region.set_TextEquiv([TextEquivType(Unicode='R', conf=0.5)])
+    out = to_xml(doc)
+    root = etree.fromstring(out.encode('utf-8')
+                            if isinstance(out, str) else out)
+    ns = {'p': 'http://schema.primaresearch.org/PAGE/gts/'
+               'pagecontent/2019-07-15'}
+    r_el = root.find('.//p:TextRegion', ns)
+    tags = [etree.QName(ch).localname for ch in r_el]
+    assert tags.index('UserDefined') < tags.index('TextLine')
+    assert tags.index('TextLine') < tags.index('TextEquiv')
+    assert tags.index('TextEquiv') < tags.index('TextStyle')

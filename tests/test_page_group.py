@@ -271,3 +271,48 @@ def test_group_error_policy_mid_document(tmp_path, monkeypatch,
         assert fused['phys_0002'] == 'this is not XML <<<'
     else:
         assert fused['phys_0002'] is None
+
+
+def test_group_fallback_failure_routes_page_policy(tmp_path,
+                                                   monkeypatch):
+    """Review regression: when the GROUP dispatch fails and one page's
+    per-page fallback also fails, that failure routes through the
+    OCRD_MISSING_OUTPUT policy attributed to ITS page — the remaining
+    group pages still dispatch and write."""
+    model = make_tiny_model(tmp_path / 'model.h5')
+    wdir = tmp_path / 'ws_fb'
+    ws = build_workspace(wdir, PAGES, glyph_alternatives=ALTS)
+    monkeypatch.setenv('KERASLM_FAST_PAGE', '1')
+    monkeypatch.setenv('KERASLM_NATIVE_PAGE', '1')
+    monkeypatch.setenv('KERASLM_FUSE_PAGES', '1')
+    monkeypatch.setenv('OCRD_MISSING_OUTPUT', 'SKIP')
+    monkeypatch.setenv('OCRD_MAX_MISSING_OUTPUTS', '-1')
+    proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'beam_width': 4})
+    proc.setup()
+    proc.rater.fused_decode = True
+
+    def boom_group(self, segs, **kw):
+        raise RuntimeError('simulated group dispatch failure')
+
+    monkeypatch.setattr(Rater, 'rate_best_device_begin_arrays_group',
+                        boom_group)
+    orig_begin = KerasRate.process_page_pcgts_device_begin
+
+    def begin(self, pcgts, device_tb, file_id, page_id):
+        if page_id == 'phys_0002':
+            raise RuntimeError('simulated per-page failure')
+        return orig_begin(self, pcgts, device_tb, file_id, page_id)
+
+    monkeypatch.setattr(KerasRate, 'process_page_pcgts_device_begin',
+                        begin)
+    proc.process_workspace(ws)
+    written = {page_id: os.path.exists(os.path.join(
+        wdir, 'OCR-D-LM', 'OCR-D-LM_%s.xml' % page_id))
+        for page_id in PAGES}
+    assert written == {'phys_0001': True, 'phys_0002': False,
+                       'phys_0003': True, 'phys_0004': True}, written

@@ -74,6 +74,8 @@ def test_scan_bails():
         (xml.replace('<TextRegion id="p1_r2">',
                      '<TextRegion id="p1_r2"><TextRegion id="nested">'
                      '</TextRegion>'), 'nested'),
+        (xml.replace('</Page>', '<Relations><Relation type="join"/>'
+                     '</Relations></Page>'), 'Relations'),
         (xml.replace('Das', 'D&unknown;as'), 'entity'),
     ]
     for bad, why in cases:
@@ -88,15 +90,6 @@ def test_scan_bails():
         '<RegionRefIndexed index="0" regionRef="p1_r1"/>'
         '</OrderedGroup></ReadingOrder></Page>')
     doc = NativePageDoc(with_ro.encode('utf-8'))
-    assert doc.bail is None
-    # ... and so is a flat page's Relations block (joins only change
-    # the separator between NESTED subregions, which bail separately)
-    with_rel = xml.replace(
-        '</Page>', '<Relations><Relation type="join">'
-        '<SourceRegionRef regionRef="p1_r1"/>'
-        '<TargetRegionRef regionRef="p1_r2"/>'
-        '</Relation></Relations></Page>')
-    doc = NativePageDoc(with_rel.encode('utf-8'))
     assert doc.bail is None
     # incomplete metadata also bails (the object path re-emits it)
     doc = NativePageDoc(xml.replace(
@@ -583,3 +576,40 @@ def test_flat_reading_order_stays_native(tmp_path, monkeypatch):
             in nat_out
         assert _page_content(nat_out) == \
             _page_content(outputs['records'][page_id]), page_id
+
+
+def test_cross_line_join_is_not_inert(tmp_path, monkeypatch):
+    """Why Relations must bail the native lane: Relation type=join
+    between the LAST word of line i and the FIRST word of line i+1
+    suppresses the newline in the region projection — on a FLAT page
+    (wrapper/rate.py, region_unicode loop).  Pins (a) the lxml lane
+    honors the join and (b) the native lane refuses such documents."""
+    from ocrd_keraslm_tpu.wrapper.page import parse_page
+    from ocrd_keraslm_tpu.wrapper.rate import (
+        page_update_higher_textequiv_levels)
+
+    pcgts = build_pcgts([['Auf', 'klae'], ['rung', 'jetzt']])
+    xml = to_xml(pcgts)
+    # join last word of line 0 with first word of line 1
+    lines = pcgts.page.get_TextRegion()[0].get_TextLine()
+    w_src = lines[0].get_Word()[-1].id
+    w_tgt = lines[1].get_Word()[0].id
+    joined = xml.replace(
+        '</Page>', '<Relations><Relation type="join">'
+        '<SourceRegionRef regionRef="%s"/>'
+        '<TargetRegionRef regionRef="%s"/>'
+        '</Relation></Relations></Page>' % (w_src, w_tgt))
+    # (a) the lxml projection suppresses the newline across the join
+    doc_plain = parse_page(xml)
+    page_update_higher_textequiv_levels('word', doc_plain)
+    doc_join = parse_page(joined)
+    page_update_higher_textequiv_levels('word', doc_join)
+    text_plain = doc_plain.page.get_TextRegion()[0] \
+        .get_TextEquiv()[0].Unicode
+    text_join = doc_join.page.get_TextRegion()[0] \
+        .get_TextEquiv()[0].Unicode
+    assert text_plain == 'Auf klae\nrung jetzt'
+    assert text_join == 'Auf klaerung jetzt'
+    # (b) joins change FLAT-page output, so the native lane must bail
+    doc = NativePageDoc(joined.encode('utf-8'))
+    assert doc.bail is not None

@@ -308,6 +308,8 @@ def load_page_scan():
         lib.page_bail.argtypes = [ctypes.py_object]
         lib.page_counts.restype = ctypes.py_object
         lib.page_counts.argtypes = [ctypes.py_object]
+        lib.page_joins.restype = ctypes.py_object
+        lib.page_joins.argtypes = [ctypes.py_object]
         lib.page_arrays.restype = ctypes.c_int64
         lib.page_arrays.argtypes = [
             ctypes.py_object,

@@ -20,7 +20,7 @@
 // SCOPE: the scanner is deliberately conservative.  Anything outside
 // the well-formed UTF-8 PAGE profile it understands (DOCTYPE, CDATA,
 // unknown entities, non-UTF-8 declarations, nested TextRegion,
-// Relations, line/region decode levels) sets a bail
+// line/region decode levels) sets a bail
 // reason and the caller falls back to the lxml path — correctness
 // first, the fast lane only serves shapes it provably handles.
 //
@@ -33,6 +33,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -120,6 +121,11 @@ struct Doc {
     // (text_blob is immutable after the scan; lattice, fill, and
     // apply all need the same table)
     std::vector<int64_t> t2b_cache;
+    // Relation type=join pairs (Source/Target regionRef, unescaped):
+    // the projection suppresses the newline between consecutive lines
+    // whose boundary words are joined (wrapper/rate.py
+    // page_update_higher_textequiv_levels region_unicode loop)
+    std::vector<std::string> join_src, join_tgt;
 };
 
 bool starts(const std::string& b, size_t p, const char* s) {
@@ -249,6 +255,8 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
     bool in_metadata = false;
     bool in_lastchange = false;
     size_t lastchange_raw_s = 0;
+    // current <Relation> being collected (join pairs, see Doc)
+    std::string rel_type, rel_src, rel_tgt;
 
     auto bail = [&](const char* why) {
         if (d->bail.empty()) d->bail = why;
@@ -543,14 +551,39 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
         // regions — which bail at scan separately.  Its subtree
         // (OrderedGroup/RegionRef*) falls through to the balanced
         // unknown-tag skip below and the splice preserves its bytes.
-        // Relations are NOT inert: type=join suppresses the newline
-        // between consecutive LINES whose boundary words are joined
-        // (wrapper/rate.py page_update_higher_textequiv_levels,
-        // region_unicode loop) — that applies to flat pages, so they
-        // bail to the lxml lane, which implements it.
-        if (local == "Relations") {
-            bail("Relations present");
-            break;
+        // Relations are NOT inert: Relation type=join suppresses the
+        // newline between consecutive LINES whose boundary words are
+        // joined (wrapper/rate.py page_update_higher_textequiv_levels
+        // region_unicode loop) — collect the pairs here; page_apply
+        // and the Python _project honor them.  These tags only occur
+        // inside Relations, so no enclosing-state flag is needed; the
+        // generic unknown-tag skip below keeps the subtree balanced
+        // and the splice preserves its bytes.
+        if (local == "Relation") {
+            if (!attr_str("type", &rel_type))
+                rel_type.clear();
+            rel_src.clear();
+            rel_tgt.clear();
+        } else if (local == "SourceRegionRef" ||
+                   local == "TargetRegionRef") {
+            int64_t rs, re2;
+            if (attr_span("regionRef", &rs, &re2)) {
+                std::string ref;
+                int64_t cp_n = 0;
+                if (!unescape(b, (size_t)rs, (size_t)re2, ref,
+                              &cp_n)) {
+                    bail("bad regionRef");
+                    break;
+                }
+                (local[0] == 'S' ? rel_src : rel_tgt) = ref;
+            }
+            if (rel_type == "join" && !rel_src.empty() &&
+                !rel_tgt.empty()) {
+                d->join_src.push_back(rel_src);
+                d->join_tgt.push_back(rel_tgt);
+                rel_src.clear();
+                rel_tgt.clear();
+            }
         }
         if (local == "Metadata") {
             in_metadata = true;
@@ -685,6 +718,24 @@ extern "C" PyObject* page_bail(PyObject* cap) {
 }
 
 // Scalars + blobs as one tuple.
+extern "C" PyObject* page_joins(PyObject* cap) {
+    // Relation type=join (src, tgt) regionRef pairs, document order
+    Doc* d = get_doc(cap);
+    if (!d) return nullptr;
+    PyObject* out = PyList_New((Py_ssize_t)d->join_src.size());
+    if (!out) return nullptr;
+    for (size_t j = 0; j < d->join_src.size(); j++) {
+        PyObject* pair = Py_BuildValue(
+            "(s#s#)", d->join_src[j].data(),
+            (Py_ssize_t)d->join_src[j].size(),
+            d->join_tgt[j].data(),
+            (Py_ssize_t)d->join_tgt[j].size());
+        if (!pair) { Py_DECREF(out); return nullptr; }
+        PyList_SET_ITEM(out, (Py_ssize_t)j, pair);
+    }
+    return out;
+}
+
 extern "C" PyObject* page_counts(PyObject* cap) {
     Doc* d = get_doc(cap);
     if (!d) return nullptr;
@@ -1342,6 +1393,29 @@ extern "C" PyObject* page_apply(PyObject* cap, int level,
         has_new[ei] = 1;
     };
     bool word_level = (level == 2);
+    // Relation type=join pairs: "src\x1ftgt" of the boundary WORD ids
+    // (document order, matching the lxml lane's line.get_Word())
+    std::set<std::string> join_set;
+    std::vector<int64_t> id_b2;
+    if (!d->join_src.empty()) {
+        id_b2 = cp_to_byte(d->id_blob);
+        for (size_t j = 0; j < d->join_src.size(); j++)
+            join_set.insert(d->join_src[j] + '\x1f' + d->join_tgt[j]);
+    }
+    auto id_of = [&](int32_t ei) {
+        const El& el = d->els[ei];
+        return d->id_blob.substr(
+            (size_t)id_b2[el.id_s],
+            (size_t)(id_b2[el.id_e] - id_b2[el.id_s]));
+    };
+    auto lines_joined = [&](int32_t prev_li, int32_t li) {
+        if (join_set.empty()) return false;
+        const std::vector<int32_t>& pw = d->els[prev_li].children;
+        const std::vector<int32_t>& nw = d->els[li].children;
+        if (pw.empty() || nw.empty()) return false;
+        return join_set.count(id_of(pw.back()) + '\x1f' +
+                              id_of(nw.front())) > 0;
+    };
     std::vector<int32_t> lines, words, glyphs;
     for (size_t ri = 0; ri < n_els; ri++) {
         if (d->els[ri].kind != K_REGION) continue;
@@ -1380,7 +1454,8 @@ extern "C" PyObject* page_apply(PyObject* cap, int level,
         std::string region_text;
         double region_conf = 0.0;
         for (size_t k = 0; k < lines.size(); k++) {
-            if (k) region_text += '\n';
+            if (k && !lines_joined(lines[k - 1], lines[k]))
+                region_text += '\n';
             cur_text(lines[k], &region_text);
             region_conf += cur_conf(lines[k]);
         }

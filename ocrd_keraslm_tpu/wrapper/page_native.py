@@ -14,8 +14,9 @@ path (tests/test_page_native.py): lattice arrays, decode choices,
 projected texts, confidence scores, and metadata agents must all
 match.  Any input shape the scanner does not provably handle (bail
 reasons include DOCTYPE/CDATA, unknown entities, non-UTF-8, nested
-regions, Relations, line/region levels, missing Metadata; a flat
-page's ReadingOrder is inert and skipped, see page_scan.cpp)
+regions, line/region levels, missing Metadata; a flat page's
+ReadingOrder is inert and skipped, and Relation type=join pairs are
+collected and honored by the projection, see page_scan.cpp)
 falls back to the lxml lane — this module is an accelerator, never the
 only path.
 
@@ -98,6 +99,7 @@ class NativePageDoc:
         self.data = data
         self.cap = lib.page_open(data, len(data))
         self.bail = lib.page_bail(self.cap)
+        self._joins = None  # lazy Relation type=join (src, tgt) set
         self._edits: List = []       # (start, end, replacement bytes)
         self._meta_items: List[MetadataItem] = []
         self._pcgtsid_override: Optional[str] = None
@@ -170,6 +172,16 @@ class NativePageDoc:
 
     def add_metadata_item(self, item: MetadataItem):
         self._meta_items.append(item)
+
+    @property
+    def joins(self):
+        """Relation type=join (srcRef, tgtRef) pairs as a set — the
+        projection suppresses the newline between consecutive lines
+        whose boundary word ids form such a pair."""
+        if self._joins is None:
+            self._joins = set(map(tuple,
+                                  self._lib.page_joins(self.cap)))
+        return self._joins
 
     def te_text(self, ti: int) -> str:
         s, e = self.ttext[ti]
@@ -363,12 +375,11 @@ class NativePageDoc:
 
     def _project(self, level, winner_te, winner_score, decoded):
         """Recompute word/line/region texts from the decoded winners
-        (replica of page_update_higher_textequiv_levels without
-        Relations/nested regions, which bail at scan; a flat page's
-        ReadingOrder is inert — the projection only consults reading
-        order for nested subregions.  Relation type=join is NOT inert:
-        it suppresses the newline between joined consecutive lines,
-        so Relations pages take the lxml lane).
+        (replica of page_update_higher_textequiv_levels without nested
+        regions, which bail at scan; a flat page's ReadingOrder is
+        inert — the projection only consults reading order for nested
+        subregions.  Relation type=join pairs ARE honored: they
+        suppress the newline between joined consecutive lines).
 
         Vectorized per-element data (winner-or-first te, confidence,
         effective layout directives, children grouping) — the Python
@@ -496,7 +507,24 @@ class NativePageDoc:
                     if len(words):
                         line_conf /= len(words)
                     set_te(int(li), line_text, line_conf)
-            region_text = '\n'.join(cur_text(li) for li in lines)
+            joins = self.joins
+            if joins:
+                # Relation type=join: no newline between consecutive
+                # lines whose boundary WORD ids (document order, like
+                # the lxml lane's line.get_Word()) form a join pair
+                parts = []
+                for k, li in enumerate(lines):
+                    if k:
+                        pw = children(lines[k - 1])
+                        nw = children(li)
+                        if not (len(pw) and len(nw) and
+                                (self.elem_id(int(pw[-1])),
+                                 self.elem_id(int(nw[0]))) in joins):
+                            parts.append('\n')
+                    parts.append(cur_text(li))
+                region_text = ''.join(parts)
+            else:
+                region_text = '\n'.join(cur_text(li) for li in lines)
             region_conf = 0.0
             if len(lines):
                 region_conf = sum(cur_conf(li)

@@ -74,8 +74,6 @@ def test_scan_bails():
         (xml.replace('<TextRegion id="p1_r2">',
                      '<TextRegion id="p1_r2"><TextRegion id="nested">'
                      '</TextRegion>'), 'nested'),
-        (xml.replace('</Page>', '<Relations><Relation type="join"/>'
-                     '</Relations></Page>'), 'Relations'),
         (xml.replace('Das', 'D&unknown;as'), 'entity'),
     ]
     for bad, why in cases:
@@ -579,11 +577,13 @@ def test_flat_reading_order_stays_native(tmp_path, monkeypatch):
 
 
 def test_cross_line_join_is_not_inert(tmp_path, monkeypatch):
-    """Why Relations must bail the native lane: Relation type=join
-    between the LAST word of line i and the FIRST word of line i+1
-    suppresses the newline in the region projection — on a FLAT page
-    (wrapper/rate.py, region_unicode loop).  Pins (a) the lxml lane
-    honors the join and (b) the native lane refuses such documents."""
+    """Relation type=join between the LAST word of line i and the
+    FIRST word of line i+1 suppresses the newline in the region
+    projection — on a FLAT page (wrapper/rate.py, region_unicode
+    loop).  Pins (a) the lxml lane honors the join, (b) the native
+    scanner collects the pairs, and (c) both native apply paths
+    (C++ page_apply and the Python _project) produce the SAME joined
+    region text as the lxml lane."""
     from ocrd_keraslm_tpu.wrapper.page import parse_page
     from ocrd_keraslm_tpu.wrapper.rate import (
         page_update_higher_textequiv_levels)
@@ -610,6 +610,80 @@ def test_cross_line_join_is_not_inert(tmp_path, monkeypatch):
         .get_TextEquiv()[0].Unicode
     assert text_plain == 'Auf klae\nrung jetzt'
     assert text_join == 'Auf klaerung jetzt'
-    # (b) joins change FLAT-page output, so the native lane must bail
+    # (b) the native scanner serves the document and collects the pair
     doc = NativePageDoc(joined.encode('utf-8'))
-    assert doc.bail is not None
+    assert doc.bail is None
+    assert doc.joins == {(w_src, w_tgt)}
+    # (c) both native apply paths project the joined region text
+    for native_apply in ('1', '0'):
+        monkeypatch.setenv('KERASLM_NATIVE_APPLY', native_apply)
+        nd = NativePageDoc(joined.encode('utf-8'))
+        out = _native_decode_and_serialize(nd, 'word', pick=0)
+        reparsed = parse_page(out)
+        got = reparsed.page.get_TextRegion()[0] \
+            .get_TextEquiv()[0].Unicode
+        assert got == text_join, ('apply=%s' % native_apply, got)
+
+
+def test_processor_e2e_with_joins_three_lanes(tmp_path, monkeypatch):
+    """Full decode of a workspace whose first page carries a
+    cross-line Relation join: native (fused) / records / object lanes
+    must produce identical content, and the native output must keep
+    the Relations bytes verbatim."""
+    from ocrd_keraslm_tpu.wrapper import KerasRate
+
+    model = make_tiny_model(tmp_path / 'model.h5')
+    pages = {'phys_0001': [['Auf', 'klae'], ['rung', 'jetzt']],
+             'phys_0002': [['Ende', 'gut']]}
+    alts = {(0, 0, 0): [('A', 0.9), ('O', 0.88)]}
+    outputs = {}
+    for lane, (fast, nat) in (('native', ('1', '1')),
+                              ('records', ('1', '0')),
+                              ('object', ('0', '0'))):
+        wdir = tmp_path / ('ws_%s' % lane)
+        ws = build_workspace(wdir, pages, glyph_alternatives=alts)
+        p1 = os.path.join(str(wdir), 'OCR-D-OCR',
+                          'OCR-D-OCR_phys_0001.xml')
+        xml = open(p1, encoding='utf-8').read()
+        # join the last word of line 1 with the first word of line 2
+        from ocrd_keraslm_tpu.wrapper.page import parse_page
+        doc0 = parse_page(xml)
+        lines0 = doc0.page.get_TextRegion()[0].get_TextLine()
+        w_src = lines0[0].get_Word()[-1].id
+        w_tgt = lines0[1].get_Word()[0].id
+        with open(p1, 'w', encoding='utf-8') as fh:
+            fh.write(xml.replace(
+                '</Page>', '<Relations><Relation type="join">'
+                '<SourceRegionRef regionRef="%s"/>'
+                '<TargetRegionRef regionRef="%s"/>'
+                '</Relation></Relations></Page>' % (w_src, w_tgt)))
+        monkeypatch.setenv('KERASLM_FAST_PAGE', fast)
+        monkeypatch.setenv('KERASLM_NATIVE_PAGE', nat)
+        proc = KerasRate(workspace=ws, input_file_grp='OCR-D-OCR',
+                         output_file_grp='OCR-D-LM',
+                         parameter={'model_file': model,
+                                    'textequiv_level': 'glyph',
+                                    'alternative_decoding': True,
+                                    'beam_width': 4})
+        proc.setup()
+        proc.rater.fused_decode = True
+        if nat == '1':
+            doc = proc._load_page(proc.input_files[0], 'phys_0001')
+            assert isinstance(doc, NativePageDoc) and doc.bail is None
+        proc.process_workspace(ws)
+        outputs[lane] = {
+            page_id: open(os.path.join(
+                wdir, 'OCR-D-LM', 'OCR-D-LM_%s.xml' % page_id),
+                encoding='utf-8').read()
+            for page_id in pages}
+    from test_page_fast import _page_content
+    for page_id in pages:
+        assert _page_content(outputs['native'][page_id]) == \
+            _page_content(outputs['records'][page_id]) == \
+            _page_content(outputs['object'][page_id]), page_id
+    # the joined region text has NO newline at the join
+    assert '<Relations>' in outputs['native']['phys_0001']
+    reparsed = parse_page(outputs['native']['phys_0001'])
+    region_text = reparsed.page.get_TextRegion()[0] \
+        .get_TextEquiv()[0].Unicode
+    assert '\n' not in region_text, region_text

@@ -6,8 +6,9 @@ serializer), so it exercises the native C++ scanner's actual parsing
 surface: randomized attribute order and intra-tag whitespace, XML
 comments, character references, CRLF endings, missing/extra conf and
 index attributes, layout-direction attributes, tokenisation problems,
-and occasional shapes the scanner must BAIL on (ReadingOrder groups) —
-which still have to yield identical output through the lxml fallback.
+plus ReadingOrder groups and Relation type=join blocks (served by
+the native lane; joins must suppress line-boundary newlines
+identically in every lane).
 
 Contract under test (same as test_page_native.py's three-lane e2e):
 for ANY well-formed PAGE document, decoded output CONTENT is identical
@@ -111,10 +112,11 @@ def fuzz_page_xml(rnd, page_id):
 
     n_regions = rnd.randint(1, 2)
     region_ids = ['%s_r%d' % (page_id, ri) for ri in range(n_regions)]
-    wants_bail = rnd.random() < 0.2
-    if wants_bail and n_regions > 1:
-        # a ReadingOrder group permuting the regions: valid PAGE the
-        # lxml lanes honor in projection; the native scanner bails
+    wants_ro = rnd.random() < 0.2
+    if wants_ro and n_regions > 1:
+        # a ReadingOrder group permuting the regions: inert for flat
+        # pages in every lane (document-order lattice; the projection
+        # only consults reading order for nested subregions)
         order = list(range(n_regions))
         rnd.shuffle(order)
         parts.append('<ReadingOrder><OrderedGroup id="%s_ro">' % page_id)
@@ -123,6 +125,9 @@ def fuzz_page_xml(rnd, page_id):
                          % (idx, region_ids[ri]))
         parts.append('</OrderedGroup></ReadingOrder>')
 
+    # (line_id, [word ids]) per region: Relation-join generation below
+    # picks real line-boundary word pairs from these
+    region_line_words = []
     for ri in range(n_regions):
         rattr = ''
         if rnd.random() < 0.2:
@@ -130,6 +135,8 @@ def fuzz_page_xml(rnd, page_id):
                 ['bottom-to-top', 'top-to-bottom', ''])
         parts.append('%s<TextRegion id="%s"%s>'
                      % (_comment(rnd), region_ids[ri], rattr))
+        line_words = []
+        region_line_words.append(line_words)
         line_texts = []
         for li in range(rnd.randint(1, 2)):
             lattr = ''
@@ -139,8 +146,11 @@ def fuzz_page_xml(rnd, page_id):
             lid = '%s_l%d' % (region_ids[ri], li)
             parts.append('<TextLine id="%s"%s>' % (lid, lattr))
             word_texts = []
+            word_ids = []
+            line_words.append(word_ids)
             for wi in range(rnd.randint(1, 3)):
                 wid = '%s_w%d' % (lid, wi)
+                word_ids.append(wid)
                 parts.append('%s<Word id="%s">' % (_comment(rnd), wid))
                 glyph_chars = []
                 for gi in range(rnd.randint(1, 4)):
@@ -180,13 +190,33 @@ def fuzz_page_xml(rnd, page_id):
             parts.append('</TextLine>')
         parts.append(_textequiv(rnd, '\n'.join(line_texts), 0.9, None))
         parts.append('</TextRegion>')
+    if rnd.random() < 0.3:
+        # Relation type=join across a real line boundary (all lanes
+        # must suppress the newline identically), sometimes a pair
+        # that matches no boundary (must be ignored identically), and
+        # sometimes a non-join Relation type
+        rels = []
+        for _ in range(rnd.randint(1, 2)):
+            lws = rnd.choice(region_line_words)
+            if len(lws) >= 2 and rnd.random() < 0.7:
+                li = rnd.randrange(len(lws) - 1)
+                src, tgt = lws[li][-1], lws[li + 1][0]
+            else:
+                src = rnd.choice([w for ws_ in lws for w in ws_])
+                tgt = 'no_such_word'
+            rtype = 'join' if rnd.random() < 0.8 else 'link'
+            rels.append('<Relation type="%s">'
+                        '<SourceRegionRef regionRef="%s"/>'
+                        '<TargetRegionRef regionRef="%s"/>'
+                        '</Relation>' % (rtype, src, tgt))
+        parts.append('<Relations>%s</Relations>' % ''.join(rels))
     parts.append('</Page>')
     parts.append('</PcGts>')
     joiner = '\n' if rnd.random() < 0.7 else ''
     xml = joiner.join(parts)
     if rnd.random() < 0.25:
         xml = xml.replace('\n', '\r\n')
-    return xml, wants_bail
+    return xml, wants_ro
 
 
 def _build_raw_workspace(tmpdir, page_xmls,

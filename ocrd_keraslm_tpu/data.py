@@ -151,10 +151,20 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
         step = 3
         max_size = 0
         for name in files:
-            total += lens[name] - length
+            # short files (< length) still yield left-padded
+            # variable-length windows; never count negative
+            total += max(lens[name] - length, 0)
             max_size = max(max_size, lens[name])
         if val_files:
             training, validation = files, list(val_files)
+            split = None
+        elif validation_split <= 0:
+            # no held-out split requested: validate on the training
+            # windows (a window_split with threshold 0 would instead
+            # skip EVERY validation window — gen_stateless partitions
+            # by '(r < validation_split) == train'); mirrors the
+            # stateful branch's validate-on-training behavior
+            training = validation = files
             split = None
         else:
             training = validation = files

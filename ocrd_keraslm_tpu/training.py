@@ -135,9 +135,38 @@ def train_rater(rater, data, val_data=None) -> None:
     assert rater.status > 0
     assert rater.incremental is False
 
-    files = [getattr(f, 'name', f) for f in data]
-    val_files = ([getattr(f, 'name', f) for f in val_data]
-                 if val_data else None)
+    # handles without a re-openable path (StringIO, pipes, stdin)
+    # spool to temp files: the generators re-read inputs by name every
+    # epoch, so keeping the handle would silently train on nothing
+    # after the first read
+    spooled: List[str] = []
+
+    def as_path(f):
+        name = getattr(f, 'name', None)
+        if hasattr(f, 'read') and not (isinstance(name, str)
+                                       and os.path.isfile(name)):
+            import tempfile
+            tmp = tempfile.NamedTemporaryFile(
+                'w', suffix='.txt', delete=False, encoding='utf-8')
+            tmp.write(f.read())
+            tmp.close()
+            spooled.append(tmp.name)
+            return tmp.name
+        return name if hasattr(f, 'read') else f
+
+    files = [as_path(f) for f in data]
+    val_files = [as_path(f) for f in val_data] if val_data else None
+    try:
+        _train_rater(rater, files, val_files)
+    finally:
+        for name in spooled:
+            try:
+                os.unlink(name)
+            except OSError:
+                pass
+
+
+def _train_rater(rater, files, val_files) -> None:
 
     # ---- full train-state resume (SURVEY §5.4, TPU-native) ----
     # With rater.resume_dir (or KERASLM_RESUME_DIR) set, every epoch
@@ -164,7 +193,13 @@ def train_rater(rater, data, val_data=None) -> None:
                     'length': rater.length,
                     'stateful': bool(rater.stateful),
                     'train_streams': bool(rater.train_streams),
-                    'batch_size': rater.batch_size}
+                    'batch_size': rater.batch_size,
+                    # these also determine param shapes / data layout
+                    # (a contexts mismatch would crash embed_inputs; a
+                    # variable_length flip changes the windowing the
+                    # pinned window_split was computed for)
+                    'contexts': [list(c) for c in rater.contexts],
+                    'variable_length': bool(rater.variable_length)}
             if topo and topo != want:
                 rater.logger.warning(
                     'ignoring train-state snapshot in %s: it was '
@@ -172,29 +207,38 @@ def train_rater(rater, data, val_data=None) -> None:
                     resume_dir, topo, want)
                 resume = None
 
-    plan = split_data(
-        files, stateful=rater.stateful, length=rater.length,
-        validation_split=rater.validation_split, val_files=val_files,
-        known_chars=set(rater.vocab.c2i.keys()))
-    rater.logger.info(
-        'training on %d files / %d character tokens for %d character types',
-        len(plan.training_files), plan.total_chars, len(plan.charset) + 1)
-
     if resume is not None:
-        # the snapshot pins the split, the vocabulary, and all state;
-        # anything recomputed above could differ (shuffled file order)
+        # the snapshot pins the split, the vocabulary, and all state —
+        # skip split_data entirely: its full corpus read (charset +
+        # lengths + shuffle) would be discarded anyway, doubling
+        # resume startup on large corpora for nothing
+        from .data import SplitPlan
         meta = resume['meta']
         from .utils.vocab import Vocab
         rater.vocab = Vocab.from_codepoints(
             np.asarray(meta['mapping'], dtype=np.uint32))
-        plan.training_files = list(meta['training_files'])
-        plan.validation_files = list(meta['validation_files'])
-        plan.window_split = (np.asarray(meta['window_split'])
-                             if meta.get('window_split') is not None
-                             else None)
+        plan = SplitPlan(
+            training_files=list(meta['training_files']),
+            validation_files=list(meta['validation_files']),
+            window_split=(np.asarray(meta['window_split'])
+                          if meta.get('window_split') is not None
+                          else None),
+            total_chars=0,
+            step=rater.length if rater.stateful else 3,
+            charset=[])
         rater.logger.info('resuming training from %s (epoch %d)',
                           resume_dir, meta['epoch_done'] + 1)
     else:
+        plan = split_data(
+            files, stateful=rater.stateful, length=rater.length,
+            validation_split=rater.validation_split,
+            val_files=val_files,
+            known_chars=set(rater.vocab.c2i.keys()))
+        rater.logger.info(
+            'training on %d files / %d character tokens for '
+            '%d character types',
+            len(plan.training_files), plan.total_chars,
+            len(plan.charset) + 1)
         # grow vocabulary (index 0 reserved):
         old_chars = [rater.vocab.i2c[i]
                      for i in sorted(rater.vocab.i2c.keys())]
@@ -321,8 +365,7 @@ def train_rater(rater, data, val_data=None) -> None:
         steps_done = int(meta['steps_done'])
         start_epoch = int(meta['epoch_done'])
 
-    batch_dim = (1 if (rater.stateful and not rater.train_streams)
-                 else rater.batch_size)
+    batch_dim = batch_dim_pre  # one definition; see the mesh check
 
     def snapshot(epoch_done):
         if ckpt_mgr is None:
@@ -351,7 +394,11 @@ def train_rater(rater, data, val_data=None) -> None:
                          'length': rater.length,
                          'stateful': bool(rater.stateful),
                          'train_streams': bool(rater.train_streams),
-                         'batch_size': rater.batch_size},
+                         'batch_size': rater.batch_size,
+                         'contexts': [list(c)
+                                      for c in rater.contexts],
+                         'variable_length':
+                             bool(rater.variable_length)},
         })
 
     # Pallas fused recurrence (fwd + bwd kernels) for the unsharded
@@ -380,7 +427,14 @@ def train_rater(rater, data, val_data=None) -> None:
             from .native import Prefetcher
             for batch in Prefetcher(make_gen(plan.training_files,
                                              True, data_rng)):
-                if batch.reset_carry and rater.stateful:
+                if batch.reset_carry or not rater.stateful:
+                    # stateless windows are INDEPENDENT (reference
+                    # stateless Keras inits zero state per batch, and
+                    # inference scores windows from zeros): letting
+                    # the previous batch's final state leak in would
+                    # train under a different initial-state regime
+                    # than rate()/rate2() serve with.  Fresh zeros per
+                    # batch (the step donates its carry buffer).
                     carry = zero_carry(cfg, batch_dim)
                 rng, sub = jax.random.split(rng)
                 step_t0 = _time.perf_counter()
@@ -437,8 +491,11 @@ def train_rater(rater, data, val_data=None) -> None:
             va_nll_acc = jnp.float32(0)
             va_acc_acc = jnp.float32(0)
             va_n = 0.0
-            for batch in make_gen(plan.validation_files, False):
-                if batch.reset_carry and rater.stateful:
+            # prefetched like the training pass: eval steps otherwise
+            # serialize host batch-building against device compute
+            for batch in Prefetcher(make_gen(plan.validation_files,
+                                             False)):
+                if batch.reset_carry or not rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
                 nll, acc, carry = eval_step(
                     params, cfg, batch.x, tuple(batch.zs), batch.y,

@@ -83,7 +83,10 @@ def test_kill_resume_matches_uninterrupted(corpus, tmp_path,
 
         def __iter__(self):
             for n, batch in enumerate(iter(self.inner)):
-                if type(self).epochs == 3 and n == 2:
+                # train and validation passes BOTH prefetch (one
+                # instance each per epoch): instance 5 = epoch 3's
+                # training pass
+                if type(self).epochs == 5 and n == 2:
                     self.inner.close()
                     raise _SimulatedKill()
                 yield batch

@@ -369,3 +369,66 @@ def test_context_degradation_covers_all_contexts():
                 if (np.asarray(z) == 0).all():
                     zeroed.add(j)
     assert zeroed == {0, 1}
+
+
+def test_stateless_carry_reset_every_batch(corpus, tmp_path,
+                                           monkeypatch):
+    """Review regression: stateless windows are INDEPENDENT — the
+    train loop must start every batch from zero state (like inference
+    does), not thread the previous batch's final carry in.  Counts
+    zero_carry calls: one per training/eval step in stateless mode."""
+    calls = []
+    real = training.zero_carry
+
+    def counting(cfg, batch_dim):
+        calls.append(1)
+        return real(cfg, batch_dim)
+
+    monkeypatch.setattr(training, 'zero_carry', counting)
+    r = _train(corpus, tmp_path, epochs=1, stateful=False)
+    assert r.status == 2
+    # at least one reset per step: 3 files x ~600 chars / step 3 /
+    # batch 128 -> >= 4 train batches + eval batches + the two
+    # epoch-boundary zeros
+    assert len(calls) >= 6, calls
+
+
+def test_stateless_no_validation_split_trains(corpus, tmp_path):
+    """Review regression: stateless + validation_split=0 (no explicit
+    val files) used to produce an EMPTY validation pass (the window
+    partition skipped every val window), failing the run; it must now
+    validate on the training windows, like the stateful branch."""
+    r = _train(corpus, tmp_path, epochs=1, stateful=False,
+               validation_split=0.0)
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])
+
+
+def test_train_from_stringio_handles(tmp_path):
+    """The API docstring promises 'handles or paths': objects without
+    a re-openable .name (StringIO) must train — they spool to temp
+    files because the generators re-read inputs by name every epoch."""
+    import io
+    import random as _random
+
+    _random.seed(4)
+    words = ['die', 'der', 'und', 'kant', 'vernunft']
+    handles = []
+    for name in ('x_eins_1781', 'y_zwei_1790'):
+        buf = io.StringIO('\n'.join(
+            ' '.join(_random.choices(words, k=8)) for _ in range(40)))
+        buf.name = name + '.txt'  # filename-shaped but NOT a file
+        handles.append(buf)
+    old_epochs = training.EPOCHS
+    training.EPOCHS = 1
+    try:
+        r = Rater()
+        r.width, r.depth, r.length = 16, 1, 16
+        r.ckpt_dir = str(tmp_path)
+        r.stateful = True
+        r.configure()
+        r.train(handles)
+    finally:
+        training.EPOCHS = old_epochs
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])

@@ -29,7 +29,6 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-LOG2E = 1.4426950408889634
 
 
 class PathStep:
@@ -224,7 +223,11 @@ def _expand_edge(rater, beam: List[Hypothesis], edge: Dict[str, Any],
     for i in range(N):
         te = tes[i % nA]
         step = PathStep(hist[i], element, te, float(cost[i]))
-        out.append(Hypothesis(float(cost[i]), (h[:, i], c[:, i]),
+        # COPY the kept rows: views would pin the whole (D, Np, W)
+        # expansion arrays for as long as any hypothesis survives
+        # (O(edges x 100s of KB) dead state on long documents)
+        out.append(Hypothesis(float(cost[i]),
+                              (h[:, i].copy(), c[:, i].copy()),
                               int(x[i]), step))
     return out
 
@@ -285,6 +288,10 @@ def decode_lattice_host(rater, graph, start_node, end_node,
             cands = _expand_edge(rater, beam, edge, context, lm_weight,
                                  unmapped_seen)
             node_beams.setdefault(w, []).extend(cands)
+        # processed nodes are never revisited (topological order):
+        # releasing their beams keeps live state at O(open nodes),
+        # not O(edges), on long documents
+        del node_beams[v]
     assert end_node in node_beams, \
         'no path from %s reached end node %s' % (start_node, end_node)
     return advance_traceback(node_beams[end_node], start_traceback)

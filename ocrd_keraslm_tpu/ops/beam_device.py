@@ -36,7 +36,6 @@ from ..models.lstm_lm import LMConfig, forward_step
 from ..utils.buckets import bucket_unbounded
 
 NEG_INF = jnp.float32(3.0e38)
-LOG2E = 1.4426950408889634  # nats -> bits
 
 
 # ----------------------------------------------------------------------
@@ -281,6 +280,11 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         # implicitly via its argsort over K slots).
         from .gen_kernel import generate_pallas_variants
         nv = min(int(variants), 256)
+        if nv <= 0:
+            # parity with the host/XLA engines, which return [] here
+            # (the kernel's traceback concatenate would crash on an
+            # empty chunk list)
+            return []
         seqs, vcosts = generate_pallas_variants(
             emb, embT, wcat, bias, jnp.asarray(prefix_ids),
             jnp.asarray(prefix_mask), run_length, int(length),

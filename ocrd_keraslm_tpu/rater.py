@@ -736,40 +736,22 @@ class Rater:
                 cached = (mesh, make_sharded_score_step(mesh))
                 self._sharded_score = cached
             score_fn = cached[1]
-        # The segmented-dispatch machinery below supports pipelining
-        # probs fetches against later segments' compute, but measured
-        # NET-NEGATIVE over the tunneled PJRT link (4 dispatches cost
-        # more than the hidden fetch), so a single segment is used.
-        seg_C = C
-        segs = []
-        for s in range(C // seg_C):
-            n0 = s * seg_C * T
-            lens_s = np.clip(lens_a - n0, 0, seg_C * T).astype(np.int32)
-            last_s = np.zeros((Bp,), np.int32)
-            for i, ids in enumerate(ids_list):
-                idx = n0 + int(lens_s[i])
-                if lens_s[i] > 0 and idx <= lens[i]:
-                    last_s[i] = ids[idx]
-            probs_s, nll_s, carry = score_fn(
-                self.params, self.cfg, x[:, n0:n0 + seg_C * T],
-                tuple(zs), lens_s, last_s, carry, seg_C,
-                self.use_pallas, fused)
-            segs.append((probs_s, nll_s))
+        # ONE dispatch covers the whole batch.  (Segmenting the C axis
+        # to pipeline probs fetches against later segments' compute was
+        # measured NET-NEGATIVE over the tunneled PJRT link: 4
+        # dispatches cost more than the hidden fetch.)
+        probs_d, nll_d, carry = score_fn(
+            self.params, self.cfg, x, tuple(zs), lens_a, last,
+            carry, C, self.use_pallas, fused)
         out_probs: List[Any] = [None] * B
-        nlls = np.zeros((Bp,), np.float64)
         if want_probs:  # device->host transfer dominates; skip if unused
-            parts = []
-            for probs_s, nll_s in segs:  # in-order fetch overlaps compute
-                p, n_ = jax.device_get((probs_s, nll_s))
-                parts.append(p.astype(np.float32))
-                nlls += n_
-            probs = np.concatenate(parts, axis=0)         # (C, Bp, T)
+            probs, nlls = jax.device_get((probs_d, nll_d))
+            probs = probs.astype(np.float32)               # (C, Bp, T)
             for i in range(B):
                 flat = probs[:, i, :].reshape(-1)
                 out_probs[i] = flat[:lens[i]]
         else:
-            for _, nll_s in segs:
-                nlls += np.asarray(nll_s)
+            nlls = np.asarray(nll_d)
         return out_probs, [float(nlls[i]) for i in range(B)], carry
 
     def _score_text(self, ids: np.ndarray, context, *,
@@ -1286,7 +1268,6 @@ class Rater:
         h0, c0, x0, cost0 = self._xla_traceback(device_traceback, K)
         zs = self._context_arrays(context, 1)
         nE = len(edges)
-        start_cost = None
         h, c, x_prev, cost = h0, c0, x0, cost0
         if nE <= E_MAX and not defer_walk:
             # single block: walk the traceback ON DEVICE and fetch only
@@ -1576,6 +1557,11 @@ class Rater:
                 if hit is not None:
                     _DECODE_WCACHE.move_to_end(mkey)
             if hit is not None:
+                # same size-4 eviction as the miss path: process-cache
+                # hits must not grow the per-Rater cache unboundedly
+                while len(self._decode_cache) >= 4:
+                    del self._decode_cache[
+                        next(iter(self._decode_cache))]
                 self._decode_cache[key] = hit
                 return hit
         W, D, V = self.width, self.depth, self.voc_size

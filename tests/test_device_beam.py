@@ -222,3 +222,19 @@ def test_device_generate_variants_match_host(overfit_rater):
     dev = generate_beam(r, 'abcd ab', 6, None, 3)
     assert len(host) >= 2 and len(dev) == len(host)
     assert dev == host
+
+
+def test_host_hypothesis_states_are_owned(overfit_rater):
+    """Review regression: host-beam hypothesis states must be OWNED
+    copies, not views — a view pins its whole (D, Np, W) expansion
+    array for as long as the hypothesis survives (O(edges x 100s of
+    KB) dead memory on long documents)."""
+    g, s, e = _toy_graph(['abc', 'de'])
+    _, _, tb = overfit_rater.rate_best(g, s, e, beam_width=4)
+    hyps, _anchor = tb
+    assert hyps
+    for hyp in hyps:
+        if hyp.state is None:
+            continue
+        for arr in hyp.state:
+            assert arr.base is None, 'state pins an expansion array'

@@ -227,3 +227,14 @@ def test_fused_generate_with_context(rater):
     # the engines must still agree)
     xla, fused = _both(rater, 'ab', 10, context=[5])
     assert xla == fused
+
+
+def test_generate_variants_zero_returns_empty(rater):
+    """Review regression: variants=0 must return [] on the fused
+    engine (host/XLA already did; the kernel's traceback concatenate
+    crashed on an empty chunk list)."""
+    rater.fused_generate = 'force'
+    try:
+        assert rater.generate('ab', 4, variants=0) == []
+    finally:
+        rater.fused_generate = False

@@ -109,7 +109,12 @@ def _parse_params(parameter, parameter_override):
         if schema.get('type') == 'boolean':
             value = value.lower() in ('1', 'true', 'yes')
         elif schema.get('type') == 'number':
-            value = float(value) if '.' in value else int(value)
+            # ints stay ints (beam_width); anything else (decimals,
+            # scientific notation like 1e-1) parses as float
+            try:
+                value = int(value)
+            except ValueError:
+                value = float(value)
         params[key] = value
     return params
 
@@ -224,12 +229,7 @@ def server_cmd(address, parameter, parameter_override, log_level):
     warm rater.  GET / (or /info) returns the ocrd-tool description;
     GET /health returns 200 once the model is ready.
     """
-    logging.basicConfig(level=getattr(logging, log_level.upper(),
-                                      logging.INFO))
-    platform = os.environ.get('KERASLM_PLATFORM')
-    if platform:
-        import jax
-        jax.config.update('jax_platforms', platform)
+    _setup_runtime(log_level, False, None, None)
     params0 = _parse_params(parameter, parameter_override)
     httpd = make_processing_server(address, params0)
     log = logging.getLogger('ocrd_keraslm_tpu.server')
@@ -254,10 +254,19 @@ def _run_job(job: dict, params0: dict, seed):
     params.update(job.get('parameter') or {})
     workspace = _open_workspace(job.get('mets', 'mets.xml'),
                                 job.get('mets_server_url'))
+    # compare DEFAULT-FILLED values: a job that explicitly passes the
+    # default (e.g. alternative_decoding=true) must still reuse the
+    # warm rater instead of forcing a model reload
+
+    def _filled(p, key):
+        if key in p:
+            return p[key]
+        return OCRD_TOOL['parameters'][key].get('default')
+
     rater = seed.rater if (
-        params.get('model_file') == params0.get('model_file')
-        and params.get('alternative_decoding') ==
-        params0.get('alternative_decoding')) else None
+        _filled(params, 'model_file') == _filled(params0, 'model_file')
+        and _filled(params, 'alternative_decoding') ==
+        _filled(params0, 'alternative_decoding')) else None
     _run_processor(workspace,
                    job.get('input_file_grp', 'OCR-D-OCR'),
                    job.get('output_file_grp', 'OCR-D-LM'),
@@ -271,10 +280,16 @@ def make_processing_server(address: str, params0: dict):
     thread on an ephemeral port."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    import threading
+
     seed = KerasRate(parameter=params0)
     seed.setup()   # load model + compile ONCE
     log = logging.getLogger('ocrd_keraslm_tpu.server')
     host, _, port = address.rpartition(':')
+    # jobs share ONE warm rater whose caches are not thread-safe
+    # (decode-weight eviction, gc pause/resume): serialize them.  The
+    # threaded server still answers /health //info concurrently.
+    job_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
@@ -300,7 +315,8 @@ def make_processing_server(address: str, params0: dict):
             try:
                 n = int(self.headers.get('Content-Length', '0'))
                 job = json.loads(self.rfile.read(n) or b'{}')
-                _run_job(job, params0, seed)
+                with job_lock:
+                    _run_job(job, params0, seed)
                 self._send(200, {'state': 'SUCCESS'})
             except Exception as err:  # noqa: BLE001 — report any job error
                 log.exception('job failed')
@@ -335,12 +351,7 @@ def worker_cmd(queue, poll_interval, once, parameter,
     The model loads once; all jobs share the warm rater.
     """
     import time
-    logging.basicConfig(level=getattr(logging, log_level.upper(),
-                                      logging.INFO))
-    platform = os.environ.get('KERASLM_PLATFORM')
-    if platform:
-        import jax
-        jax.config.update('jax_platforms', platform)
+    _setup_runtime(log_level, False, None, None)
     log = logging.getLogger('ocrd_keraslm_tpu.worker')
     params0 = _parse_params(parameter, parameter_override)
     seed = KerasRate(parameter=params0)

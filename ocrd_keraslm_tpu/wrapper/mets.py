@@ -48,6 +48,14 @@ class Mets:
     file_groups: Dict[str, List[MetsFile]] = field(default_factory=dict)
     # page order: list of (physical page ID)
     page_ids: List[str] = field(default_factory=list)
+    # the ORIGINAL parsed document (None for fresh workspaces):
+    # serialization updates it IN PLACE so every METS section this
+    # model does not represent (metsHdr/agents, amdSec, LOGICAL
+    # structMap, structLink, div ORDER/ORDERLABEL, custom attributes)
+    # survives a save verbatim — regenerating from the minimal model
+    # destroyed real workspaces' provenance
+    root: Optional[etree._Element] = field(default=None, repr=False,
+                                           compare=False)
 
     def find_files(self, ID=None, fileGrp=None, pageId=None):
         for grp, files in self.file_groups.items():
@@ -88,14 +96,9 @@ class Workspace:
                 fh.write(content)
         f = MetsFile(ID=ID, fileGrp=file_grp, mimetype=mimetype,
                      local_filename=local_filename, pageId=pageId)
-        if existing and force:
-            # replace IN THE TARGET GROUP: leaving the new file in the
-            # old group corrupted membership when the fileGrp changed
-            old = self.mets.file_groups[existing.fileGrp]
-            old.remove(existing)
-            self.mets.file_groups.setdefault(file_grp, []).append(f)
-        else:
-            self.mets.file_groups.setdefault(file_grp, []).append(f)
+        if existing:  # force: drop the old entry WHEREVER it lives
+            self.mets.file_groups[existing.fileGrp].remove(existing)
+        self.mets.file_groups.setdefault(file_grp, []).append(f)
         if pageId and pageId not in self.mets.page_ids:
             self.mets.page_ids.append(pageId)
         return f
@@ -108,6 +111,7 @@ class Workspace:
 def parse_mets(source) -> Mets:
     root = etree.parse(source).getroot()
     mets = Mets()
+    mets.root = root
     ident = root.find('.//%sidentifier' % _MODS)
     if ident is not None and ident.text:
         mets.unique_identifier = ident.text.strip()
@@ -138,7 +142,91 @@ def parse_mets(source) -> Mets:
     return mets
 
 
+def _update_mets_tree(mets: Mets) -> None:
+    """Apply the model's fileSec/structMap state to the ORIGINAL
+    parsed document in place (adds, force-replaces, removals); every
+    unmodeled METS section stays byte-for-byte."""
+    root = mets.root
+    file_sec = root.find(_M + 'fileSec')
+    if file_sec is None:
+        file_sec = etree.Element(_M + 'fileSec')
+        # schema order: ... amdSec*, fileSec?, structMap+
+        struct_maps = root.findall(_M + 'structMap')
+        if struct_maps:
+            struct_maps[0].addprevious(file_sec)
+        else:
+            root.append(file_sec)
+    grp_els = {g.get('USE', ''): g
+               for g in file_sec.findall(_M + 'fileGrp')}
+    file_els: Dict[str, tuple] = {}
+    for g in file_sec.findall(_M + 'fileGrp'):
+        for fe in g.findall(_M + 'file'):
+            file_els[fe.get('ID', '')] = (g, fe)
+    struct = None
+    for sm in root.findall(_M + 'structMap'):
+        if sm.get('TYPE') == 'PHYSICAL':
+            struct = sm
+            break
+    if struct is None:
+        struct = etree.SubElement(root, _M + 'structMap',
+                                  TYPE='PHYSICAL')
+    top = struct.find(_M + 'div')
+    if top is None:
+        top = etree.SubElement(struct, _M + 'div', TYPE='physSequence')
+    page_divs = {d.get('ID') or d.get('ORDER') or '': d
+                 for d in struct.iter(_M + 'div')
+                 if d.get('TYPE') == 'page'}
+    fptr_ids = {fp.get('FILEID', '') for fp in struct.iter(_M + 'fptr')}
+    model_ids = set()
+    for grp, files in mets.file_groups.items():
+        ge = grp_els.get(grp)
+        if ge is None:
+            ge = etree.SubElement(file_sec, _M + 'fileGrp', USE=grp)
+            grp_els[grp] = ge
+        for f in files:
+            model_ids.add(f.ID)
+            cur = file_els.get(f.ID)
+            if cur is not None:
+                cur_g, fe = cur
+                if cur_g is not ge:  # force-replace moved groups
+                    cur_g.remove(fe)
+                    ge.append(fe)
+                    file_els[f.ID] = (ge, fe)
+                fe.set('MIMETYPE', f.mimetype or '')
+                fl = fe.find(_M + 'FLocat')
+            else:
+                fe = etree.SubElement(ge, _M + 'file', ID=f.ID,
+                                      MIMETYPE=f.mimetype or '')
+                fl = None
+                file_els[f.ID] = (ge, fe)
+            if fl is None:
+                fl = etree.SubElement(fe, _M + 'FLocat',
+                                      LOCTYPE='OTHER',
+                                      OTHERLOCTYPE='FILE')
+            fl.set(_X + 'href', f.local_filename or '')
+            if f.pageId and f.ID not in fptr_ids:
+                div = page_divs.get(f.pageId)
+                if div is None:
+                    div = etree.SubElement(top, _M + 'div',
+                                           TYPE='page', ID=f.pageId)
+                    page_divs[f.pageId] = div
+                etree.SubElement(div, _M + 'fptr', FILEID=f.ID)
+                fptr_ids.add(f.ID)
+    # files force-dropped from the model lose their entries + fptrs
+    for fid, (g, fe) in list(file_els.items()):
+        if fid not in model_ids:
+            g.remove(fe)
+            for fp in list(struct.iter(_M + 'fptr')):
+                if fp.get('FILEID') == fid:
+                    fp.getparent().remove(fp)
+
+
 def mets_to_xml(mets: Mets) -> str:
+    if mets.root is not None:
+        _update_mets_tree(mets)
+        return etree.tostring(mets.root.getroottree(),
+                              xml_declaration=True,
+                              encoding='UTF-8').decode('utf-8')
     root = etree.Element(_M + 'mets', nsmap=NSMAP)
     if mets.unique_identifier:
         dmd = etree.SubElement(root, _M + 'dmdSec', ID='DMDLOG_0000')

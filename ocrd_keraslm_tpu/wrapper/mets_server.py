@@ -287,14 +287,16 @@ class RemoteWorkspace:
             local_filename=local_filename, mimetype=mimetype,
             content=content, force=force)
         f = MetsFile(**result)
-        # mirror into the local snapshot so subsequent reads see it
-        grp = self.mets.file_groups.setdefault(file_grp, [])
-        for i, existing in enumerate(grp):
-            if existing.ID == f.ID:
-                grp[i] = f
-                break
-        else:
-            grp.append(f)
+        # mirror into the local snapshot so subsequent reads see it —
+        # dropping a replaced ID from WHATEVER group held it (the
+        # server moves cross-group force-replacements the same way;
+        # searching only the target group left a stale duplicate)
+        for files in self.mets.file_groups.values():
+            for i, existing in enumerate(files):
+                if existing.ID == f.ID:
+                    del files[i]
+                    break
+        self.mets.file_groups.setdefault(file_grp, []).append(f)
         if f.pageId and f.pageId not in self.mets.page_ids:
             self.mets.page_ids.append(f.pageId)
         return f

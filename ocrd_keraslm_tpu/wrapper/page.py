@@ -295,6 +295,12 @@ class MetadataItem:
         self.name = name
         self.value = value
         self.labels = labels or {}  # {group: {key: value}}
+        # parsed Labels groups with their ORIGINAL attribute
+        # (externalModel vs comments, possibly neither): emission
+        # round-trips from here when present, so existing metadata is
+        # never rewritten under a different attribute.  labels stays
+        # the construction-side API ({comments-group: {k: v}}).
+        self.label_groups = None  # [(externalModel, comments, {k: v})]
 
 
 class Metadata:
@@ -444,16 +450,26 @@ def parse_page_root(source):
     tag = root.tag if isinstance(root.tag, str) else ''
     if tag.startswith('{'):
         ns = tag[1:].split('}', 1)[0]
+        # the root must be PcGts in SOME pagecontent namespace — a
+        # bare {ns}Page fragment (or any other element) must reject,
+        # not yield an empty document
+        if 'PAGE/gts/pagecontent' not in ns or \
+                not tag.endswith('}PcGts'):
+            raise ValueError('not a PAGE-XML document (root %s)'
+                             % tag)
         if ns != PAGE_NS:
-            if 'PAGE/gts/pagecontent' not in ns or \
-                    not tag.endswith('}PcGts'):
-                raise ValueError('not a PAGE-XML document (root %s)'
-                                 % tag)
             old = '{%s}' % ns
             for el in root.iter():
                 if isinstance(el.tag, str) and el.tag.startswith(old):
                     el.tag = _P + el.tag[len(old):]
-    elif tag != 'PcGts':
+    elif tag == 'PcGts':
+        # legacy no-namespace document: qualify the whole tree so the
+        # lookups below actually find its children (accept-and-ignore
+        # would silently overwrite the page with empty output)
+        for el in root.iter():
+            if isinstance(el.tag, str) and not el.tag.startswith('{'):
+                el.tag = _P + el.tag
+    else:
         raise ValueError('not a PAGE-XML document (root %r)' % tag)
     return root
 
@@ -514,12 +530,14 @@ def parse_page(source) -> PcGts:
             item = MetadataItem(type=item_el.get('type', ''),
                                 name=item_el.get('name', ''),
                                 value=item_el.get('value', ''))
+            item.label_groups = []
             for labels_el in item_el.findall(_q('Labels')):
-                group = labels_el.get('externalModel', '') or \
-                    labels_el.get('comments', '')
-                item.labels[group] = {
-                    l.get('type', ''): l.get('value', '')
-                    for l in labels_el.findall(_q('Label'))}
+                ext = labels_el.get('externalModel', '')
+                com = labels_el.get('comments', '')
+                labels = {l.get('type', ''): l.get('value', '')
+                          for l in labels_el.findall(_q('Label'))}
+                item.label_groups.append((ext, com, labels))
+                item.labels[ext or com] = labels
             pcgts.metadata.items.append(item)
     page_el = root.find(_q('Page'))
     if page_el is not None:
@@ -574,6 +592,11 @@ def _emit_region(parent, region):
     _emit_common(el, region)
     if region.type:
         el.set('type', region.type)
+    # PAGE XSD: TextRegionType EXTENDS RegionType, so the base's
+    # nested-region particle precedes the extension's TextLine*,
+    # TextEquiv*, TextStyle? — emit subregions FIRST
+    for sub in region.text_regions:
+        _emit_region(el, sub)
     for line in region.lines:
         line_el = etree.SubElement(el, _q('TextLine'))
         _emit_common(line_el, line)
@@ -586,8 +609,6 @@ def _emit_region(parent, region):
                 _emit_textequivs(glyph_el, glyph)
             _emit_textequivs(word_el, word)
         _emit_textequivs(line_el, line)
-    for sub in region.text_regions:
-        _emit_region(el, sub)
     _emit_textequivs(el, region)
 
 
@@ -623,10 +644,16 @@ def emit_metadata_item(meta_el, item: MetadataItem):
         item_el.set('name', item.name)
     if item.value:
         item_el.set('value', item.value)
-    for group, labels in item.labels.items():
+    if item.label_groups is not None:  # parsed: exact round-trip
+        groups = item.label_groups
+    else:  # constructed: comments-keyed dict (the processor's agents)
+        groups = [('', g, labels) for g, labels in item.labels.items()]
+    for ext, com, labels in groups:
         labels_el = etree.SubElement(item_el, _q('Labels'))
-        if group:
-            labels_el.set('comments', group)
+        if ext:
+            labels_el.set('externalModel', ext)
+        if com:
+            labels_el.set('comments', com)
         for k, v in labels.items():
             label_el = etree.SubElement(labels_el, _q('Label'))
             label_el.set('type', k)

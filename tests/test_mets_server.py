@@ -240,3 +240,29 @@ def test_server_never_unlinks_non_socket(tmp_path):
     with pytest.raises(OSError, match='not a socket'):
         MetsServer(Workspace(str(ws_dir)), str(mets_path))
     assert mets_path.exists(), 'mets.xml was deleted'
+
+
+def test_remote_mirror_force_replace_across_groups(tmp_path):
+    """Review regression: the client-side snapshot mirror must drop a
+    force-replaced ID from WHATEVER group held it (the server already
+    moves it), not leave a stale duplicate in the old group."""
+    from ocrd_keraslm_tpu.wrapper.mets_server import (MetsServer,
+                                                      RemoteWorkspace)
+
+    ws_dir = tmp_path / 'ws'
+    ws_dir.mkdir()
+    build_workspace(str(ws_dir), PAGES)
+    sock = str(tmp_path / 'mets.sock')
+    server = MetsServer(Workspace(str(ws_dir)), sock)
+    server.start()
+    try:
+        remote = RemoteWorkspace(sock)
+        remote.add_file('A', 'X', 'p1', 'A/X.xml', content='<a/>')
+        remote.add_file('B', 'X', 'p1', 'B/X.xml', content='<b/>',
+                        force=True)
+        assert [f.fileGrp for f in remote.mets.find_files(ID='X')] \
+            == ['B']
+        assert all(f.ID != 'X'
+                   for f in remote.mets.file_groups.get('A', []))
+    finally:
+        server.stop()

@@ -207,3 +207,171 @@ def test_conf_zero_preserved():
     tes2 = [TextEquivType(Unicode='a', conf=None, index=0)]
     kept2 = _filter_choices(tes2)
     assert kept2[0].conf == 1.0
+
+
+def test_mets_save_preserves_unmodeled_content(tmp_path):
+    """Review regression: saving must UPDATE the original mets.xml in
+    place — metsHdr/agents, LOGICAL structMap, div ORDER attributes,
+    and custom file attributes all survive; new files/fptrs appear."""
+    from lxml import etree
+
+    from ocrd_keraslm_tpu.wrapper.mets import Workspace
+
+    mets_xml = '''<?xml version="1.0" encoding="UTF-8"?>
+<mets:mets xmlns:mets="http://www.loc.gov/METS/"
+           xmlns:xlink="http://www.w3.org/1999/xlink"
+           xmlns:mods="http://www.loc.gov/mods/v3" LABEL="kant">
+  <mets:metsHdr CREATEDATE="2020-01-01T00:00:00">
+    <mets:agent ROLE="CREATOR"><mets:name>ocrd/core</mets:name>
+    </mets:agent>
+  </mets:metsHdr>
+  <mets:dmdSec ID="DMDLOG_0001"><mets:mdWrap MDTYPE="MODS">
+    <mets:xmlData><mods:mods>
+      <mods:identifier type="purl">urn:x/kant_1784</mods:identifier>
+    </mods:mods></mets:xmlData></mets:mdWrap></mets:dmdSec>
+  <mets:fileSec>
+    <mets:fileGrp USE="OCR-D-OCR">
+      <mets:file ID="OCR_0001" MIMETYPE="application/vnd.prima.page+xml"
+                 GROUPID="g1">
+        <mets:FLocat LOCTYPE="OTHER" OTHERLOCTYPE="FILE"
+                     xlink:href="OCR-D-OCR/OCR_0001.xml"/>
+      </mets:file>
+    </mets:fileGrp>
+  </mets:fileSec>
+  <mets:structMap TYPE="LOGICAL">
+    <mets:div TYPE="monograph" ORDERLABEL="Kant"/>
+  </mets:structMap>
+  <mets:structMap TYPE="PHYSICAL">
+    <mets:div TYPE="physSequence">
+      <mets:div TYPE="page" ID="phys_0001" ORDER="1">
+        <mets:fptr FILEID="OCR_0001"/>
+      </mets:div>
+    </mets:div>
+  </mets:structMap>
+</mets:mets>'''
+    with open(tmp_path / 'mets.xml', 'w', encoding='utf-8') as fh:
+        fh.write(mets_xml)
+    ws = Workspace(str(tmp_path))
+    assert ws.mets.unique_identifier == 'urn:x/kant_1784'
+    ws.add_file('OCR-D-LM', 'LM_0001', 'phys_0001',
+                'OCR-D-LM/LM_0001.xml', content='<x/>')
+    ws.save_mets()
+    out = open(tmp_path / 'mets.xml', encoding='utf-8').read()
+    root = etree.fromstring(out.encode('utf-8'))
+    M = '{http://www.loc.gov/METS/}'
+    # unmodeled content survives
+    assert root.get('LABEL') == 'kant'
+    assert root.find(M + 'metsHdr') is not None
+    assert 'ocrd/core' in out
+    logical = [sm for sm in root.findall(M + 'structMap')
+               if sm.get('TYPE') == 'LOGICAL']
+    assert logical and logical[0][0].get('ORDERLABEL') == 'Kant'
+    # the original file keeps its custom attribute
+    f_old = root.find('.//%sfile[@ID="OCR_0001"]' % M)
+    assert f_old is not None and f_old.get('GROUPID') == 'g1'
+    # the page div keeps ORDER and gains the new fptr
+    div = root.find('.//%sdiv[@ID="phys_0001"]' % M)
+    assert div.get('ORDER') == '1'
+    assert {fp.get('FILEID') for fp in div.findall(M + 'fptr')} == \
+        {'OCR_0001', 'LM_0001'}
+    # the new file landed in a new group
+    f_new = root.find('.//%sfile[@ID="LM_0001"]' % M)
+    assert f_new is not None
+    assert f_new.getparent().get('USE') == 'OCR-D-LM'
+    # re-parse sees both
+    ws2 = Workspace(str(tmp_path))
+    assert {f.ID for f in ws2.mets.find_files()} == \
+        {'OCR_0001', 'LM_0001'}
+
+
+def test_mets_force_replace_across_groups(tmp_path):
+    """Force-replacing a file into a DIFFERENT group drops the old
+    entry everywhere (model + persisted tree)."""
+    from lxml import etree
+
+    from ocrd_keraslm_tpu.wrapper.mets import Workspace
+
+    ws = Workspace(str(tmp_path))
+    ws.add_file('A', 'X', 'p1', 'A/X.xml', content='<a/>')
+    ws.save_mets()
+    ws2 = Workspace(str(tmp_path))  # parsed: has an original tree
+    ws2.add_file('B', 'X', 'p1', 'B/X.xml', content='<b/>',
+                 force=True)
+    assert [f.fileGrp for f in ws2.mets.find_files(ID='X')] == ['B']
+    ws2.save_mets()
+    root = etree.parse(str(tmp_path / 'mets.xml')).getroot()
+    M = '{http://www.loc.gov/METS/}'
+    els = root.findall('.//%sfile[@ID="X"]' % M)
+    assert len(els) == 1 and els[0].getparent().get('USE') == 'B'
+
+
+def test_parse_page_root_rejects_and_upgrades():
+    """Review regression: a bare Page fragment in the PAGE namespace
+    must REJECT (not yield an empty document); a legacy no-namespace
+    PcGts must parse with its children visible."""
+    import pytest
+
+    from ocrd_keraslm_tpu.wrapper.page import (PAGE_NS, parse_page,
+                                               parse_page_root)
+
+    with pytest.raises(ValueError):
+        parse_page_root('<Page xmlns="%s"/>' % PAGE_NS)
+    doc = parse_page(
+        '<PcGts><Page><TextRegion id="r1"><TextEquiv>'
+        '<Unicode>text</Unicode></TextEquiv></TextRegion>'
+        '</Page></PcGts>')
+    assert doc.page.get_TextRegion()[0].id == 'r1'
+
+
+def test_nested_region_emit_order():
+    """PAGE XSD: nested TextRegions (base RegionType particle) precede
+    the extension's TextLine*/TextEquiv*."""
+    from lxml import etree
+
+    from ocrd_keraslm_tpu.wrapper.page import parse_page, to_xml
+
+    xml = build_pcgts([['a']])
+    outer = xml.page.get_TextRegion()[0]
+    from ocrd_keraslm_tpu.wrapper.page import TextEquivType, TextRegion
+    sub = TextRegion('sub1')
+    sub.add_TextEquiv(TextEquivType(Unicode='s', conf=0.5))
+    outer.text_regions.append(sub)
+    outer.add_TextEquiv(TextEquivType(Unicode='x', conf=0.5))
+    out = to_xml(xml)
+    root = etree.fromstring(out.encode('utf-8'))
+    ns = {'p': 'http://schema.primaresearch.org/PAGE/gts/'
+               'pagecontent/2019-07-15'}
+    r = root.find('.//p:TextRegion', ns)
+    tags = [etree.QName(ch).localname for ch in r]
+    assert tags.index('TextRegion') < tags.index('TextLine')
+    assert tags.index('TextLine') < tags.index('TextEquiv')
+    # round trip preserves the nesting
+    reparsed = parse_page(out)
+    assert reparsed.page.get_TextRegion()[0].get_TextRegion()[0].id \
+        == 'sub1'
+
+
+def test_metadata_labels_externalmodel_roundtrip():
+    """Labels with externalModel (or neither attribute) round-trip
+    verbatim instead of being rewritten as comments / merged."""
+    from ocrd_keraslm_tpu.wrapper.page import parse_page, to_xml
+
+    xml = ('<?xml version="1.0"?>'
+           '<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/'
+           'pagecontent/2019-07-15">'
+           '<Metadata><Creator>c</Creator>'
+           '<Created>2020-01-01T00:00:00</Created>'
+           '<LastChange>2020-01-01T00:00:00</LastChange>'
+           '<MetadataItem type="processingStep" name="n" value="v">'
+           '<Labels externalModel="http://example.org/m">'
+           '<Label type="a" value="1"/></Labels>'
+           '<Labels><Label type="b" value="2"/></Labels>'
+           '<Labels><Label type="c" value="3"/></Labels>'
+           '</MetadataItem></Metadata><Page/></PcGts>')
+    out = to_xml(parse_page(xml))
+    assert 'externalModel="http://example.org/m"' in out
+    assert 'comments="http://example.org/m"' not in out
+    # BOTH attribute-less groups survive separately
+    assert out.count('<Labels>') == 2
+    assert '<Label type="b" value="2"/>' in out
+    assert '<Label type="c" value="3"/>' in out

@@ -371,3 +371,14 @@ def test_mets_periodic_flush_window(tmp_path, monkeypatch):
         got = {f.pageId for f in on_disk.mets.find_files(
             fileGrp='OCR-D-LM')}
         assert got == {'phys_0001', 'phys_0002', 'phys_0003'}
+
+
+def test_parse_params_number_formats():
+    """-P number overrides accept ints, decimals, AND scientific
+    notation (review regression: '1e-1' crashed int())."""
+    from ocrd_keraslm_tpu.wrapper.cli import _parse_params
+
+    params = _parse_params(None, [('lm_weight', '1e-1'),
+                                  ('beam_width', '12')])
+    assert params['lm_weight'] == 0.1
+    assert params['beam_width'] == 12

@@ -249,9 +249,13 @@ def forward_seq(params: Params, cfg: LMConfig, x: jnp.ndarray,
         if cdt != jnp.float32:
             rec = rec.astype(cdt)
         if x_mask is not None:
+            # the masked scan runs in FULL f32: pass the original
+            # weights, not a bf16 round-trip of them (rec.astype(f32)
+            # would keep only the bf16 mantissa under compute_dtype
+            # bfloat16, silently quantizing variable-length scoring)
             h_all, hT, cT = _layer_scan_masked(
                 x_proj, h0[layer], c0[layer],
-                rec.astype(jnp.float32), x_mask)
+                lp['recurrent'].astype(jnp.float32), x_mask)
         else:
             h_all, hT, cT = _layer_scan(
                 x_proj, h0[layer], c0[layer], rec,

@@ -107,7 +107,7 @@ def load_decode_prep():
         lib = ctypes.PyDLL(so_path)
         lib.decode_scan.restype = ctypes.py_object
         lib.decode_scan.argtypes = [ctypes.py_object, ctypes.c_int,
-                                    ctypes.c_int]
+                                    ctypes.c_int, ctypes.c_long]
         lib.decode_fill.restype = ctypes.py_object
         lib.decode_fill.argtypes = [
             ctypes.py_object, ctypes.c_int, ctypes.c_int,
@@ -129,12 +129,16 @@ def load_decode_prep():
     return _PREP_LIB
 
 
-def decode_scan(edges: list, merge: bool, merge_max: int):
-    """(n_prepared, maxlen) after run merging; None if unavailable."""
+def decode_scan(edges: list, merge: bool, merge_max: int,
+                n_alts: int = 4):
+    """(n_prepared, maxlen) after run merging; None if unavailable.
+    ``n_alts`` caps the alternatives considered for maxlen — the SAME
+    cap decode_fill writes, so the caller's L bucket can never
+    under-size a kept alternative."""
     lib = load_decode_prep()
     if lib is None:
         return None
-    return lib.decode_scan(edges, int(merge), merge_max)
+    return lib.decode_scan(edges, int(merge), merge_max, n_alts)
 
 
 def decode_fill(edges: list, merge: bool, merge_max: int, E: int,

@@ -103,7 +103,7 @@ Py_ssize_t te_length(PyObject* te, const Names& n) {
 // Pass 1: count prepared edges and the longest alternative (in chars)
 // after run merging.  Returns (n_prepared, maxlen) as a tuple.
 extern "C" PyObject* decode_scan(PyObject* edges, int merge,
-                                 int merge_max) {
+                                 int merge_max, long A) {
     Names names = make_names();
     Py_ssize_t nE = PyList_Size(edges);
     long n_prepared = 0;
@@ -128,7 +128,10 @@ extern "C" PyObject* decode_scan(PyObject* edges, int merge,
                 run_chars = -1;
             }
             n_prepared++;
-            for (Py_ssize_t a = 0; a < nA && a < 4; a++) {
+            // honor the same alternative cap the fill uses — a
+            // hardcoded 4 would under-size maxlen (and the caller's
+            // L bucket) if A were ever raised
+            for (Py_ssize_t a = 0; a < nA && a < (Py_ssize_t)A; a++) {
                 long len = (long)te_length(PyList_GET_ITEM(alts, a),
                                            names);
                 if (len > maxlen) maxlen = len;
@@ -296,7 +299,10 @@ extern "C" PyObject* decode_emit(PyObject* meta, const int64_t* choices,
         double cum = costs[i];
         double diff = cum - prev;
         PyObject* parts = PyDict_GetItemWithError(pe, names.k_parts);
-        if (parts && PyErr_Occurred()) PyErr_Clear();
+        // a FAILED lookup returns null WITH an exception set —
+        // clear it before issuing more C API calls (the inverted
+        // check could never fire)
+        if (!parts && PyErr_Occurred()) PyErr_Clear();
         if (parts && parts != Py_None) {
             Py_ssize_t np_ = PyList_Size(parts);
             long total_chars = 0;

@@ -175,6 +175,7 @@ bool unescape(const std::string& b, size_t s, size_t e,
             else if (ent.size() > 1 && ent[0] == '#') {
                 uint32_t v = 0;
                 if (ent[1] == 'x' || ent[1] == 'X') {
+                    if (ent.size() < 3) return false;
                     for (size_t k = 2; k < ent.size(); k++) {
                         char h = ent[k];
                         int d = h >= '0' && h <= '9' ? h - '0'
@@ -182,14 +183,24 @@ bool unescape(const std::string& b, size_t s, size_t e,
                               : h >= 'A' && h <= 'F' ? h - 'A' + 10 : -1;
                         if (d < 0) return false;
                         v = v * 16 + d;
+                        if (v > 0x10FFFF) return false;  // pre-wrap
                     }
                 } else {
                     for (size_t k = 1; k < ent.size(); k++) {
                         if (ent[k] < '0' || ent[k] > '9') return false;
                         v = v * 10 + (ent[k] - '0');
+                        if (v > 0x10FFFF) return false;  // pre-wrap
                     }
                 }
-                if (v == 0 || v > 0x10FFFF) return false;
+                // XML Char production (what lxml enforces): TAB/LF/CR,
+                // BMP minus surrogates/FFFE/FFFF, supplementary planes.
+                // Surrogates would also emit invalid UTF-8 and crash
+                // the Py_BuildValue("s#") accessors downstream.
+                bool ok = v == 0x9 || v == 0xA || v == 0xD ||
+                          (v >= 0x20 && v <= 0xD7FF) ||
+                          (v >= 0xE000 && v <= 0xFFFD) ||
+                          (v >= 0x10000 && v <= 0x10FFFF);
+                if (!ok) return false;
                 put_utf8(out, v);
             } else {
                 return false;
@@ -255,8 +266,26 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
     bool in_metadata = false;
     bool in_lastchange = false;
     size_t lastchange_raw_s = 0;
-    // current <Relation> being collected (join pairs, see Doc)
-    std::string rel_type, rel_src, rel_tgt;
+    // current <Relation> being collected (join pairs, see Doc);
+    // committed at the Relation CLOSE so explicit Source/Target refs
+    // take precedence over generic RegionRef children, exactly like
+    // page.py parse_relations (refs[0]/refs[1] are fallbacks)
+    bool rel_open = false;
+    std::string rel_type, rel_src, rel_tgt, rel_ref1, rel_ref2;
+    auto rel_commit = [&]() {
+        const std::string& src = !rel_src.empty() ? rel_src : rel_ref1;
+        const std::string& tgt = !rel_tgt.empty() ? rel_tgt : rel_ref2;
+        if (rel_type == "join" && !src.empty() && !tgt.empty()) {
+            d->join_src.push_back(src);
+            d->join_tgt.push_back(tgt);
+        }
+        rel_open = false;
+        rel_type.clear();
+        rel_src.clear();
+        rel_tgt.clear();
+        rel_ref1.clear();
+        rel_ref2.clear();
+    };
 
     auto bail = [&](const char* why) {
         if (d->bail.empty()) d->bail = why;
@@ -274,6 +303,10 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             continue;
         }
         if (starts(b, pos, "<?")) {
+            // a PI inside <Unicode> splits the text in lxml (.text
+            // stops at the first child) — concatenating across it
+            // would diverge from the parity lanes
+            if (in_unicode) { bail("PI inside Unicode"); break; }
             size_t e = b.find("?>", pos);
             if (e == std::string::npos) { bail("unterminated PI"); break; }
             // only accept utf-8-ish declarations
@@ -287,6 +320,7 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             continue;
         }
         if (starts(b, pos, "<!--")) {
+            if (in_unicode) { bail("comment inside Unicode"); break; }
             size_t e = b.find("-->", pos);
             if (e == std::string::npos) { bail("unterminated comment"); break; }
             pos = e + 3;
@@ -297,6 +331,19 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             size_t e = b.find('>', pos);
             if (e == std::string::npos) { bail("unterminated close tag"); break; }
             if (stack.empty()) { bail("unbalanced close tag"); break; }
+            // NAME-match the close tag: blind popping on a mismatched
+            // (count-balanced) document would finalize spans on the
+            // wrong elements and splice corrupt output where the lxml
+            // lanes raise XMLSyntaxError
+            {
+                size_t cn_s = pos + 2, cn_e = cn_s;
+                while (cn_e < e && !is_ws(b[cn_e])) cn_e++;
+                if (localname(b.substr(cn_s, cn_e - cn_s)) !=
+                        stack.back().local) {
+                    bail("mismatched close tag");
+                    break;
+                }
+            }
             StackEnt& top = stack.back();
             if (top.elem >= 0) {
                 El& el = d->els[top.elem];
@@ -309,6 +356,8 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
                 d->text_blob += uni_text;
                 d->tes[top.uni_te].text_e = d->text_cp;
                 in_unicode = false;
+            } else if (top.local == "Relation" && rel_open) {
+                rel_commit();
             } else if (top.local == "Metadata") {
                 d->meta_insert = (int64_t)pos;
                 in_metadata = false;
@@ -432,13 +481,34 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
         else if (local == "Glyph") { kind = K_GLYPH; tracked = true; }
 
         if (tracked) {
-            if (kind == K_REGION && parent_elem >= 0)
-                bail("nested TextRegion");
-            // enforce strict nesting (line under region etc.)
-            if (kind != K_REGION &&
-                (parent_elem < 0 ||
-                 (int)d->els[parent_elem].kind != (int)kind - 1))
-                bail("unexpected hierarchy");
+            // attachment requires the DIRECT XML parent (top of
+            // stack), like the lxml lanes' direct-children findall:
+            // a TextRegion inside a TableRegion, or a TextLine nested
+            // through a wrapper element, is IGNORED there (bytes
+            // survive via the splice) — adopting it to the nearest
+            // tracked ancestor would decode elements the parity lanes
+            // never touch
+            const StackEnt* direct = stack.empty() ? nullptr
+                                                   : &stack.back();
+            if (kind == K_REGION) {
+                if (direct && direct->elem >= 0 &&
+                    d->els[direct->elem].kind == K_REGION) {
+                    // DIRECT subregions feed the reading-order
+                    // projection in the lxml lanes; this lane cannot
+                    // reproduce that, so it must bail, not ignore
+                    bail("nested TextRegion");
+                } else if (!direct || direct->local != "Page") {
+                    tracked = false;  // ignored subtree
+                }
+            } else if (!direct || direct->elem < 0 ||
+                       (int)d->els[direct->elem].kind !=
+                           (int)kind - 1) {
+                tracked = false;  // ignored subtree
+            } else {
+                parent_elem = direct->elem;
+            }
+        }
+        if (tracked) {
             El el;
             el.kind = kind;
             el.parent = parent_elem;
@@ -560,12 +630,21 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
         // generic unknown-tag skip below keeps the subtree balanced
         // and the splice preserves its bytes.
         if (local == "Relation") {
-            if (!attr_str("type", &rel_type))
-                rel_type.clear();
+            rel_open = true;
             rel_src.clear();
             rel_tgt.clear();
-        } else if (local == "SourceRegionRef" ||
-                   local == "TargetRegionRef") {
+            rel_ref1.clear();
+            rel_ref2.clear();
+            if (!attr_str("type", &rel_type))
+                rel_type.clear();
+            if (self_close)
+                rel_commit();  // no refs possible: just reset
+        } else if (rel_open && (local == "SourceRegionRef" ||
+                                local == "TargetRegionRef" ||
+                                local == "RegionRef")) {
+            // RegionRef children are the schema's generic fallback
+            // form (page.py parse_relations: refs[0]/refs[1]); a
+            // ReadingOrder's RegionRefs never reach here (rel_open)
             int64_t rs, re2;
             if (attr_span("regionRef", &rs, &re2)) {
                 std::string ref;
@@ -575,14 +654,14 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
                     bail("bad regionRef");
                     break;
                 }
-                (local[0] == 'S' ? rel_src : rel_tgt) = ref;
-            }
-            if (rel_type == "join" && !rel_src.empty() &&
-                !rel_tgt.empty()) {
-                d->join_src.push_back(rel_src);
-                d->join_tgt.push_back(rel_tgt);
-                rel_src.clear();
-                rel_tgt.clear();
+                if (local[0] == 'S')
+                    rel_src = ref;
+                else if (local[0] == 'T')
+                    rel_tgt = ref;
+                else if (rel_ref1.empty())
+                    rel_ref1 = ref;
+                else if (rel_ref2.empty())
+                    rel_ref2 = ref;
             }
         }
         if (local == "Metadata") {

@@ -49,71 +49,79 @@ def _gate_math(z: jnp.ndarray, c: jnp.ndarray, W: int
     return h_new, c_new
 
 
-def _lstm_scan_kernel(xp_ref, rec_ref, h0_ref, c0_ref,
-                      hall_ref, call_ref, hT_ref, cT_ref,
-                      h_scr, c_scr):
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+def _make_scan_kernel(want_c_all: bool):
+    """The forward kernel, with or without the c_all residual output:
+    XLA cannot DCE a pallas_call output, so the undifferentiated
+    (inference) primal would otherwise pay T*B*W*4 bytes of dead
+    writes per layer just to discard them."""
 
-    @pl.when(t == 0)
-    def _():
-        h_scr[:] = h0_ref[:]
-        c_scr[:] = c0_ref[:]
+    def kernel(xp_ref, rec_ref, h0_ref, c0_ref, *refs):
+        if want_c_all:
+            hall_ref, call_ref, hT_ref, cT_ref, h_scr, c_scr = refs
+        else:
+            hall_ref, hT_ref, cT_ref, h_scr, c_scr = refs
+            call_ref = None
+        t = pl.program_id(0)
+        n_t = pl.num_programs(0)
 
-    h = h_scr[:]
-    c = c_scr[:]
-    W = h.shape[-1]
-    z = xp_ref[0] + jnp.dot(h, rec_ref[:],
-                            preferred_element_type=jnp.float32)
-    h_new, c_new = _gate_math(z, c, W)
-    h_scr[:] = h_new
-    c_scr[:] = c_new
-    hall_ref[0] = h_new
-    call_ref[0] = c_new  # residual for the backward kernel
+        @pl.when(t == 0)
+        def _():
+            h_scr[:] = h0_ref[:]
+            c_scr[:] = c0_ref[:]
 
-    @pl.when(t == n_t - 1)
-    def _():
-        hT_ref[:] = h_new
-        cT_ref[:] = c_new
+        h = h_scr[:]
+        c = c_scr[:]
+        W = h.shape[-1]
+        z = xp_ref[0] + jnp.dot(h, rec_ref[:],
+                                preferred_element_type=jnp.float32)
+        h_new, c_new = _gate_math(z, c, W)
+        h_scr[:] = h_new
+        c_scr[:] = c_new
+        hall_ref[0] = h_new
+        if call_ref is not None:
+            call_ref[0] = c_new  # residual for the backward kernel
+
+        @pl.when(t == n_t - 1)
+        def _():
+            hT_ref[:] = h_new
+            cT_ref[:] = c_new
+
+    return kernel
 
 
-def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent):
+def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent,
+                          want_c_all: bool = True):
     """x_proj: (B, T, 4W); h0, c0: (B, W); recurrent: (W, 4W).
-    Returns (h_all (B, T, W), c_all (T, B, W) time-major, hT, cT)."""
+    Returns (h_all (B, T, W), c_all (T, B, W) time-major or None, hT,
+    cT); ``want_c_all=False`` (inference) skips the residual output."""
     B, T, F = x_proj.shape
     W = h0.shape[-1]
     # time-major so each grid step's block is a well-tiled (B, 4W) slab
     xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4W)
     interpret = jax.default_backend() != 'tpu'
-    h_all, c_all, hT, cT = pl.pallas_call(
-        _lstm_scan_kernel,
+    tm_spec = pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bw_spec = pl.BlockSpec((B, W), lambda t: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = ((tm_spec, tm_spec, bw_spec, bw_spec) if want_c_all
+                 else (tm_spec, bw_spec, bw_spec))
+    tm_shape = jax.ShapeDtypeStruct((T, B, W), jnp.float32)
+    bw_shape = jax.ShapeDtypeStruct((B, W), jnp.float32)
+    out_shape = ((tm_shape, tm_shape, bw_shape, bw_shape)
+                 if want_c_all else (tm_shape, bw_shape, bw_shape))
+    outs = pl.pallas_call(
+        _make_scan_kernel(want_c_all),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, F), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W, F), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            bw_spec,
+            bw_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, B, W), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, W), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((B, W), jnp.float32),
             pltpu.VMEM((B, W), jnp.float32),
@@ -125,13 +133,17 @@ def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent):
         ),
         interpret=interpret,
     )(xp_tm, recurrent, h0, c0)
-    return h_all, c_all, hT, cT
+    if want_c_all:
+        return outs
+    h_all, hT, cT = outs
+    return h_all, None, hT, cT
 
 
 def _lstm_scan_pallas_impl(x_proj: jnp.ndarray, h0: jnp.ndarray,
                            c0: jnp.ndarray, recurrent: jnp.ndarray
                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    h_all, _, hT, cT = _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent)
+    h_all, _, hT, cT = _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent,
+                                             want_c_all=False)
     return jnp.swapaxes(h_all, 0, 1), hT, cT
 
 

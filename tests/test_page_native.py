@@ -687,3 +687,89 @@ def test_processor_e2e_with_joins_three_lanes(tmp_path, monkeypatch):
     region_text = reparsed.page.get_TextRegion()[0] \
         .get_TextEquiv()[0].Unicode
     assert '\n' not in region_text, region_text
+
+
+def test_scan_parity_edge_cases_review():
+    """Review batch: shapes where the scanner must match (or refuse)
+    what the lxml lanes do."""
+    xml = _rich_page_xml()
+    # 1. a TextRegion inside an untracked container (TableRegion) is
+    #    IGNORED like lxml's direct-children findall — never adopted
+    #    as a top-level region
+    adopted = xml.replace(
+        '</Page>',
+        '<TableRegion id="tab1"><TextRegion id="inner">'
+        '<TextEquiv><Unicode>x</Unicode></TextEquiv>'
+        '</TextRegion></TableRegion></Page>')
+    doc = NativePageDoc(adopted.encode('utf-8'))
+    assert doc.bail is None
+    ids = {doc.elem_id(int(i))
+           for i in np.nonzero(doc.ekind == 0)[0]}
+    assert 'inner' not in ids
+    obj = parse_page(adopted)
+    assert {r.id for r in obj.page.get_TextRegion()} == ids
+    # 2. a TextLine nested through a wrapper element is ignored too
+    wrapped = xml.replace(
+        '<TextLine id="p1_r1_l0">',
+        '<Wrapper><TextLine id="ghost"><TextEquiv><Unicode>g'
+        '</Unicode></TextEquiv></TextLine></Wrapper>'
+        '<TextLine id="p1_r1_l0">')
+    doc = NativePageDoc(wrapped.encode('utf-8'))
+    assert doc.bail is None
+    line_ids = {doc.elem_id(int(i))
+                for i in np.nonzero(doc.ekind == 1)[0]}
+    assert 'ghost' not in line_ids
+    # 3. a comment inside Unicode splits .text in lxml -> bail
+    doc = NativePageDoc(xml.replace(
+        '<Unicode>Das</Unicode>',
+        '<Unicode>Da<!-- x -->s</Unicode>').encode('utf-8'))
+    assert doc.bail is not None
+    # 4. count-balanced but MISMATCHED close tags bail (lxml raises)
+    doc = NativePageDoc(xml.replace(
+        '<Unicode>Das</Unicode>',
+        '<Unicode>Das</Foo>', 1).replace(
+        '</TextEquiv>', '</Unicode></TextEquiv>', 1).encode('utf-8'))
+    assert doc.bail is not None
+    # 5. XML-invalid character references bail (lxml rejects them)
+    for ref in ('&#3;', '&#xD800;', '&#4294967297;'):
+        doc = NativePageDoc(xml.replace(
+            'Das', 'D%ss' % ref).encode('utf-8'))
+        assert doc.bail is not None, ref
+
+
+def test_join_regionref_fallback_form(tmp_path, monkeypatch):
+    """Relation joins expressed as two generic RegionRef children (the
+    form parse_relations supports as refs[0]/refs[1]) are collected by
+    the scanner and honored by the projection — and ReadingOrder's own
+    RegionRefs never leak into the join set."""
+    from ocrd_keraslm_tpu.wrapper.page import parse_page
+    from ocrd_keraslm_tpu.wrapper.rate import (
+        page_update_higher_textequiv_levels)
+
+    pcgts = build_pcgts([['Auf', 'klae'], ['rung', 'jetzt']])
+    xml = to_xml(pcgts)
+    lines = pcgts.page.get_TextRegion()[0].get_TextLine()
+    w_src = lines[0].get_Word()[-1].id
+    w_tgt = lines[1].get_Word()[0].id
+    joined = xml.replace(
+        '</Page>',
+        '<ReadingOrder><OrderedGroup id="ro">'
+        '<RegionRefIndexed index="0" regionRef="page1_r1"/>'
+        '</OrderedGroup></ReadingOrder>'
+        '<Relations><Relation type="join">'
+        '<RegionRef regionRef="%s"/><RegionRef regionRef="%s"/>'
+        '</Relation></Relations></Page>' % (w_src, w_tgt))
+    doc = NativePageDoc(joined.encode('utf-8'))
+    assert doc.bail is None
+    assert doc.joins == {(w_src, w_tgt)}
+    # projection parity vs the lxml lane
+    obj = parse_page(joined)
+    page_update_higher_textequiv_levels('word', obj)
+    want = obj.page.get_TextRegion()[0].get_TextEquiv()[0].Unicode
+    for native_apply in ('1', '0'):
+        monkeypatch.setenv('KERASLM_NATIVE_APPLY', native_apply)
+        nd = NativePageDoc(joined.encode('utf-8'))
+        out = _native_decode_and_serialize(nd, 'word', pick=0)
+        got = parse_page(out).page.get_TextRegion()[0] \
+            .get_TextEquiv()[0].Unicode
+        assert got == want, ('apply=%s' % native_apply, got)

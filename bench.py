@@ -287,6 +287,7 @@ def main():
     # drifting contention (stalls of ~120 ms every few calls) hits
     # both comparably; best + median are reported for each.
     decode_batch = decode_batch_med = decode_batch32 = None
+    decode_batch_sus = decode_batch_sus_med = None
     try:
         if pages:
             rater.rate_best_batch(pages, beam_width=16)  # warm/compile
@@ -318,6 +319,28 @@ def main():
             print('tpu decode (%d-doc batch, beam 16, 4 alts): '
                   '%.0f chars/s (best %.3fs, median %.3fs)'
                   % (n_pages, decode_batch, best, med), file=sys.stderr)
+            # sustained serving throughput: 4 back-to-back batch
+            # calls timed as one window, per-call time = window/4.
+            # A single ~0.1s call through the tunnel measures one
+            # blocking result fetch (RTT 25-47 ms, drifting) as much
+            # as the work; a serving loop issues calls back-to-back,
+            # where that jitter averages out.  Reported alongside the
+            # single-call best/median, not instead of them.
+            K = 4
+            times_sus = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                for _ in range(K):
+                    rater.rate_best_batch(pages, beam_width=16)
+                times_sus.append((time.perf_counter() - t0) / K)
+            times_sus.sort()
+            decode_batch_sus = n_pages * n_edges / times_sus[0]
+            decode_batch_sus_med = \
+                n_pages * n_edges / times_sus[len(times_sus) // 2]
+            print('tpu decode (16-doc batch, sustained x%d windows): '
+                  '%.0f chars/s (best %.3fs/call, median %.3fs/call)'
+                  % (K, decode_batch_sus, times_sus[0],
+                     times_sus[len(times_sus) // 2]), file=sys.stderr)
             # scaling point: 32 docs = 4 kernel groups, same compiled
             # shapes (more host prep overlaps more device compute)
             pages32 = pages + pages
@@ -724,6 +747,11 @@ def main():
                 round(decode_batch_med, 1),
             'decode_batch_vs_baseline':
                 round(decode_batch / base_dec, 2)})
+        if decode_batch_sus is not None:
+            extra['decode_batch_sustained_chars_per_sec'] = \
+                round(decode_batch_sus, 1)
+            extra['decode_batch_sustained_chars_per_sec_median'] = \
+                round(decode_batch_sus_med, 1)
         if decode_batch32 is not None:
             extra['decode_batch32_chars_per_sec'] = \
                 round(decode_batch32, 1)

@@ -144,7 +144,9 @@ def score_scan_pallas(xp1: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,
     (max(D-1,1), W, 4W) stacked input/recurrent kernels for layers >= 1
     (dummy zeros if D=1); bias: (max(D-1,1), 1, 4W); embT: (W, V_pad)
     transposed tied output embedding (rows beyond ``v_real`` are
-    padding).  T must be divisible by UNROLL.
+    padding).  T divisible by UNROLL is a PERFORMANCE precondition:
+    other lengths silently fall back to one timestep per grid step
+    (U=1), losing the ~2x unroll amortisation but staying correct.
 
     Returns (probs (B, T) f32, per-stream NLL sums (B,) f32,
     (hT, cT) each (D, B, W)).

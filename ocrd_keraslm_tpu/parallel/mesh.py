@@ -38,8 +38,11 @@ MODEL_AXIS = 'model'
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh over the given/available devices."""
+              devices: Optional[Sequence] = None,
+              second_axis: str = MODEL_AXIS) -> Mesh:
+    """Build a (data, <second_axis>) mesh over the given/available
+    devices — ``model`` for dp/tp (default), ``pipe`` for pipeline
+    stages (parallel/pipeline.py)."""
     if devices is None:
         # prefer the accelerator whenever one is the default backend;
         # comparing device COUNTS preferred CPU on single-chip
@@ -52,9 +55,9 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
     assert n_devices % model_parallel == 0, \
-        'n_devices must be divisible by model_parallel'
+        'n_devices must be divisible by the %s-axis size' % second_axis
     grid = devices.reshape(n_devices // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(grid, (DATA_AXIS, second_axis))
 
 
 def param_shardings(mesh: Mesh, params):

@@ -67,6 +67,15 @@ def init_multihost(coordinator: Optional[str] = None,
             'KERASLM_NUM_PROCESSES/KERASLM_PROCESS_ID are set but '
             'KERASLM_COORDINATOR is not — refusing to silently '
             'auto-detect (each process would train independently)')
+    if coordinator and (num_processes is None or process_id is None):
+        # the converse misconfiguration would otherwise surface as a
+        # generic detection failure (or a hang) deep inside
+        # jax.distributed.initialize
+        raise ValueError(
+            'KERASLM_COORDINATOR is set but KERASLM_NUM_PROCESSES/'
+            'KERASLM_PROCESS_ID are not — an explicit coordinator '
+            'needs both (auto-detected environments should set none '
+            'of the three)')
     kwargs = {}
     if coordinator:
         kwargs = dict(coordinator_address=coordinator,

@@ -61,19 +61,12 @@ PIPE_AXIS = 'pipe'
 def make_pipe_mesh(n_devices: Optional[int] = None,
                    pipe_parallel: int = 2,
                    devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, pipe) mesh over the given/available devices."""
-    if devices is None:
-        if jax.default_backend() == 'cpu':
-            devices = jax.devices('cpu')
-        else:
-            devices = jax.devices()
-    if n_devices is None:
-        n_devices = len(devices)
-    devices = np.asarray(devices[:n_devices])
-    assert n_devices % pipe_parallel == 0, \
-        'n_devices must be divisible by pipe_parallel'
-    grid = devices.reshape(n_devices // pipe_parallel, pipe_parallel)
-    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
+    """Build a (data, pipe) mesh over the given/available devices
+    (mesh.make_mesh with the second axis named for pipeline stages —
+    one device-selection policy for every mesh shape)."""
+    from .mesh import make_mesh
+    return make_mesh(n_devices, pipe_parallel, devices,
+                     second_axis=PIPE_AXIS)
 
 
 # ----------------------------------------------------------------------

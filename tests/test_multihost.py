@@ -66,3 +66,28 @@ def test_two_process_sharded_train_step():
         losses.append(tuple(float(v) for v in lines[0].split()[1:]))
     # both controllers must agree bit-for-bit on the reduced loss
     assert losses[0] == losses[1], losses
+
+
+def test_init_multihost_rejects_partial_config(monkeypatch):
+    """Both halves of a partial explicit configuration must be refused
+    up front with a clear message — not forwarded into
+    jax.distributed.initialize where they surface as a generic
+    detection failure or a hang."""
+    import jax
+
+    from ocrd_keraslm_tpu.parallel.multihost import init_multihost
+    if jax.distributed.is_initialized():
+        pytest.skip('process already in a group')
+    for var in ('KERASLM_COORDINATOR', 'KERASLM_NUM_PROCESSES',
+                'KERASLM_PROCESS_ID'):
+        monkeypatch.delenv(var, raising=False)
+    # count/id without a coordinator
+    with pytest.raises(ValueError, match='KERASLM_COORDINATOR is not'):
+        init_multihost(num_processes=2, process_id=0)
+    # coordinator without count/id
+    with pytest.raises(ValueError, match='needs both'):
+        init_multihost(coordinator='127.0.0.1:9999')
+    monkeypatch.setenv('KERASLM_COORDINATOR', '127.0.0.1:9999')
+    monkeypatch.setenv('KERASLM_NUM_PROCESSES', '2')
+    with pytest.raises(ValueError, match='needs both'):
+        init_multihost()

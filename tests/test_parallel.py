@@ -161,6 +161,18 @@ def test_sharded_scoring_matches_single_device():
     for a, b in zip(ref, sharded):
         assert len(a) == len(b)
         np.testing.assert_allclose(a, b, atol=2e-3)
+    # TPU-default flags: the fused Pallas scoring kernel / Pallas LSTM
+    # scan must trace PER-CHIP under the shard_map'd step (at local
+    # row counts), not under bare GSPMD auto-partitioning — tpu
+    # custom calls have no SPMD partitioning rule (interpret mode on
+    # CPU exercises the trace path and the numerics)
+    r.use_pallas = True
+    r.fused_score = True
+    r._sharded_score = None
+    fused = r.rate_batch(texts)
+    for a, b in zip(ref, fused):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(a, b, atol=2e-3)
 
 
 def test_sharded_batch_decode_matches_sequential():

@@ -151,9 +151,10 @@ def split_data(files: Sequence[str], *, stateful: bool, length: int,
         step = 3
         max_size = 0
         for name in files:
-            # short files (< length) still yield left-padded
-            # variable-length windows; never count negative
-            total += max(lens[name] - length, 0)
+            # every char from position `step` on is a window target
+            # (short windows near the file start are included as
+            # left-padded masked rows); log-line bookkeeping only
+            total += max(lens[name] - 1, 0)
             max_size = max(max_size, lens[name])
         if val_files:
             training, validation = files, list(val_files)
@@ -199,12 +200,25 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
     (rating.py:1005-1102) including the three augmentations, but pads
     the remainder batch instead of shrinking it.
 
-    With ``variable_length``, short windows near the file start are
-    included as left-padded rows with an ``x_mask`` marking the valid
-    region (the static-shape equivalent of the reference's genuinely
-    dynamic window shapes, rating.py:1039-1047), and the first-window
-    augmentation shortens windows via the mask instead of zero-erasing
-    their left part (rating.py:1082-1091).
+    Short windows near the file start (i < length) are included in
+    BOTH modes as left-padded rows with an ``x_mask`` marking the
+    valid region — without them a file shorter than ``length`` yields
+    no batches at all, and the first ``length`` characters of every
+    file are never prediction targets (the reference trains/validates
+    them too, rating.py:1030-1047).  Deviation from the reference,
+    documented: it zero-pads partial TRAIN windows on the RIGHT
+    (text, then pad, then predict — rating.py:1137-1139's own
+    commented-out code questions this: "we should apply [left
+    padding] everywhere if at all"), while its rate2 inference
+    run-in and its first-window augmentation both use LEFT padding;
+    the masked left-padded row here is exactly the short window, the
+    semantics the reference trains toward.  (The empty i=0 window —
+    predict char 0 from nothing — is skipped: the zero state yields
+    zero gradient through the tied softmax.)
+
+    With ``variable_length``, the first-window augmentation shortens
+    windows via the mask instead of zero-erasing their left part
+    (rating.py:1082-1091).
     """
     rng = rng or np.random.default_rng()
 
@@ -219,7 +233,7 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
             size = len(ids)
             buf_x: List[np.ndarray] = []
             buf_y: List[int] = []
-            start = step if variable_length else length
+            start = step
             for i in range(start, size, step):
                 if window_split is not None:
                     r = window_split[i // step]
@@ -239,15 +253,20 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
                     y = np.asarray(buf_y, np.int32)
                     zs = _contexts(context)
                     mask = np.ones((batch_size,), np.float32)
+                    # fixed-length mode only ships the mask when a
+                    # partial window needs it (the masked scan is the
+                    # slower non-Pallas lane)
+                    need_mask = variable_length or any(
+                        len(w) < length for w in buf_x)
                     yield Batch(x, zs, y, mask, file_name=name,
-                                x_mask=xm if variable_length else None)
+                                x_mask=xm if need_mask else None)
                     buf_x, buf_y = [], []
                     if train:
                         yield from _augment(
                             x, zs, y, mask, rand, char_degradation,
                             context_degradation, first_window, length,
                             rng, name,
-                            xm if variable_length else None)
+                            xm if need_mask else None)
             if buf_x:  # padded remainder
                 n = len(buf_x)
                 x = np.zeros((batch_size, length), np.int32)
@@ -260,16 +279,20 @@ def gen_stateless(files: Sequence[str], vocab: Vocab, *, length: int,
                 zs = _contexts(context)
                 mask = np.zeros((batch_size,), np.float32)
                 mask[:n] = 1.0
+                need_mask = variable_length or any(
+                    len(w) < length for w in buf_x)
                 yield Batch(x, zs, y, mask, file_name=name,
-                            x_mask=xm if variable_length else None)
+                            x_mask=xm if need_mask else None)
         if not repeat:
             break
 
 
-def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
-             length, rng, name, x_mask=None) -> Iterator[Batch]:
-    """The reference's 3 train-time degradations (rating.py:1060-1092),
-    each occasionally yielding one extra modified batch."""
+def _degrade(x, zs, y, mask, rand, char_deg, ctx_deg, length, name,
+             x_mask=None):
+    """Shared char/context degradation core (reference
+    rating.py:1060-1078): occasionally yields an extra degraded
+    duplicate batch per stage; returns the leftover rescaled random
+    number for further stages (retrieve via ``yield from``)."""
     if 0 < rand < char_deg:
         j = int((length - 1) * rand / char_deg)
         xa = x.copy()
@@ -286,7 +309,15 @@ def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
         za[j][:] = 0
         yield Batch(x.copy(), za, y, mask, file_name=name,
                     x_mask=x_mask)
-    rand = (rand - ctx_deg) / (1 - ctx_deg)
+    return (rand - ctx_deg) / (1 - ctx_deg)
+
+
+def _augment(x, zs, y, mask, rand, char_deg, ctx_deg, first_window,
+             length, rng, name, x_mask=None) -> Iterator[Batch]:
+    """The reference's 3 train-time degradations (rating.py:1060-1092),
+    each occasionally yielding one extra modified batch."""
+    rand = yield from _degrade(x, zs, y, mask, rand, char_deg,
+                               ctx_deg, length, name, x_mask)
     if 0 < rand < first_window:
         j = int((length - 1) * rand / first_window) + 1
         if x_mask is not None:
@@ -317,21 +348,8 @@ def _stateful_augment(x, zs, y, mask, rand, char_deg, ctx_deg, length,
     carry then legitimately advances through both, as the reference's
     stateful model state does).  ``first_window`` does not apply:
     stateful mode forces it to 0 (reference rating.py:73-76)."""
-    if 0 < rand < char_deg:
-        j = int((length - 1) * rand / char_deg)
-        xa = x.copy()
-        xa[:, j] = 0
-        yield Batch(xa, [z.copy() for z in zs], y, mask,
-                    file_name=name)
-    rand = (rand - char_deg) / (1 - char_deg)
-    if 0 < rand < ctx_deg and zs:
-        # reference rating.py:1074: j = int(n_inputs-1 * q)+1 over
-        # [chars|ctx...] covers ALL contexts; (len(zs)-1)*q missed
-        # the last one for n>=2
-        j = int(len(zs) * rand / ctx_deg)
-        za = [z.copy() for z in zs]
-        za[j][:] = 0
-        yield Batch(x.copy(), za, y, mask, file_name=name)
+    yield from _degrade(x, zs, y, mask, rand, char_deg, ctx_deg,
+                        length, name)
 
 
 def gen_stateful_parity(files: Sequence[str], vocab: Vocab, *,

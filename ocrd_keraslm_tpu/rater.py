@@ -781,6 +781,21 @@ class Rater:
             contexts.append(context_from_filename(name or ''))
         if not ids_list:
             return 1.0
+        if not self.stateful and not self.variable_length:
+            # stateless fixed-window semantics: every char (including
+            # position 0, from an all-padding window) is a window
+            # target, like the reference's steps=1 evaluation stream
+            # (rating.py:483-491, 1030)
+            nll = 0.0
+            count = 0
+            for ids, ctx in zip(ids_list, contexts):
+                if not len(ids):
+                    continue
+                probs = self._rolling_window_probs(
+                    ids, ctx, include_first=True)
+                nll -= float(np.sum(np.log(np.maximum(probs, 1e-30))))
+                count += len(probs)
+            return exp(nll / max(count, 1))
         # score in batches to bound padded batch size
         nll = 0.0
         count = 0
@@ -803,6 +818,13 @@ class Rater:
             contexts = [None] * len(texts)
         ids_list = [self.vocab.encode(nfc(t), log_unmapped=True)
                     for t in texts]
+        if not self.stateful and not self.variable_length:
+            # stateless fixed-window semantics (see ``rate``); each
+            # text already batches its windows internally
+            return [([1.0] + [float(p) for p in
+                              self._rolling_window_probs(ids, ctx)])
+                    if len(ids) else []
+                    for ids, ctx in zip(ids_list, contexts)]
         probs, _, _ = self._score_batch(ids_list, list(contexts))
         # an empty text rates to [] (like ``rate``), not [1.0]
         return [([1.0] + [float(p) for p in pr]) if len(ids) else []
@@ -810,12 +832,22 @@ class Rater:
 
     def rate(self, text: str, context=None) -> List[float]:
         """Probability of each character given its predecessors, one
-        scan pass (reference rating.py:493-529: the fast path)."""
+        scan pass (reference rating.py:493-529: the fast path).
+
+        Stateless fixed-length models score each character from its
+        (at most) ``length``-char zero-run-in window — the population
+        the model was trained on and the same semantics as ``rate2``
+        (the reference's stateless predict_generator stream,
+        rating.py:512-517); stateful and variable-length models use
+        the exact full-context scan."""
         assert self.status > 1
         text = nfc(text)
         if not text:
             return []
         ids = self.vocab.encode(text, log_unmapped=True)
+        if not self.stateful and not self.variable_length:
+            probs = self._rolling_window_probs(ids, context)
+            return [1.0] + [float(p) for p in probs]
         probs, _, _ = self._score_text(ids, context)
         return [1.0] + [float(p) for p in probs]
 
@@ -850,26 +882,50 @@ class Rater:
             result.append((text[i], p))
         return result, pow(2.0, entropy / len(text))
 
-    def _rolling_window_probs(self, ids: np.ndarray, context
+    def _rolling_window_probs(self, ids: np.ndarray, context, *,
+                              include_first: bool = False
                               ) -> np.ndarray:
         """Zero-left-padded rolling-window next-char probs for the
-        stateless fixed-length model (parity with rate2's windowing)."""
+        stateless fixed-length model (parity with rate2's windowing,
+        reference rating.py:550-576).
+
+        Context variables are ZERO at the padded positions, exactly
+        like the reference's z arrays (rolled from an all-zero init
+        alongside x, rating.py:551,572-576): the run-in of the first
+        length-1 predictions is fully underspecified, not
+        context-conditioned.
+
+        ``include_first`` additionally scores position 0 from an
+        all-padding window (the reference's ``test``/``rate`` window
+        stream starts at i=0, rating.py:1030; ``rate2`` hardcodes the
+        first probability to 1.0 instead)."""
         N = len(ids)
         L = self.length
-        windows = np.zeros((N - 1, L), np.int32)
-        for i in range(1, N):
+        first = 0 if include_first else 1
+        M = N - first
+        windows = np.zeros((M, L), np.int32)
+        valid = np.zeros((M, L), np.int32)
+        for i in range(first, N):
             lo = max(0, i - L)
-            windows[i - 1, L - (i - lo):] = ids[lo:i]
-        out = np.zeros((N - 1,), np.float32)
+            windows[i - first, L - (i - lo):] = ids[lo:i]
+            valid[i - first, L - (i - lo):] = 1
+        if not context:
+            context = self.underspecify_contexts()
+        out = np.zeros((M,), np.float32)
         B = self.batch_size
-        for s in range(0, N - 1, B):
-            n = min(B, N - 1 - s)
+        for s in range(0, M, B):
+            n = min(B, M - s)
             nb = _bucket(n, STEP_BUCKETS)
             x = np.zeros((nb, L), np.int32)
             x[:n] = windows[s:s + n]
-            zs = self._context_arrays(context, nb)
+            v = np.zeros((nb, L), np.int32)
+            v[:n] = valid[s:s + n]
+            zs = tuple(
+                v * (int(context[k]) if k < len(context) else 0)
+                for k in range(len(self.contexts)))
             probs = np.asarray(_window_probs(self.params, self.cfg, x, zs))
-            out[s:s + n] = probs[np.arange(n), ids[1 + s:1 + s + n]]
+            out[s:s + n] = probs[np.arange(n),
+                                 ids[first + s:first + s + n]]
         return out
 
     # -- incremental engine -------------------------------------------
@@ -1088,11 +1144,13 @@ class Rater:
                 maxlens.append(scan[1])
         if max(sizes, default=0) > self._E_BUCKETS[-1]:
             # block chaining is per-document sequential; huge pages
-            # decode via the single-document pipeline
+            # decode via the single-document pipeline (passing the
+            # already-extracted edge lists — begin() accepts them
+            # directly, so the O(E) successor walk is not repeated)
             out = []
-            for graph in graphs:
+            for raw in raw_list:
                 path, ent, _ = self.rate_best_device(
-                    graph, 0, 0, context=context,
+                    raw, 0, 0, context=context,
                     lm_weight=lm_weight, beam_width=beam_width)
                 out.append((path, ent))
             return out
@@ -1102,10 +1160,11 @@ class Rater:
             return results
         if len(live) == 1:
             # a single live document decodes fastest through the
-            # single-document engine (fused kernel when eligible)
+            # single-document engine (fused kernel when eligible);
+            # the extracted edge list is reused, not re-walked
             i = live[0]
             path, ent, _ = self.rate_best_device(
-                graphs[i], 0, 0, context=context,
+                raw_list[i], 0, 0, context=context,
                 lm_weight=lm_weight, beam_width=beam_width)
             results[i] = (path, ent)
             return results

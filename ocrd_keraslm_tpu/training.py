@@ -276,6 +276,7 @@ def _train_rater(rater, files, val_files) -> None:
     batch_dim_pre = (1 if (rater.stateful and not rater.train_streams)
                      else rater.batch_size)
     sharded_step = None
+    sharded_step_masked = None
     if mesh is not None:
         n_data = mesh.shape.get('data', 1)
         if batch_dim_pre % n_data != 0:
@@ -315,6 +316,18 @@ def _train_rater(rater, files, val_files) -> None:
         sharded_step = jit_step(params, opt_state,
                                 len(rater.contexts), rater.stateful,
                                 variable_length=var_len)
+        if var_len or rater.stateful:
+            sharded_step_masked = sharded_step if var_len else None
+        else:
+            # fixed-length stateless batches carry an x_mask only when
+            # they hold partial (left-padded) windows near a file
+            # start (data.py gen_stateless); those dispatch to this
+            # masked variant of the step (jit compiles it lazily on
+            # first use — many runs never see one)
+            sharded_step_masked = jit_step(params, opt_state,
+                                           len(rater.contexts),
+                                           rater.stateful,
+                                           variable_length=True)
         rater.logger.info('training over mesh %s', dict(mesh.shape))
 
     def make_gen(file_list, train, data_rng=None):
@@ -442,10 +455,12 @@ def _train_rater(rater, files, val_files) -> None:
                     args = (params, opt_state, batch.x,
                             tuple(batch.zs), batch.y, batch.mask,
                             carry, sub)
+                    fn = sharded_step
                     if batch.x_mask is not None:
                         args = args + (batch.x_mask,)
+                        fn = sharded_step_masked
                     (params, opt_state, carry, loss, nll,
-                     acc) = sharded_step(*args)
+                     acc) = fn(*args)
                 else:
                     (params, opt_state, carry, loss, nll,
                      acc) = train_step(

@@ -432,3 +432,96 @@ def test_train_from_stringio_handles(tmp_path):
         training.EPOCHS = old_epochs
     assert r.status == 2
     assert np.isfinite(r.history['val_loss'][-1])
+
+
+def test_stateless_short_files_train(tmp_path):
+    """Files shorter than the window length must still train in
+    stateless fixed-length mode: short windows enter as left-padded
+    masked rows (the reference trains partial windows too,
+    rating.py:1030-1047; this previously aborted with 'no data')."""
+    random.seed(11)
+    files = []
+    for name in ['k_kurz_1781.txt', 'l_lang_1790.txt',
+                 'm_mittel_1800.txt']:
+        path = tmp_path / name
+        with open(path, 'w') as fh:
+            fh.write(' '.join(random.choices(
+                ['die', 'der', 'und'], k=3)) + '\n')  # ~12 chars
+        files.append(str(path))
+    r = _train(files, tmp_path, epochs=1, stateful=False,
+               variable_length=False, validation_split=0.0)
+    # length=16 > every file: without partial windows this was a
+    # status-1 abort (validation_split=0 validates on the training
+    # windows, so the assertion is deterministic)
+    assert r.status == 2
+    assert np.isfinite(r.history['val_loss'][-1])
+
+
+def test_stateless_gen_includes_partial_windows(tmp_path):
+    """gen_stateless (fixed-length) yields targets for positions
+    before `length`, with an x_mask on batches holding partial rows
+    and no mask on all-full batches."""
+    from ocrd_keraslm_tpu.data import gen_stateless
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    path = tmp_path / 'a_b_1781.txt'
+    text = 'abcdefgh' * 8  # 64 chars
+    with open(path, 'w') as fh:
+        fh.write(text)
+    vocab = Vocab()
+    vocab.assign('abcdefgh\n')
+    L, step, B = 16, 3, 4
+    batches = list(gen_stateless([str(path)], vocab, length=L,
+                                 batch_size=B, step=step, train=False))
+    # target positions are step, 2*step, ... — including i < length
+    n_rows = sum(int(np.sum(b.mask)) for b in batches)
+    assert n_rows == len(range(step, 65, step))
+    saw_partial = saw_full = False
+    for b in batches:
+        if b.x_mask is not None:
+            assert np.any(b.x_mask == 0.0)
+            saw_partial = True
+        else:
+            saw_full = True
+    assert saw_partial and saw_full
+
+
+def test_stateless_rate_consistent_with_rate2(corpus, tmp_path):
+    """rate() and rate2() must agree on a stateless fixed-length model
+    (both use the rolling zero-run-in window, like the reference's
+    predict_generator stream vs its per-char roll loop)."""
+    r = _train(corpus, tmp_path, epochs=1, stateful=False,
+               variable_length=False)
+    text = 'die vernunft ist'
+    probs = r.rate(text, [179])
+    pairs, _ppl = r.rate2(text, [179])
+    assert len(probs) == len(pairs) == len(text)
+    for p, (ch, p2) in zip(probs, pairs):
+        assert abs(p - p2) < 1e-5
+
+
+def test_rolling_window_context_zero_at_padding(corpus, tmp_path):
+    """The run-in padding of rolling windows must be fully
+    underspecified: context variables are 0 at padded positions,
+    exactly like the reference's z arrays rolled from zero init
+    (rating.py:551,572-576)."""
+    import jax
+    from ocrd_keraslm_tpu.rater import _window_probs
+    r = _train(corpus, tmp_path, epochs=1, stateful=False,
+               variable_length=False)
+    text = 'die vernunft'
+    ids = r.vocab.encode(text)
+    ctx = 179
+    got = r._rolling_window_probs(ids, [ctx])
+    # oracle: the reference's exact roll loop (x and z roll together
+    # from all-zero arrays; z gets the context only where x got a char)
+    L = r.length
+    x = np.zeros((1, L), np.int32)
+    z = np.zeros((1, L), np.int32)
+    for i in range(1, len(ids)):
+        x = np.roll(x, -1, axis=1)
+        z = np.roll(z, -1, axis=1)
+        x[0, -1] = ids[i - 1]
+        z[0, -1] = ctx
+        probs = np.asarray(_window_probs(
+            r.params, r.cfg, x, (z,)))[0]
+        assert abs(float(probs[ids[i]]) - float(got[i - 1])) < 1e-5

@@ -418,6 +418,64 @@ def test_variable_length_training_over_mesh(tmp_path):
     assert r.history['loss'][-1] < r.history['loss'][0]
 
 
+def test_fixed_length_partial_windows_over_mesh(tmp_path):
+    """Fixed-length stateless training over a mesh must handle the
+    partial (left-padded, masked) windows a short file produces: those
+    batches dispatch to the lazily-jitted masked step variant, all
+    others to the fast unmasked one (training.py sharded_step_masked).
+    The corpus mixes a file shorter than `length` with longer files so
+    one run exercises BOTH dispatch lanes."""
+    if len(jax.devices('cpu')) < 4:
+        pytest.skip('needs 4 virtual CPU devices')
+    import ocrd_keraslm_tpu as K
+    from ocrd_keraslm_tpu import training
+    from ocrd_keraslm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    files = []
+    # one file SHORTER than the window (nothing but partial rows —
+    # pre-fix this file contributed zero batches), two longer ones
+    texts = ['abcf ghbc',
+             ''.join('abcdefgh '[i] for i in rng.integers(0, 9, 2500)),
+             ''.join('abcdefgh '[i] for i in rng.integers(0, 9, 2500))]
+    for name, text in zip(('a_b_1800', 'c_d_1810', 'e_f_1820'), texts):
+        p = tmp_path / (name + '.txt')
+        p.write_text(text)
+        files.append(str(p))
+
+    # the short file must actually produce masked partial-window
+    # batches (otherwise this test would pass vacuously)
+    from ocrd_keraslm_tpu.data import gen_stateless
+    from ocrd_keraslm_tpu.utils.vocab import Vocab
+    v = Vocab()
+    v.grow(''.join(texts))
+    masked = [b for b in gen_stateless(
+        files, v, length=16, batch_size=8, train=False)
+        if b.x_mask is not None]
+    assert masked and any(np.any(b.x_mask == 0.0) for b in masked)
+
+    old_epochs = training.EPOCHS
+    training.EPOCHS = 2
+    try:
+        r = K.Rater()
+        r.width, r.depth, r.length = 16, 1, 16
+        r.stateful = False
+        r.variable_length = False  # fixed-length windowed mode
+        r.batch_size = 8
+        r.mesh = make_mesh(4, model_parallel=1,
+                           devices=jax.devices('cpu')[:4])
+        r.configure()
+        r.train(files)
+    finally:
+        training.EPOCHS = old_epochs
+    assert r.status == 2
+    assert all(np.isfinite(v) for v in r.history['val_loss'])
+    assert r.history['loss'][-1] < r.history['loss'][0]
+    # the windowed rate semantics still serve the trained model
+    probs = r.rate('abc ab', None)
+    assert len(probs) == 6 and all(0.0 < p <= 1.0 for p in probs)
+
+
 def test_sharded_generation_matches_single_device():
     """generate_batch over a data-parallel mesh must return the same
     strings as the unsharded vmapped beam (streams sharded over the

@@ -334,6 +334,20 @@ def _make_staged(mesh: Mesh, cfg: LMConfig, n_micro: int):
                        P(DATA_AXIS, None), P(DATA_AXIS, None),
                        (_CARRY_SPEC, _CARRY_SPEC), P()),
              out_specs=((P(), P(), P()), (_CARRY_SPEC, _CARRY_SPEC)),
+             # vma checking rejects this body: the stage-0 cond mixes
+             # branches with different varying-mesh-axes types (the
+             # embed branch varies only over 'data' via x, the recv
+             # branch over ('pipe', 'data') via the ppermute'd
+             # activation), and the scan carries enter unvarying
+             # (zeros) but leave ('pipe', 'data')-varying.  The
+             # documented fix — jax.lax.pcast(..., to='varying') on the
+             # embed branch, the zero loss branch, and the scan carry
+             # inits — type-checks but hard-aborts the XLA CPU runtime
+             # under jax 0.9 (SIGABRT materializing the result of
+             # pcast-inside-cond-inside-scan-inside-shard_map), so
+             # validation stays off; correctness is pinned by the
+             # bit-parity tests vs the single-chip step
+             # (tests/test_pipeline.py).
              check_vma=False)
     def staged(packed, x, zs, y, mask, pcarry, rng):
         sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,

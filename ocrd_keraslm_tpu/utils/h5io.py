@@ -70,10 +70,63 @@ def save_config(filename: str, cfg: LMConfig, vocab: Vocab,
             cfg.contexts, dtype=np.int64).reshape(-1, 2))
 
 
+def _open_h5(filename: str) -> h5py.File:
+    """Open for reading with an actionable error for non-HDF5 files
+    (e.g. a Keras 3 ``.keras`` archive, which is a zip, or a TF2
+    ``.ckpt`` index) instead of h5py's bare signature failure."""
+    try:
+        return h5py.File(filename, 'r')
+    except OSError as err:
+        try:
+            with open(filename, 'rb') as fh:
+                magic = fh.read(4)
+        except OSError:
+            raise
+        if magic[:2] == b'PK':
+            raise ValueError(
+                '%s: unsupported model format: this is a zip archive '
+                '(Keras 3 ".keras" file), not an HDF5 checkpoint. '
+                'Expected the Keras 2.3 save_weights layout the '
+                'reference tool writes (TF 1.15 era); re-export the '
+                'weights to that layout or train with this tool.'
+                % filename) from err
+        raise ValueError(
+            '%s: not an HDF5 file (%s). Expected a Keras 2.3 h5 '
+            'checkpoint as written by the reference tool or this '
+            'one.' % (filename, err)) from err
+
+
+def _layout_hint(f) -> str:
+    """A one-line diagnosis of a recognisable-but-unsupported h5
+    layout (Keras 3 ``.weights.h5``, TF2 object-graph h5), appended to
+    rejection errors so users know WHAT they loaded, not just that it
+    failed."""
+    keys = set(f.keys())
+    if {'layers', 'vars'} & keys or '_layer_checkpoint_dependencies' \
+            in keys or any(isinstance(f.get(k), h5py.Group) and
+                           'vars' in f[k] for k in keys):
+        return (' The file uses the Keras 3 ".weights.h5" layout '
+                '(per-layer "vars" groups); only the Keras 2.3 '
+                'save_weights layout (layer_names/weight_names '
+                'attributes, as written by TF 1.15 or this tool) is '
+                'supported — re-export accordingly.')
+    if 'optimizer_weights' in keys and 'model_weights' not in keys:
+        return (' The file looks like a Keras optimizer-state dump, '
+                'not a weights checkpoint.')
+    return ''
+
+
 def load_config(filename: str
                 ) -> Tuple[LMConfig, Vocab, Dict[str, Any]]:
     """Read the ``config/`` group; return (LMConfig, Vocab, history)."""
-    with h5py.File(filename, 'r') as f:
+    with _open_h5(filename) as f:
+        if 'config' not in f:
+            raise ValueError(
+                '%s: no "config" group: not a keraslm model file '
+                '(expected config/{width,depth,length,stateful,'
+                'variable_length,mapping} as written by the reference '
+                'Rater.save, rating.py:918-945, or this tool).%s'
+                % (filename, _layout_hint(f)))
         group = f['config']
         history = (json.loads(group['history'][()])
                    if 'history' in group else {})
@@ -163,9 +216,14 @@ def load_weights(filename: str, cfg: LMConfig) -> Params:
     weights; exact names are only a fast path.  Gate order i, f, c, o
     throughout.
     """
-    with h5py.File(filename, 'r') as f:
+    with _open_h5(filename) as f:
         root = f['model_weights'] if 'model_weights' in f else f
         layers = _collect_layer_weights(root)
+        if not layers:
+            raise ValueError(
+                '%s: no weight-carrying layers found in the Keras 2.3 '
+                'save_weights layout (layer_names/weight_names '
+                'attributes).%s' % (filename, _layout_hint(f)))
         params: Params = {'context_embeddings': [], 'lstm': []}
         # classify by weight structure (Keras matches positionally, so
         # layer names may differ: lstm_1 vs cu_dnnlstm_1 vs scoped)

@@ -454,8 +454,25 @@ def test_fixed_length_partial_windows_over_mesh(tmp_path):
         if b.x_mask is not None]
     assert masked and any(np.any(b.x_mask == 0.0) for b in masked)
 
+    # make the train/validation window_split deterministic (data.py
+    # draws it from the np.random GLOBAL, so an unlucky unseeded run
+    # could send every partial window to validation and leave the
+    # masked TRAIN lane untested), and COUNT masked train batches so
+    # the lane coverage is asserted, not assumed
+    seen = {'masked_train_batches': 0}
+    orig_gen = training.gen_stateless
+
+    def counting_gen(files_, vocab_, **kw):
+        for b in orig_gen(files_, vocab_, **kw):
+            if kw.get('train') and b.x_mask is not None \
+                    and np.any(np.asarray(b.x_mask) == 0.0):
+                seen['masked_train_batches'] += 1
+            yield b
+
     old_epochs = training.EPOCHS
     training.EPOCHS = 2
+    np.random.seed(20250820)
+    training.gen_stateless = counting_gen
     try:
         r = K.Rater()
         r.width, r.depth, r.length = 16, 1, 16
@@ -467,7 +484,11 @@ def test_fixed_length_partial_windows_over_mesh(tmp_path):
         r.configure()
         r.train(files)
     finally:
+        training.gen_stateless = orig_gen
         training.EPOCHS = old_epochs
+    # the masked sharded-step lane was actually dispatched during the
+    # TRAIN pass (not only in the gen_stateless probe above)
+    assert seen['masked_train_batches'] > 0
     assert r.status == 2
     assert all(np.isfinite(v) for v in r.history['val_loss'])
     assert r.history['loss'][-1] < r.history['loss'][0]

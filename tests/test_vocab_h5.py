@@ -176,3 +176,46 @@ def test_reference_can_read_our_config(tmp_path):
         assert 'layer_names' in f.attrs
         assert 'char_embedding/embeddings:0' in f['char_embedding']
         assert 'lstm_1/kernel:0' in f['lstm_1']
+
+
+def test_rejects_keras3_weights_layout(tmp_path):
+    """A Keras 3 ``.weights.h5`` (per-layer ``vars`` groups, no
+    layer_names attributes) must fail with an actionable
+    "unsupported layout" error, not a bare KeyError (VERDICT r3 #10)."""
+    path = str(tmp_path / 'k3.weights.h5')
+    with h5py.File(path, 'w') as f:
+        layers = f.create_group('layers')
+        emb = layers.create_group('embedding')
+        emb.create_group('vars').create_dataset(
+            '0', data=np.zeros((5, 16), np.float32))
+        lstm = layers.create_group('lstm')
+        lstm.create_group('vars').create_dataset(
+            '0', data=np.zeros((16, 64), np.float32))
+        f.create_group('optimizer')
+    cfg = LMConfig(width=16, depth=1, length=8, voc_size=5)
+    with pytest.raises(ValueError, match='Keras 3'):
+        h5io.load_weights(path, cfg)
+    with pytest.raises(ValueError, match='config'):
+        h5io.load_config(path)
+
+
+def test_rejects_zip_archive(tmp_path):
+    """A Keras 3 ``.keras`` file is a zip archive; the loader names
+    the format instead of surfacing h5py's signature error."""
+    import zipfile
+    path = str(tmp_path / 'model.keras')
+    with zipfile.ZipFile(path, 'w') as z:
+        z.writestr('metadata.json', '{}')
+    with pytest.raises(ValueError, match='zip archive'):
+        h5io.load_config(path)
+    with pytest.raises(ValueError, match='zip archive'):
+        h5io.load_weights(path, LMConfig(width=16, depth=1,
+                                         length=8, voc_size=5))
+
+
+def test_rejects_non_hdf5_garbage(tmp_path):
+    path = str(tmp_path / 'garbage.h5')
+    with open(path, 'wb') as fh:
+        fh.write(b'\x00\x01not an hdf5 file at all' * 8)
+    with pytest.raises(ValueError, match='not an HDF5 file'):
+        h5io.load_config(path)

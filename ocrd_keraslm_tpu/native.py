@@ -28,9 +28,18 @@ _LIB = None
 _TRIED = False
 
 
+def _sanitized() -> bool:
+    """KERASLM_NATIVE_SANITIZE=1 builds the native lane with
+    ASAN+UBSAN (make test-asan): the C++ parses untrusted PAGE bytes,
+    so crash-fuzzing alone would miss silent out-of-bounds reads."""
+    return os.environ.get('KERASLM_NATIVE_SANITIZE') == '1'
+
+
 def _build_dir() -> str:
     d = os.environ.get('KERASLM_NATIVE_DIR',
                        os.path.expanduser('~/.cache/keraslm_tpu_native'))
+    if _sanitized():  # keep instrumented .so out of the normal cache
+        d = os.path.join(d, 'asan')
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -43,8 +52,15 @@ def _compile(src_path: str, so_path: str, extra=()):
             os.path.getmtime(so_path) >= os.path.getmtime(src_path):
         return
     tmp = '%s.%d.tmp' % (so_path, os.getpid())
+    flags = ['-O3']
+    if _sanitized():
+        # -O1 (overrides the -O3 before it) + frame pointers for
+        # usable reports; recover=all would hide findings
+        flags += ['-fsanitize=address,undefined',
+                  '-fno-sanitize-recover=all',
+                  '-fno-omit-frame-pointer', '-g', '-O1']
     subprocess.run(
-        ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', *extra,
+        ['g++', *flags, '-shared', '-fPIC', '-std=c++17', *extra,
          src_path, '-o', tmp],
         check=True, capture_output=True)
     os.replace(tmp, so_path)

@@ -1253,20 +1253,20 @@ extern "C" int64_t page_fill(PyObject* cap, const int32_t* table,
     ei = (long)d->edge_kind.size();
     // padding edges
     for (; ei < E; ei++) valid[ei * A + 0] = 1.0f;
-    // meta copies
-    std::memcpy(edge_kind, d->edge_kind.data(), d->edge_kind.size());
-    std::memcpy(edge_elem, d->edge_elem.data(),
-                d->edge_elem.size() * 4);
-    std::memcpy(alt_te, d->alt_te.data(), d->alt_te.size() * 4);
-    std::memcpy(alt_len, d->alt_len.data(), d->alt_len.size() * 4);
-    std::memcpy(piece_edge, d->piece_edge.data(),
-                d->piece_edge.size() * 4);
-    std::memcpy(piece_elem, d->piece_elem.data(),
-                d->piece_elem.size() * 4);
-    std::memcpy(piece_te, d->piece_te.data(),
-                d->piece_te.size() * 4);
-    std::memcpy(piece_len, d->piece_len.data(),
-                d->piece_len.size() * 4);
+    // meta copies; n == 0 guarded: an empty vector's data() may be
+    // null, and memcpy's pointer args are declared nonnull even for
+    // zero sizes (UBSAN: "null pointer passed as argument 2")
+    auto copy_n = [](void *dst, const void *src, size_t n) {
+        if (n) std::memcpy(dst, src, n);
+    };
+    copy_n(edge_kind, d->edge_kind.data(), d->edge_kind.size());
+    copy_n(edge_elem, d->edge_elem.data(), d->edge_elem.size() * 4);
+    copy_n(alt_te, d->alt_te.data(), d->alt_te.size() * 4);
+    copy_n(alt_len, d->alt_len.data(), d->alt_len.size() * 4);
+    copy_n(piece_edge, d->piece_edge.data(), d->piece_edge.size() * 4);
+    copy_n(piece_elem, d->piece_elem.data(), d->piece_elem.size() * 4);
+    copy_n(piece_te, d->piece_te.data(), d->piece_te.size() * 4);
+    copy_n(piece_len, d->piece_len.data(), d->piece_len.size() * 4);
     return d->n_prep;
 }
 

@@ -26,13 +26,16 @@ _ENV_FLAKE = ('Address already in use', 'DEADLINE_EXCEEDED',
               'barrier timed out', 'Connection refused')
 
 
-def test_two_process_sharded_train_step():
+def _run_two_process(worker_name):
+    """Spawn the 2-process worker script, retrying environment flakes
+    with a fresh port; return both processes' stdout."""
     here = os.path.dirname(os.path.abspath(__file__))
-    worker = os.path.join(here, 'mh_train_worker.py')
+    worker = os.path.join(here, worker_name)
     repo = os.path.dirname(here)
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
+    outs = []
     for attempt in range(3):
         port = str(_free_port())
         procs = [subprocess.Popen(
@@ -58,6 +61,11 @@ def test_two_process_sharded_train_step():
                 continue  # fresh port, try again
             raise AssertionError(failed)
         break
+    return outs
+
+
+def test_two_process_sharded_train_step():
+    outs = _run_two_process('mh_train_worker.py')
     losses = []
     for out in outs:
         lines = [ln for ln in out.splitlines()
@@ -66,6 +74,29 @@ def test_two_process_sharded_train_step():
         losses.append(tuple(float(v) for v in lines[0].split()[1:]))
     # both controllers must agree bit-for-bit on the reduced loss
     assert losses[0] == losses[1], losses
+
+
+def test_two_process_sharded_batch_decode():
+    """Data-axis sharded batch decode across a REAL process boundary
+    (the serving surface; the train test above covers training): each
+    process decodes its own documents' shards of one global dispatch
+    and pins them bit-for-bit against an unsharded local decode
+    (asserted inside mh_decode_worker.py).  Note on mesh composition:
+    like the model axis, a ``pipe`` axis must stay INSIDE one process
+    (make_global_mesh lays axes data-major across hosts); only the
+    data axis crosses processes."""
+    outs = _run_two_process('mh_decode_worker.py')
+    oks = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith('MHDECODE ')]
+        assert lines, out[-2000:]
+        oks.append(lines[0].split())
+    # both processes finished their parity assertion, on DIFFERENT
+    # documents (distinct digests — a same-digest pass would mean the
+    # processes decoded the same rows, i.e. the sharding was fake)
+    assert {ok[1] for ok in oks} == {'0', '1'}, oks
+    assert oks[0][3] != oks[1][3], oks
 
 
 def test_init_multihost_rejects_partial_config(monkeypatch):

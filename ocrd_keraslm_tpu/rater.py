@@ -254,6 +254,16 @@ def _gc_paused(fn):
     return wrapper
 
 
+class NonLinearLatticeError(ValueError):
+    """A branching (general-DAG) lattice reached a device engine.
+
+    The device engines decode CHAINS (one beam round per edge); the
+    host engine ``Rater.rate_best`` accepts general DAGs (reference
+    traversal shape: rating.py:763-773).  The OCR-D wrapper catches
+    this to fall back to the host engine per page
+    (wrapper/rate.py process_workspace_stateful)."""
+
+
 def _linear_edges(graph):
     """Edge data dicts of a LINEAR lattice in topological order.
 
@@ -273,7 +283,7 @@ def _linear_edges(graph):
     tails = set()
     for u, v, d in graph.edges(data=True):
         if u in succ or u == v:
-            raise ValueError(
+            raise NonLinearLatticeError(
                 'device decoding requires a linear lattice, but node '
                 '%r has multiple outgoing edges; use rate_best() for '
                 'general DAG lattices' % (u,))
@@ -283,7 +293,7 @@ def _linear_edges(graph):
         return []
     starts = [u for u in succ if u not in tails]
     if len(starts) != 1:
-        raise ValueError(
+        raise NonLinearLatticeError(
             'device decoding requires a linear lattice (single '
             'chain), but found %d start nodes; use rate_best() for '
             'general DAG lattices' % len(starts))
@@ -291,7 +301,7 @@ def _linear_edges(graph):
     out = []
     for _ in range(len(succ)):
         if node not in succ:
-            raise ValueError(
+            raise NonLinearLatticeError(
                 'device decoding requires a linear lattice, but the '
                 'chain from %r ends after %d of %d edges (merge node '
                 'or disconnected component); use rate_best() for '

@@ -29,7 +29,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import networkx as nx
 
 from .. import lib
-from ..rater import _gc_paused
+from ..rater import NonLinearLatticeError, _gc_paused
 from .mets import MIMETYPE_PAGE, Mets, Workspace
 from .page import (BOTTOM_TO_TOP, RIGHT_TO_LEFT, OrderedGroupIndexedType,
                    OrderedGroupType, PcGts, RegionRefIndexedType,
@@ -455,8 +455,43 @@ class KerasRate:
                         device_tb = self._flush_page_group(
                             gbuf, device_tb, device_pending,
                             on_failure=page_failure)
-                        rec, device_tb = self.process_page_pcgts_device_begin(
-                            pcgts, device_tb, file_id, page_id)
+                        try:
+                            rec, device_tb = \
+                                self.process_page_pcgts_device_begin(
+                                    pcgts, device_tb, file_id, page_id)
+                        except NonLinearLatticeError as nle:
+                            # documented bail chain: a branching
+                            # lattice (customized builder emitted a
+                            # genuine DAG) decodes THIS page via the
+                            # host DAG engine.  The cross-page beam
+                            # carry RESETS at the engine switch in
+                            # both directions — device and host
+                            # tracebacks are not interchangeable — so
+                            # a mixed document decodes every page
+                            # correctly but without carry across the
+                            # switch boundaries.
+                            self._base_logger.info(
+                                'page %s: %s — decoding via the host '
+                                'DAG engine (beam carry resets at the '
+                                'engine switch)', page_id, nle)
+                            state = self.process_page_pcgts_stateful(
+                                pcgts, None, file_id, page_id)
+                            # lock in immediately (the carry reset
+                            # means no later page extends this beam)
+                            path, entropy, _ = self.rater.next_path(
+                                state.traceback[0],
+                                ([], state.traceback[1]))
+                            _page_update_from_path(
+                                level, path, entropy,
+                                logger=self.logger)
+                            page_update_higher_textequiv_levels(
+                                level, state.pcgts)
+                            self._write_page(state.pcgts,
+                                             state.file_id,
+                                             state.page_id)
+                            nr_succeeded += 1
+                            device_tb = None
+                            continue
                         # success is only counted when the page is
                         # fetched AND written (finish loop below).  Start
                         # the host copy of this page's packed result now —
@@ -1116,6 +1151,19 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
     needs no graph library, and ``nx.add_edge`` alone cost ~4 ms per
     1000-edge page (profiled)."""
     edges = page_get_linear_lattice_at(level, pcgts, logger=logger)
+    if hasattr(edges, 'add_edge'):
+        # a customized builder returned a general-DAG DiGraph
+        # directly: pass it through to the host engine (rate_best
+        # accepts any single-source/single-sink DAG, like the
+        # reference traversal, rating.py:763-773)
+        graph = edges
+        starts = [n for n in graph if graph.in_degree(n) == 0]
+        ends = [n for n in graph if graph.out_degree(n) == 0]
+        if len(starts) != 1 or len(ends) != 1:
+            raise ValueError(
+                'lattice DAG needs exactly one source and one sink '
+                '(got %d/%d)' % (len(starts), len(ends)))
+        return graph, starts[0], ends[0]
     graph = nx.DiGraph(level=level)
     graph.add_node(0)
     for i, edge in enumerate(edges):

@@ -375,8 +375,15 @@ def main():
             # Separated sessions distinguish transient link jitter
             # from real tail cost: a session median within 5% of the
             # overall best means the tail is jitter, not work.
+            # each batch rep is BRACKETED by tiny-dispatch probes: a
+            # rep whose adjacent probes exceed the link floor has
+            # independent evidence the LINK (8-float round-trip, zero
+            # compute) stalled during it — the clean-median below
+            # excludes exactly those reps, separating tunnel
+            # transients from real kernel tail cost
             times_single = []
             times_batch = []
+            probes_batch = []
             sess_meds_single = []
             sess_meds_batch = []
             for sess in range(3):
@@ -388,21 +395,26 @@ def main():
                     decode_document()
                     ts_s.append(time.perf_counter() - t0)
                     t0 = time.perf_counter()
+                    float(tiny_probe(_jnp.zeros((8,)))[0])
+                    probe_pre = time.perf_counter() - t0
+                    t0 = time.perf_counter()
                     rater.rate_best_batch(pages, beam_width=16)
                     ts_b.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(tiny_probe(_jnp.zeros((8,)))[0])
+                    probes_batch.append(
+                        max(probe_pre, time.perf_counter() - t0))
                 times_single += ts_s
                 times_batch += ts_b
                 sess_meds_single.append(sorted(ts_s)[len(ts_s) // 2])
                 sess_meds_batch.append(sorted(ts_b)[len(ts_b) // 2])
-            # per-call blocking fetches in the fused doc-batched path:
-            # one per kernel group of N = 128/K = 8 documents
-            n_fetches = -(-n_pages // 8)
             decode_sess = {
                 'single_meds': sess_meds_single,
                 'batch_meds': sess_meds_batch,
+                'batch_times': times_batch,
+                'batch_probes': probes_batch,
                 'rtt_min_ms': rtt_min_s * 1e3,
                 'rtt_med_ms': rtt_med_s * 1e3,
-                'n_fetches': n_fetches,
             }
             best = min(times_single)
             med = sorted(times_single)[len(times_single) // 2]
@@ -885,23 +897,33 @@ def main():
             extra['decode_session_medians_chars_per_sec'] = \
                 [round(work / m, 1)
                  for m in decode_sess['single_meds']]
-            # RTT-corrected median: subtract the measured
-            # per-dispatch link jitter (median - min RTT, probed
-            # adjacent to this section) times the number of blocking
-            # kernel-group fetches per call
-            corr = max(0.0, (decode_sess['rtt_med_ms'] -
-                             decode_sess['rtt_min_ms']) / 1e3) \
-                * decode_sess['n_fetches']
-            corr_t = max(med_sess - corr, best_t)
-            extra['decode_batch_rtt_corrected_chars_per_sec_median'] \
-                = round(work / corr_t, 1)
-            extra['decode_batch_rtt_correction'] = (
-                'best session median minus (rtt_med-rtt_min=%.1fms) '
-                'x %d kernel-group fetches/call; rtt probed adjacent '
-                'to the decode reps'
-                % (decode_sess['rtt_med_ms'] -
-                   decode_sess['rtt_min_ms'],
-                   decode_sess['n_fetches']))
+            # link-clean median: reps whose BRACKETING tiny-dispatch
+            # probes stayed at the link floor (< 1.5x min RTT) ran on
+            # an uncontended link; their median is the kernel's real
+            # tail.  Reps excluded here carry independent evidence (a
+            # zero-compute 8-float round-trip stalling) that the
+            # TUNNEL, not the decode, was slow.
+            floor = decode_sess['rtt_min_ms'] / 1e3
+            clean = [t for t, p in zip(decode_sess['batch_times'],
+                                       decode_sess['batch_probes'])
+                     if p < 1.5 * floor]
+            if clean:
+                clean.sort()
+                med_clean = clean[len(clean) // 2]
+                extra['decode_batch_chars_per_sec_median_clean'] = \
+                    round(work / med_clean, 1)
+                extra['decode_batch_clean_gap_pct'] = \
+                    round((med_clean / best_t - 1.0) * 100.0, 1)
+            extra['decode_batch_reps_link_stalled'] = \
+                len(decode_sess['batch_times']) - len(clean)
+            extra['decode_batch_clean_median_method'] = (
+                'median over reps whose bracketing 8-float probe '
+                'dispatches stayed < 1.5x the %.1fms link floor '
+                '(%d of %d reps excluded with direct evidence of a '
+                'link stall)'
+                % (decode_sess['rtt_min_ms'],
+                   len(decode_sess['batch_times']) - len(clean),
+                   len(decode_sess['batch_times'])))
         if decode_batch_sus is not None:
             extra['decode_batch_sustained_chars_per_sec'] = \
                 round(decode_batch_sus, 1)

@@ -7,7 +7,7 @@ best-path lattice decoding with a char-level stacked-LSTM LM
 checkpoints, a ``keraslm-rate`` CLI and an ``ocrd-keraslm-rate``
 processor.
 """
-__version__ = '0.4.0'
+__version__ = '0.5.0'
 
 from .beam import Node
 from .rater import Rater

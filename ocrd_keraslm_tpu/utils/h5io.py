@@ -82,6 +82,11 @@ def _open_h5(filename: str) -> h5py.File:
                 magic = fh.read(4)
         except OSError:
             raise
+        if magic == b'\x89HDF':
+            # a GENUINE HDF5 file failing to open (locking,
+            # truncation, permissions) is an I/O problem, not a
+            # format problem — keep the original error type/message
+            raise
         if magic[:2] == b'PK':
             raise ValueError(
                 '%s: unsupported model format: this is a zip archive '

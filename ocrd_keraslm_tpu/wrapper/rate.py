@@ -268,8 +268,10 @@ class KerasRate:
                 file_id = self._make_file_id(input_file)
                 if self._output_exists(file_id):
                     return None
-                edges = page_get_linear_lattice_at(
-                    level, pcgts, logger=self.logger)
+                edges = _require_edge_list(
+                    page_get_linear_lattice_at(
+                        level, pcgts, logger=self.logger),
+                    'stateless scoring')
                 text = [(edge['element'], edge['alternatives'])
                         for edge in edges]
                 return (pcgts, file_id, page_id, text,
@@ -474,6 +476,11 @@ class KerasRate:
                                 'page %s: %s — decoding via the host '
                                 'DAG engine (beam carry resets at the '
                                 'engine switch)', page_id, nle)
+                            if isinstance(pcgts, NativePageDoc):
+                                # the host engine needs the generateDS
+                                # PAGE API; the native byte-lane doc
+                                # converts through the lxml lane
+                                pcgts = pcgts.to_fast()
                             state = self.process_page_pcgts_stateful(
                                 pcgts, None, file_id, page_id)
                             # lock in immediately (the carry reset
@@ -861,8 +868,11 @@ class KerasRate:
         context = mets_get_context(self.workspace.mets)
         graph, start_node, end_node = page_get_linear_graph_at(
             level, pcgts, logger=self.logger)
+        # edge count, not node arithmetic: a customized builder's DAG
+        # may use non-integer node labels
         self.rater.logger.info('Rating %d elements including its '
-                               'alternatives', end_node - start_node)
+                               'alternatives',
+                               graph.number_of_edges())
         path, entropy, traceback = self.rater.rate_best(
             graph, start_node, end_node,
             start_traceback=prev and prev.traceback,
@@ -1123,7 +1133,9 @@ def score_page_pcgts(rater, pcgts, level, context, lm_weight,
     Works on standalone AND genuine ``ocrd_models`` PAGE trees (both
     expose the generateDS API)."""
     logger = logger or LOG
-    edges = page_get_linear_lattice_at(level, pcgts, logger=logger)
+    edges = _require_edge_list(
+        page_get_linear_lattice_at(level, pcgts, logger=logger),
+        'plain page scoring')
     text = [(edge['element'], edge['alternatives'])
             for edge in edges]
     textstring = ''.join(tes[0].Unicode for _, tes in text)
@@ -1157,6 +1169,12 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
         # accepts any single-source/single-sink DAG, like the
         # reference traversal, rating.py:763-773)
         graph = edges
+        if graph.number_of_edges() == 0:
+            # a blank page is not an error (the chain path yields an
+            # empty edge list); normalize to the empty-chain form
+            graph = nx.DiGraph(level=level)
+            graph.add_node(0)
+            return graph, 0, 0
         starts = [n for n in graph if graph.in_degree(n) == 0]
         ends = [n for n in graph if graph.out_degree(n) == 0]
         if len(starts) != 1 or len(ends) != 1:
@@ -1169,6 +1187,19 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
     for i, edge in enumerate(edges):
         graph.add_edge(i, i + 1, **edge)
     return graph, 0, len(edges)
+
+
+def _require_edge_list(edges, where: str) -> list:
+    """Reject a customized builder's DiGraph on chain-only paths with
+    an actionable message (instead of an obscure per-page TypeError
+    when the caller iterates node labels as edge dicts)."""
+    if hasattr(edges, 'add_edge'):
+        raise ValueError(
+            'a customized lattice builder returned a DAG, but %s '
+            'scores the single best chain; DAG lattices are only '
+            'supported with alternative_decoding=true (the host DAG '
+            'engine)' % where)
+    return edges
 
 
 def page_get_linear_lattice_at(level: str, pcgts, logger=None) -> list:

@@ -183,3 +183,45 @@ def test_mixed_document_branching_middle_page(tmp_path, monkeypatch):
     mixed_mid = [v for k, v in outs.items() if 'phys_0002' in k][0]
     solo_mid = list(solo.values())[0]
     assert mixed_mid == solo_mid
+
+
+def test_native_lane_branching_page_falls_back(tmp_path, monkeypatch):
+    """The fallback must also rescue pages loaded through the NATIVE
+    byte lane (NativePageDoc lacks the generateDS API the host engine
+    walks — the handler converts via to_fast() first).  Forced here by
+    enabling fused_decode (CPU pins it off) with a beam width past the
+    kernel gate, so the native doc reaches the lxml conversion and the
+    (patched) DAG builder inside process_page_pcgts_device_begin."""
+    from ocrd_keraslm_tpu.wrapper import page_native
+    if not page_native.available():
+        pytest.skip('native page lane unavailable')
+    ws = build_workspace(str(tmp_path),
+                         {'phys_0001': PAGES['phys_0001']},
+                         glyph_alternatives=ALTS)
+    model = make_tiny_model(tmp_path / 'model.h5', chars='abc \n')
+    monkeypatch.setenv('KERASLM_FUSE_PAGES', '0')
+    w = Workspace(ws.directory)
+    proc = KerasRate(workspace=w, input_file_grp='OCR-D-OCR',
+                     output_file_grp='OCR-D-LM',
+                     parameter={'model_file': model,
+                                'textequiv_level': 'glyph',
+                                'alternative_decoding': True,
+                                'device_decoding': True,
+                                'beam_width': 40})
+    proc.setup()
+    # native lane eligibility requires fused_decode (TPU-only default)
+    monkeypatch.setattr(proc.rater, 'fused_decode', True)
+    assert proc._native_page_eligible()
+    orig = rate_mod.page_get_linear_lattice_at
+    monkeypatch.setattr(rate_mod, 'page_get_linear_lattice_at',
+                        _branching_builder(orig, {'phys_0001'}))
+    proc.process_workspace(w)
+    outs = _read_outputs(ws.directory)
+    assert len(outs) == 1
+    pcgts = parse_page(os.path.join(ws.directory, 'OCR-D-LM',
+                                    list(outs)[0]))
+    for region in pcgts.get_Page().get_TextRegion():
+        for line in region.get_TextLine():
+            for word in line.get_Word():
+                for glyph in word.get_Glyph():
+                    assert len(glyph.get_TextEquiv()) == 1

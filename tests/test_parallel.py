@@ -471,7 +471,8 @@ def test_fixed_length_partial_windows_over_mesh(tmp_path):
 
     old_epochs = training.EPOCHS
     training.EPOCHS = 2
-    np.random.seed(20250820)
+    rng_state = np.random.get_state()  # restored below: later tests
+    np.random.seed(20250820)           # must not inherit this seed
     training.gen_stateless = counting_gen
     try:
         r = K.Rater()
@@ -486,6 +487,7 @@ def test_fixed_length_partial_windows_over_mesh(tmp_path):
     finally:
         training.gen_stateless = orig_gen
         training.EPOCHS = old_epochs
+        np.random.set_state(rng_state)
     # the masked sharded-step lane was actually dispatched during the
     # TRAIN pass (not only in the gen_stateless probe above)
     assert seen['masked_train_batches'] > 0

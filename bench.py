@@ -879,6 +879,17 @@ def main():
             'decode_chars_per_sec_median': round(decode_med, 1),
             'decode_vs_baseline': round(decode / base_dec, 2),
             'numpy_baseline_decode_chars_per_sec': round(base_dec, 1)})
+        if decode_sess:
+            # device-side analogue of generate_device_chars_per_sec:
+            # the pipelined document path dispatches all pages then
+            # blocks on ONE batched fetch, so the best wall time minus
+            # the measured link floor is the device-resident decode
+            # time of the whole document
+            best_t_doc = (n_pages * n_edges) / decode
+            dev_t = max(best_t_doc - decode_sess['rtt_min_ms'] / 1e3,
+                        1e-9)
+            extra['decode_device_chars_per_sec'] = \
+                round(n_pages * n_edges / dev_t, 1)
     if decode_batch is not None and base_dec is not None:
         extra.update({
             'decode_batch_chars_per_sec': round(decode_batch, 1),

@@ -391,10 +391,11 @@ base = to_xml(build_pcgts(
     [['Das', 'ist'], ['ein', 'Test']],
     glyph_alternatives={(0, 0, 0): [('D', 0.9), ('O', 0.8)]}
 )).encode('utf-8')
+N = int(os.environ.get('KERASLM_FUZZ_N', '300'))
 rng = np.random.default_rng(20260819)
 hostile = [b'<', b'>', b'&', b'&#x0;', b'&amp', b'<TextEquiv>',
            b'</Word>', b'\xff\xfe', b'\xc3', b'<![CDATA[', b'\x00']
-for trial in range(300):
+for trial in range(N):
     data = bytearray(base)
     for _ in range(int(rng.integers(1, 4))):
         op = int(rng.integers(5))
@@ -431,13 +432,15 @@ for trial in range(300):
                          max(min(lat[2], 64), 1))
     except (ValueError, RuntimeError, MemoryError):
         pass  # a Python-level error is an acceptable rejection
-print('OK 300')
+print('OK %%d' %% N)
 ''' % os.path.dirname(os.path.abspath(__file__))
     proc = subprocess.run(
         [sys.executable, '-c', script],
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True,
+        timeout=max(300, int(os.environ.get('KERASLM_FUZZ_N',
+                                            '300')) // 2))
     assert proc.returncode == 0, (
         'scanner crashed under mutation fuzzing:\n%s\n%s'
         % (proc.stdout[-2000:], proc.stderr[-2000:]))
-    assert 'OK 300' in proc.stdout or 'SKIP' in proc.stdout
+    assert 'OK ' in proc.stdout or 'SKIP' in proc.stdout

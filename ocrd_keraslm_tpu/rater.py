@@ -1122,6 +1122,41 @@ class Rater:
         Returns a list of (path, entropy) like
         ``rate_best_device_finish``.
         """
+        return self.rate_best_batch_finish(self.rate_best_batch_begin(
+            graphs, context=context, lm_weight=lm_weight,
+            beam_width=beam_width))
+
+    @_gc_paused
+    def rate_best_batch_finish(self, pending):
+        """Fetch + path emission for a ``rate_best_batch_begin``
+        dispatch; returns the results list.  See begin() for the
+        double-buffered serving pattern."""
+        kind = pending[0]
+        if kind == 'done':
+            return pending[1]
+        if kind == 'fusedb':
+            _, gpending, prepared, results = pending
+            self._rate_best_batch_fused_finish(gpending, prepared,
+                                               results)
+            return results
+        _, edges_list, live, packed_dev, K, results = pending
+        packed = np.asarray(packed_dev)
+        for row, i in enumerate(live):
+            results[i] = self.rate_best_device_finish(
+                ('single', edges_list[i], [packed[row]], K))
+        return results
+
+    @_gc_paused
+    def rate_best_batch_begin(self, graphs, context=None,
+                              lm_weight=0.5, beam_width=10):
+        """DISPATCH a document batch; ``rate_best_batch_finish`` later
+        fetches and emits.  A serving loop can dispatch batch N+1
+        before finishing batch N, so batch N+1's host prep and batch
+        N's fetch round-trip overlap the device decode (double
+        buffering); results are identical to the synchronous
+        ``rate_best_batch`` (which is begin+finish).  Special shapes
+        (oversized pages, 0/1 live documents) resolve synchronously
+        inside begin."""
         assert self.status > 1
         from . import native
         from .parallel.decode import make_batch_decode
@@ -1163,11 +1198,11 @@ class Rater:
                     raw, 0, 0, context=context,
                     lm_weight=lm_weight, beam_width=beam_width)
                 out.append((path, ent))
-            return out
+            return ('done', out)
         live = [i for i, n in enumerate(sizes) if n]
         results: List[Any] = [([], 0.0)] * len(graphs)
         if not live:
-            return results
+            return ('done', results)
         if len(live) == 1:
             # a single live document decodes fastest through the
             # single-document engine (fused kernel when eligible);
@@ -1177,7 +1212,7 @@ class Rater:
                 raw_list[i], 0, 0, context=context,
                 lm_weight=lm_weight, beam_width=beam_width)
             results[i] = (path, ent)
-            return results
+            return ('done', results)
         K_f = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
         NA_f = (128 // K_f) * 4
         L_max = _bucket(max(max(maxlens[i] for i in live), 1),
@@ -1186,11 +1221,10 @@ class Rater:
                 beam_width <= FUSED_MAX_BEAM and \
                 max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN \
                 and self._fused_decode_fits(512, NA_f, L_max, 64):
-            self._rate_best_batch_fused(raw_list, prepared, sizes,
-                                        maxlens, live, results,
-                                        context, lm_weight,
-                                        beam_width, mesh)
-            return results
+            gpending = self._rate_best_batch_fused_begin(
+                raw_list, prepared, sizes, maxlens, live, results,
+                context, lm_weight, beam_width, mesh)
+            return ('fusedb', gpending, prepared, results)
         edges_list = [prepared[i] if prepared[i] is not None
                       else (self._prepare_decode_edges(raw_list[i])
                             if raw_list[i] else [])
@@ -1230,12 +1264,12 @@ class Rater:
         zs = tuple(self._context_arrays(context, 1))
         fn = make_batch_decode(self.cfg, E, A, L, K,
                                float(lm_weight), mesh)
-        packed = np.asarray(fn(self.params, chars, mask, conf, valid,
-                               zs, h0, c0, x0, cost0))
-        for row, i in enumerate(live):
-            pending = ('single', edges_list[i], [packed[row]], K)
-            results[i] = self.rate_best_device_finish(pending)
-        return results
+        packed_dev = fn(self.params, chars, mask, conf, valid,
+                        zs, h0, c0, x0, cost0)
+        copy_async = getattr(packed_dev, 'copy_to_host_async', None)
+        if copy_async is not None:
+            copy_async()
+        return ('xlab', edges_list, live, packed_dev, K, results)
 
     @_gc_paused
     def rate_best_device_begin(self, graph, start_node, end_node,
@@ -1935,7 +1969,7 @@ class Rater:
         return (('single' if single else 'blocks'), edges,
                 packed_blocks, K), (state, cost)
 
-    def _rate_best_batch_fused(self, raw_list, prepared, sizes,
+    def _rate_best_batch_fused_begin(self, raw_list, prepared, sizes,
                                maxlens, live, results, context,
                                lm_weight, beam_width, mesh=None):
         """Document-batched fused decode (ops/decode_kernel.py
@@ -1952,8 +1986,10 @@ class Rater:
         Edge prep runs in the native C++ builder when available
         (merge + vectorize + array fill, ocrd_keraslm_tpu/native_src/decode_prep.cpp);
         ``prepared[i]`` caches the Python fallback / native metadata.
-        Fills ``results[i] = (path, entropy)`` for each ``i`` in
-        ``live``.
+        Pass 1 only: dispatches every group's kernels + device walks
+        and returns the pending group list;
+        ``_rate_best_batch_fused_finish`` fetches once and fills
+        ``results[i] = (path, entropy)`` for each ``i`` in ``live``.
         """
         from . import native
         from .ops.decode_kernel import (BIG, LANE,
@@ -2132,6 +2168,17 @@ class Rater:
                     walks_rev.append(walk.reshape(
                         G, walk.shape[2], 2))
             pending.append((group, E_blk, list(reversed(walks_rev))))
+        # start the host copies now: with the split begin/finish API a
+        # serving loop dispatches the NEXT batch while these complete
+        for _, _, ws in pending:
+            for w in ws:
+                copy_async = getattr(w, 'copy_to_host_async', None)
+                if copy_async is not None:
+                    copy_async()
+        return pending
+
+    def _rate_best_batch_fused_finish(self, pending, prepared,
+                                      results):
         # pass 2: ONE stacked fetch per distinct walk shape — each
         # host<->device sync costs a full RTT (~25ms over tunneled
         # setups, measured; per-group fetches regressed the batch

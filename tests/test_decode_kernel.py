@@ -344,3 +344,46 @@ def test_cross_page_entry_slot_anchor(rater_ambig, fused):
         assert cost0[entry] > cost0.min() + 1e-6
     finally:
         r.fused_decode = False
+
+
+def test_batch_begin_finish_double_buffered_matches_sync(rater):
+    """The split begin/finish batch API (serving double buffering,
+    round 4): dispatching batch B before finishing batch A must
+    return results identical to two synchronous rate_best_batch
+    calls, on both the XLA engine and the fused path's pending
+    protocol (fused exercised separately on TPU by tpu_spotcheck)."""
+    specs_a = [(['abcd'], {(0, 2): [('x', 0.92), ('c', 0.90)]}),
+               (['abcd', 'ab'], None),
+               (['dcba'], None)]
+    specs_b = [(['ab', 'cd'], None),
+               (['abcd'], {(0, 0): [('d', 0.95), ('a', 0.94)]})]
+    graphs_a = [_toy_graph(w, alternatives=al)[0] for w, al in specs_a]
+    graphs_b = [_toy_graph(w, alternatives=al)[0] for w, al in specs_b]
+    rater.fused_decode = False
+    sync_a = rater.rate_best_batch(graphs_a, beam_width=4)
+    sync_b = rater.rate_best_batch(graphs_b, beam_width=4,
+                                   lm_weight=0.7)
+    # interleaved: both batches in flight before either finishes
+    pa = rater.rate_best_batch_begin(graphs_a, beam_width=4)
+    pb = rater.rate_best_batch_begin(graphs_b, beam_width=4,
+                                     lm_weight=0.7)
+    got_a = rater.rate_best_batch_finish(pa)
+    got_b = rater.rate_best_batch_finish(pb)
+    for got, sync in ((got_a, sync_a), (got_b, sync_b)):
+        for (p_g, e_g), (p_s, e_s) in zip(got, sync):
+            assert [(te.Unicode, s) for _, te, s in p_g] == \
+                [(te.Unicode, s) for _, te, s in p_s]
+            assert e_g == e_s
+    # finish order independence: B first, then A
+    pa = rater.rate_best_batch_begin(graphs_a, beam_width=4)
+    pb = rater.rate_best_batch_begin(graphs_b, beam_width=4,
+                                     lm_weight=0.7)
+    assert rater.rate_best_batch_finish(pb) == sync_b
+    assert rater.rate_best_batch_finish(pa) == sync_a
+    # special shapes resolve synchronously inside begin
+    empty = rater.rate_best_batch_finish(
+        rater.rate_best_batch_begin([], beam_width=4))
+    assert empty == []
+    single = rater.rate_best_batch_finish(
+        rater.rate_best_batch_begin([graphs_a[0]], beam_width=4))
+    assert single[0][0] and np.isfinite(single[0][1])

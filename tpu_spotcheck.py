@@ -107,6 +107,22 @@ def main():
               % ('OK' if ok else 'MISMATCH'), file=sys.stderr)
         failures += not ok
 
+        # split begin/finish API (serving double buffering) on the
+        # FUSED path: two batches in flight, finished out of order,
+        # must equal the synchronous results exactly
+        pa = rater.rate_best_batch_begin([d[0] for d in docs[:2]],
+                                         beam_width=16)
+        pb = rater.rate_best_batch_begin([d[0] for d in docs[2:]],
+                                         beam_width=16)
+        got = rater.rate_best_batch_finish(pb) + \
+            rater.rate_best_batch_finish(pa)
+        want = batched[2:] + batched[:2]
+        ok = all(_text(g[0]) == _text(w[0]) and g[1] == w[1]
+                 for g, w in zip(got, want))
+        print('decode begin/finish fused:    %s'
+              % ('OK' if ok else 'MISMATCH'), file=sys.stderr)
+        failures += not ok
+
         # bf16 decode weights (the TPU default) must be BIT-IDENTICAL
         # to f32 weights on the compiled path: Mosaic's default f32
         # matmul precision is already one bf16 pass, so pre-cast

@@ -234,6 +234,17 @@ def test_sharded_batch_decode_matches_sequential():
         assert [te.Unicode for _, te, _ in p1] == \
             [te.Unicode for _, te, _ in p2]
         np.testing.assert_allclose(e1, e2, atol=1e-4)
+    # the split begin/finish API (double-buffered serving) over the
+    # SAME mesh: two batches in flight, out-of-order finish, results
+    # identical to the synchronous sharded call
+    pa = r.rate_best_batch_begin(graphs[:3], beam_width=4)
+    pb = r.rate_best_batch_begin(graphs[3:], beam_width=4)
+    got = r.rate_best_batch_finish(pb) + r.rate_best_batch_finish(pa)
+    want = batch[3:] + batch[:3]
+    for (p1, e1), (p2, e2) in zip(want, got):
+        assert [te.Unicode for _, te, _ in p1] == \
+            [te.Unicode for _, te, _ in p2]
+        np.testing.assert_allclose(e1, e2, atol=1e-4)
 
 
 def test_sharded_fused_batch_decode_matches_sequential():

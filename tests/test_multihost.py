@@ -99,6 +99,25 @@ def test_two_process_sharded_batch_decode():
     assert oks[0][3] != oks[1][3], oks
 
 
+def test_two_process_pipeline_train_step():
+    """The (data, pipe) mesh COMPOSES across processes: data axis over
+    the process boundary, pipe stages inside each process (the same
+    intra-host rule as the model axis).  Both controllers must agree
+    bit-for-bit on the loss, and worker 0 additionally pins the
+    pipeline loss against a single-chip train_step over the assembled
+    global batch (asserted inside mh_pipe_worker.py).  The CLI still
+    keeps pipeline meshes single-host (its batch feed is host-local);
+    this covers the step-level composition the parallel API exposes."""
+    outs = _run_two_process('mh_pipe_worker.py')
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith('MHPIPE ')]
+        assert lines, out[-2000:]
+        losses.append(tuple(lines[0].split()[2:]))
+    assert losses[0] == losses[1], losses
+
+
 def test_init_multihost_rejects_partial_config(monkeypatch):
     """Both halves of a partial explicit configuration must be refused
     up front with a clear message — not forwarded into

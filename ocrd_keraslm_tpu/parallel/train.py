@@ -81,3 +81,37 @@ def make_sharded_train_step(mesh: Mesh, cfg: LMConfig,
         )
 
     return step, shard_fn, jit_step
+
+
+def make_sharded_eval_step(mesh: Mesh, cfg: LMConfig):
+    """Jitted forward-only evaluation over the mesh.
+
+    The multihost training loop needs this: the single-chip
+    ``eval_step`` cannot mix host-local batch arrays with
+    globally-sharded params, so validation runs through the same
+    batch/carry shardings as the train step (training.py uses it
+    whenever ``jax.process_count() > 1``)."""
+
+    def estep(params, x, zs, y, mask, carry, x_mask=None):
+        logits, carry = forward_seq(params, cfg, x, list(zs), carry,
+                                    train=False, rng=None,
+                                    x_mask=x_mask)
+        if y.ndim == 1:
+            logits = logits[:, -1, :]
+        nll, acc = sequence_xent(logits, y, mask)
+        return nll, acc, carry
+
+    def jit_eval(params, n_contexts, stateful_targets,
+                 variable_length=False):
+        pspec = param_shardings(mesh, params)
+        bx, bzs, by, bm = batch_shardings(mesh, n_contexts,
+                                          stateful_targets)
+        cs = carry_sharding(mesh)
+        rs = NamedSharding(mesh, P())
+        in_sh = (pspec, bx, bzs, by, bm, (cs, cs))
+        if variable_length:
+            in_sh = in_sh + (bx,)
+        return jax.jit(estep, in_shardings=in_sh,
+                       out_shardings=(rs, rs, (cs, cs)))
+
+    return jit_eval

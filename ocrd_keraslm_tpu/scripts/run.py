@@ -59,6 +59,18 @@ def cli(ctx, log_level, profile, profile_file, jax_trace):
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    # multi-host: join the process group BEFORE anything touches the
+    # XLA backend — Rater() queries jax.default_backend() at
+    # construction, and jax.distributed.initialize refuses to run
+    # after backend init (the train command's mesh handling is too
+    # late; no-op when the env vars are unset)
+    if os.environ.get('KERASLM_COORDINATOR') or \
+            os.environ.get('KERASLM_NUM_PROCESSES'):
+        from ..parallel.multihost import init_multihost
+        try:
+            init_multihost()
+        except ValueError as err:  # partial KERASLM_* configuration
+            raise click.UsageError(str(err))
     # profiling equivalent to the OCR-D core --profile/--profile-file
     # flags (reference README:190-191) + device-side tracing
     if profile or profile_file:

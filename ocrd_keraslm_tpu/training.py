@@ -134,6 +134,16 @@ def train_rater(rater, data, val_data=None) -> None:
     """Train ``rater`` on text files (handles or paths)."""
     assert rater.status > 0
     assert rater.incremental is False
+    if jax.process_count() > 1:
+        # multihost: the file split, window split, dropout keys and
+        # augmentation draws ALL flow (directly or via seeds drawn
+        # below) from the np.random GLOBAL — every process must make
+        # identical draws (each then feeds only its own batch-row
+        # shard), so align the global RNG to process 0's seed up front
+        from jax.experimental import multihost_utils
+        seed = int(multihost_utils.broadcast_one_to_all(np.array(
+            np.random.randint(0, 2 ** 31 - 1), np.int64)))
+        np.random.seed(seed)
 
     # handles without a re-openable path (StringIO, pipes, stdin)
     # spool to temp files: the generators re-read inputs by name every
@@ -256,6 +266,8 @@ def _train_rater(rater, files, val_files) -> None:
     # data-stream RNG: seeded per epoch so a resumed epoch replays the
     # exact augmentation draws of an uninterrupted run
     data_seed = int(np.random.randint(0, 2 ** 31 - 1))
+    # (multihost: rng/data_seed are already identical across
+    # processes — train_rater aligned the np.random global up front)
     if resume is not None:
         state = resume['state']
         params = state['params']
@@ -329,6 +341,68 @@ def _train_rater(rater, files, val_files) -> None:
                                            rater.stateful,
                                            variable_length=True)
         rater.logger.info('training over mesh %s', dict(mesh.shape))
+
+    # ---- multihost: host-local batches -> globally-sharded arrays ----
+    # Every process draws the SAME full batches (seeds aligned in
+    # train_rater); each feeds only its own row shard of the global
+    # array.  Validation runs through a sharded eval step — the
+    # single-chip eval_step cannot mix host-local numpy with
+    # globally-sharded params.
+    mh_shard = mh_carry = None
+    sharded_eval = sharded_eval_masked = None
+    is_main = jax.process_index() == 0
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding
+        from .parallel.mesh import (batch_shardings as _mh_bsh,
+                                    carry_sharding as _mh_csh)
+        from .parallel.train import make_sharded_eval_step
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        stateful_targets = bool(rater.stateful)
+        bx_sh, bzs_sh, by_sh, _ = _mh_bsh(mesh, len(rater.contexts),
+                                          stateful_targets)
+        c_sh = _mh_csh(mesh)
+
+        def _mh_g(arr, sh, axis=0):
+            arr = np.asarray(arr)
+            n_loc = arr.shape[axis] // nproc
+            sl = [slice(None)] * arr.ndim
+            sl[axis] = slice(pid * n_loc, (pid + 1) * n_loc)
+            return jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(arr[tuple(sl)]), arr.shape)
+
+        def mh_shard(batch):
+            x = _mh_g(batch.x, bx_sh)
+            zs = tuple(_mh_g(z, s)
+                       for z, s in zip(batch.zs, bzs_sh))
+            y = _mh_g(batch.y, by_sh)
+            m = _mh_g(batch.mask, by_sh)
+            xm = (_mh_g(batch.x_mask, bx_sh)
+                  if batch.x_mask is not None else None)
+            return x, zs, y, m, xm
+
+        def mh_carry(carry):
+            # fresh host-side zero resets convert; carries already on
+            # the mesh (step outputs) pass through
+            if getattr(getattr(carry[0], 'sharding', None),
+                       'mesh', None) == mesh:
+                return carry
+            return tuple(_mh_g(c, c_sh, axis=1) for c in carry)
+
+        jit_eval = make_sharded_eval_step(mesh, cfg)
+        var_len_eval = bool(rater.variable_length
+                            and not rater.stateful)
+        sharded_eval = jit_eval(params, len(rater.contexts),
+                                stateful_targets,
+                                variable_length=var_len_eval)
+        if var_len_eval or rater.stateful:
+            sharded_eval_masked = sharded_eval if var_len_eval \
+                else None
+        else:
+            sharded_eval_masked = jit_eval(params,
+                                           len(rater.contexts),
+                                           stateful_targets,
+                                           variable_length=True)
 
     def make_gen(file_list, train, data_rng=None):
         n_ctx = len(rater.contexts)
@@ -452,12 +526,18 @@ def _train_rater(rater, files, val_files) -> None:
                 rng, sub = jax.random.split(rng)
                 step_t0 = _time.perf_counter()
                 if sharded_step is not None:
-                    args = (params, opt_state, batch.x,
-                            tuple(batch.zs), batch.y, batch.mask,
+                    if mh_shard is not None:
+                        bx, bzs, by, bm, bxm = mh_shard(batch)
+                        carry = mh_carry(carry)
+                    else:
+                        bx, bzs, by, bm = (batch.x, tuple(batch.zs),
+                                           batch.y, batch.mask)
+                        bxm = batch.x_mask
+                    args = (params, opt_state, bx, bzs, by, bm,
                             carry, sub)
                     fn = sharded_step
-                    if batch.x_mask is not None:
-                        args = args + (batch.x_mask,)
+                    if bxm is not None:
+                        args = args + (bxm,)
                         fn = sharded_step_masked
                     (params, opt_state, carry, loss, nll,
                      acc) = fn(*args)
@@ -512,10 +592,20 @@ def _train_rater(rater, files, val_files) -> None:
                                              False)):
                 if batch.reset_carry or not rater.stateful:
                     carry = zero_carry(cfg, batch_dim)
-                nll, acc, carry = eval_step(
-                    params, cfg, batch.x, tuple(batch.zs), batch.y,
-                    batch.mask, carry, batch.x_mask,
-                    use_pallas=fast_recurrence)
+                if sharded_eval is not None:
+                    bx, bzs, by, bm, bxm = mh_shard(batch)
+                    carry = mh_carry(carry)
+                    if bxm is not None:
+                        nll, acc, carry = sharded_eval_masked(
+                            params, bx, bzs, by, bm, carry, bxm)
+                    else:
+                        nll, acc, carry = sharded_eval(
+                            params, bx, bzs, by, bm, carry)
+                else:
+                    nll, acc, carry = eval_step(
+                        params, cfg, batch.x, tuple(batch.zs),
+                        batch.y, batch.mask, carry, batch.x_mask,
+                        use_pallas=fast_recurrence)
                 w = float(np.sum(batch.mask))
                 va_nll_acc = va_nll_acc + nll * w
                 va_acc_acc = va_acc_acc + acc * w
@@ -562,12 +652,13 @@ def _train_rater(rater, files, val_files) -> None:
                 os.makedirs(ckpt_dir, exist_ok=True)
                 ckpt = os.path.join(
                     ckpt_dir, 'ckpt.%02d-%.2f.h5' % (epoch + 1, ep_vloss))
-                try:
-                    h5io.save_weights(ckpt, params, cfg)
-                    rater.logger.info('saved checkpoint %s', ckpt)
-                except OSError as err:
-                    rater.logger.warning('cannot save checkpoint: %s',
-                                         err)
+                if is_main:  # multihost: one writer per shared path
+                    try:
+                        h5io.save_weights(ckpt, params, cfg)
+                        rater.logger.info('saved checkpoint %s', ckpt)
+                    except OSError as err:
+                        rater.logger.warning(
+                            'cannot save checkpoint: %s', err)
             else:
                 bad_epochs += 1
                 # Keras EarlyStopping semantics: stop once `patience`

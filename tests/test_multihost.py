@@ -141,3 +141,85 @@ def test_init_multihost_rejects_partial_config(monkeypatch):
     monkeypatch.setenv('KERASLM_NUM_PROCESSES', '2')
     with pytest.raises(ValueError, match='needs both'):
         init_multihost()
+
+
+def test_two_process_cli_train(tmp_path):
+    """END-TO-END CLI multihost training (keraslm-rate train --mesh
+    over 2 real processes): previously init_multihost() ran only at
+    --mesh handling time — AFTER Rater() had initialised the XLA
+    backend — so the CLI multihost path crashed on arrival (round-4
+    fix: the process group joins in the cli() group callback).  Both
+    controllers must finish with bit-identical val_loss and write
+    identical model weights; the loop feeds each process its own
+    batch-row shard (training.py mh_shard) and validates through the
+    sharded eval step."""
+    import re
+
+    import h5py
+    import numpy as np
+
+    corpus = tmp_path / 'corpus'
+    corpus.mkdir()
+    rng = np.random.default_rng(5)
+    for name in ('a_b_1800', 'c_d_1810'):
+        (corpus / (name + '.txt')).write_text(''.join(
+            'abcde '[i] for i in rng.integers(0, 6, 1200)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    base_env.update({
+        'PYTHONPATH': repo,
+        'XLA_FLAGS': '--xla_force_host_platform_device_count=2',
+        'KERASLM_PLATFORM': 'cpu',
+        'KERASLM_CKPT_DIR': str(tmp_path / 'ckpt'),
+        'KERASLM_NUM_PROCESSES': '2',
+    })
+    models = [str(tmp_path / ('m%d.h5' % i)) for i in range(2)]
+    outs = []
+    for attempt in range(3):
+        port = str(_free_port())
+        procs = []
+        for pid in range(2):
+            env = dict(base_env)
+            env['KERASLM_COORDINATOR'] = '127.0.0.1:' + port
+            env['KERASLM_PROCESS_ID'] = str(pid)
+            procs.append(subprocess.Popen(
+                [sys.executable, '-m',
+                 'ocrd_keraslm_tpu.scripts.run', 'train',
+                 '-m', models[pid], '-w', '16', '-d', '1',
+                 '-l', '16', '-e', '2', '--mesh', '4x1',
+                 str(corpus)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=repo))
+        outs = []
+        failed = None
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=280)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                failed = failed or 'timeout:\n' + out[-2000:]
+                continue
+            outs.append(out)
+            if p.returncode != 0:
+                failed = failed or out[-2000:]
+        if failed is not None:
+            if attempt < 2 and any(sig in failed
+                                   for sig in _ENV_FLAKE + ('timeout',)):
+                continue
+            raise AssertionError(failed)
+        break
+    finals = []
+    for out in outs:
+        m = re.search(r'training finished with val_loss ([\d.]+)',
+                      out)
+        assert m, out[-2000:]
+        finals.append(m.group(1))
+    assert finals[0] == finals[1], finals
+    # both model files exist with IDENTICAL weights
+    with h5py.File(models[0]) as f0, h5py.File(models[1]) as f1:
+        a = f0['lstm_1']['lstm_1/kernel:0'][()]
+        b = f1['lstm_1']['lstm_1/kernel:0'][()]
+        np.testing.assert_array_equal(a, b)

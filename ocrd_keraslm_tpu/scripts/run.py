@@ -64,13 +64,24 @@ def cli(ctx, log_level, profile, profile_file, jax_trace):
     # construction, and jax.distributed.initialize refuses to run
     # after backend init (the train command's mesh handling is too
     # late; no-op when the env vars are unset)
-    if os.environ.get('KERASLM_COORDINATOR') or \
-            os.environ.get('KERASLM_NUM_PROCESSES'):
+    # KERASLM_PROCESS_ID alone must hit init_multihost's partial-config
+    # rejection (not silently train independent models), and
+    # KERASLM_MULTIHOST=1 forces the no-arg auto-detection path (TPU
+    # pods, cloud clusters) where none of the explicit vars are set
+    if any(os.environ.get(v) for v in (
+            'KERASLM_COORDINATOR', 'KERASLM_NUM_PROCESSES',
+            'KERASLM_PROCESS_ID', 'KERASLM_MULTIHOST')):
         from ..parallel.multihost import init_multihost
         try:
             init_multihost()
         except ValueError as err:  # partial KERASLM_* configuration
             raise click.UsageError(str(err))
+        except RuntimeError as err:  # auto-detection failed
+            raise click.UsageError(
+                'multihost initialization failed: %s (KERASLM_'
+                'MULTIHOST=1 relies on cluster auto-detection; set '
+                'KERASLM_COORDINATOR/KERASLM_NUM_PROCESSES/'
+                'KERASLM_PROCESS_ID explicitly otherwise)' % err)
     # profiling equivalent to the OCR-D core --profile/--profile-file
     # flags (reference README:190-191) + device-side tracing
     if profile or profile_file:
@@ -209,8 +220,14 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
 
     if mesh_spec:
         spec = mesh_spec.lower()
-        multihost = bool(os.environ.get('KERASLM_COORDINATOR') or
-                         os.environ.get('KERASLM_NUM_PROCESSES'))
+        import jax
+        # an ACTIVE process group (joined at cli() entry, incl. the
+        # KERASLM_MULTIHOST auto-detect path) or an explicit
+        # configuration both count
+        multihost = jax.process_count() > 1 or any(
+            os.environ.get(v) for v in (
+                'KERASLM_COORDINATOR', 'KERASLM_NUM_PROCESSES',
+                'KERASLM_MULTIHOST'))
         try:
             parts = spec.split('x')
             pipe = parts[-1].endswith('p')
@@ -257,7 +274,11 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
     trn_files = _expand_paths(data)
     rater.train(trn_files, val_data=val_files)
     assert rater.status == 2
-    rater.save(model)
+    import jax
+    if jax.process_count() == 1 or jax.process_index() == 0:
+        # multihost: one writer per shared path (pod launches run the
+        # identical command line — and thus the same -m — everywhere)
+        rater.save(model)
 
 
 @cli.command(short_help='get individual probabilities from language model')

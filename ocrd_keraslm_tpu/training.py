@@ -189,6 +189,16 @@ def _train_rater(rater, files, val_files) -> None:
                   or os.environ.get('KERASLM_RESUME_DIR'))
     resume = None
     ckpt_mgr = None
+    if resume_dir and jax.process_count() > 1:
+        # every process would rmtree/write/rename the SAME snapshot
+        # directory concurrently (torn snapshots, ENOTEMPTY races),
+        # and device_get of model-sharded state would fetch
+        # non-addressable shards — refuse clearly instead
+        raise ValueError(
+            'resume_dir under multihost training is not supported: '
+            'snapshot/restore is single-controller.  Run without '
+            '--resume-dir (epoch h5 checkpoints still write from '
+            'process 0) or train single-host.')
     if resume_dir:
         from .utils import orbaxio
         resume = orbaxio.load_train_state(resume_dir)
@@ -352,7 +362,17 @@ def _train_rater(rater, files, val_files) -> None:
     sharded_eval = sharded_eval_masked = None
     is_main = jax.process_index() == 0
     if mesh is not None and jax.process_count() > 1:
-        from jax.sharding import NamedSharding
+        if 'pipe' in mesh.axis_names:
+            # the (data, pipe) composition is verified at the STEP
+            # level across processes (tests/mh_pipe_worker.py), but
+            # this loop's eval/batch shardings target dp/tp meshes —
+            # refuse clearly instead of crashing in param_shardings
+            raise ValueError(
+                'multihost pipeline training is not wired into the '
+                'training loop (the (data, pipe) step itself '
+                'composes across processes — see '
+                'tests/mh_pipe_worker.py); use a dp/tp mesh for '
+                'multihost training')
         from .parallel.mesh import (batch_shardings as _mh_bsh,
                                     carry_sharding as _mh_csh)
         from .parallel.train import make_sharded_eval_step
@@ -363,6 +383,13 @@ def _train_rater(rater, files, val_files) -> None:
                                           stateful_targets)
         c_sh = _mh_csh(mesh)
 
+        # NOTE: every process builds the FULL batch (identical seeds)
+        # and feeds only its row shard.  Deliberate tradeoff vs
+        # per-process data pipelines: host-side text windowing is
+        # cheap next to the train step, and identical streams keep
+        # the validation split, early stopping and augmentation
+        # bookkeeping bit-identical on every controller with no
+        # extra collectives.
         def _mh_g(arr, sh, axis=0):
             arr = np.asarray(arr)
             n_loc = arr.shape[axis] // nproc

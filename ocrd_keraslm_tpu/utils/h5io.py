@@ -163,6 +163,19 @@ def _encode_names(names):
                     dtype=h5py.special_dtype(vlen=bytes))
 
 
+def _fetch(a) -> np.ndarray:
+    """Host copy of a (possibly sharded) array.  Model-parallel
+    multihost shardings (vocab-split embedding) span non-addressable
+    devices, where ``np.asarray`` raises — gather those through
+    ``process_allgather`` first."""
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+        return np.asarray(
+            multihost_utils.process_allgather(a, tiled=True))
+
+
 def save_weights(filename: str, params: Params, cfg: LMConfig) -> None:
     """Write weights in the Keras 2.3 ``save_weights`` HDF5 layout."""
     layer_names = ['char_input']
@@ -187,20 +200,20 @@ def save_weights(filename: str, params: Params, cfg: LMConfig) -> None:
             weight_names, weights = [], []
             if name == 'char_embedding':
                 weight_names = ['char_embedding/embeddings:0']
-                weights = [np.asarray(params['char_embedding'])]
+                weights = [_fetch(params['char_embedding'])]
             elif name.startswith('context') and name.endswith('_embedding'):
                 i = int(name[len('context'):-len('_embedding')]) - 1
                 weight_names = ['%s/embeddings:0' % name]
-                weights = [np.asarray(params['context_embeddings'][i])]
+                weights = [_fetch(params['context_embeddings'][i])]
             elif name.startswith('lstm_'):
                 i = int(name[len('lstm_'):]) - 1
                 lp = params['lstm'][i]
                 weight_names = ['%s/kernel:0' % name,
                                 '%s/recurrent_kernel:0' % name,
                                 '%s/bias:0' % name]
-                weights = [np.asarray(lp['kernel']),
-                           np.asarray(lp['recurrent']),
-                           np.asarray(lp['bias'])]
+                weights = [_fetch(lp['kernel']),
+                           _fetch(lp['recurrent']),
+                           _fetch(lp['bias'])]
             g.attrs['weight_names'] = _encode_names(weight_names)
             for wname, w in zip(weight_names, weights):
                 g.create_dataset(wname, data=w.astype(np.float32))

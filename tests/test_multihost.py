@@ -175,7 +175,9 @@ def test_two_process_cli_train(tmp_path):
         'KERASLM_CKPT_DIR': str(tmp_path / 'ckpt'),
         'KERASLM_NUM_PROCESSES': '2',
     })
-    models = [str(tmp_path / ('m%d.h5' % i)) for i in range(2)]
+    # the REAL pod shape: every worker runs the identical command
+    # line, so both share one -m path — only process 0 may write it
+    model = str(tmp_path / 'model.h5')
     outs = []
     for attempt in range(3):
         port = str(_free_port())
@@ -187,7 +189,7 @@ def test_two_process_cli_train(tmp_path):
             procs.append(subprocess.Popen(
                 [sys.executable, '-m',
                  'ocrd_keraslm_tpu.scripts.run', 'train',
-                 '-m', models[pid], '-w', '16', '-d', '1',
+                 '-m', model, '-w', '16', '-d', '1',
                  '-l', '16', '-e', '2', '--mesh', '4x1',
                  str(corpus)],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -218,8 +220,9 @@ def test_two_process_cli_train(tmp_path):
         assert m, out[-2000:]
         finals.append(m.group(1))
     assert finals[0] == finals[1], finals
-    # both model files exist with IDENTICAL weights
-    with h5py.File(models[0]) as f0, h5py.File(models[1]) as f1:
-        a = f0['lstm_1']['lstm_1/kernel:0'][()]
-        b = f1['lstm_1']['lstm_1/kernel:0'][()]
-        np.testing.assert_array_equal(a, b)
+    # process 0 wrote the (single) shared model file with finite
+    # weights; the identical val_loss above pins that both
+    # controllers trained the same model
+    with h5py.File(model) as f0:
+        k = f0['lstm_1']['lstm_1/kernel:0'][()]
+        assert np.all(np.isfinite(k)) and k.shape == (16 + 10, 64)

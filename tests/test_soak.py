@@ -29,7 +29,9 @@ from ocrd_keraslm_tpu.wrapper.mets import Workspace
 from helpers import build_workspace, make_tiny_model
 
 N_PAGES = 8
-REPS = 26  # 26 x 8 = 208 documents
+# 26 x 8 = 208 documents by default; KERASLM_SOAK_REPS scales the
+# campaign (e.g. 130 -> 1,040 documents)
+REPS = int(os.environ.get('KERASLM_SOAK_REPS', '26'))
 
 
 def _rss_mb():

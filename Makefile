@@ -51,6 +51,7 @@ LIBSTDCXX := $(shell g++ -print-file-name=libstdc++.so.6)
 test-asan:
 	ulimit -s unlimited 2>/dev/null || true; \
 	KERASLM_NATIVE_SANITIZE=1 \
+	KERASLM_FUZZ_N=5000 \
 	KERASLM_NATIVE_DIR=/tmp/keraslm_native_asan \
 	LD_PRELOAD="$(ASAN_RT) $(LIBSTDCXX)" \
 	ASAN_OPTIONS=detect_leaks=0:abort_on_error=1 \

@@ -40,6 +40,7 @@ No reference counterpart (nearest concept: the layer stack itself,
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -347,8 +348,13 @@ def _make_staged(mesh: Mesh, cfg: LMConfig, n_micro: int):
              # pcast-inside-cond-inside-scan-inside-shard_map), so
              # validation stays off; correctness is pinned by the
              # bit-parity tests vs the single-chip step
-             # (tests/test_pipeline.py).
-             check_vma=False)
+             # (tests/test_pipeline.py).  KERASLM_CHECK_VMA=1 flips
+             # validation back on so its expiry is detectable:
+             # tests/test_pipeline.py::test_check_vma_still_rejected
+             # runs this body under the flag in a subprocess and turns
+             # red the day a jax upgrade accepts it — the cue to drop
+             # this workaround.
+             check_vma=os.environ.get('KERASLM_CHECK_VMA') == '1')
     def staged(packed, x, zs, y, mask, pcarry, rng):
         sums, carry2 = _stage_forward(packed, cfg, x, list(zs), y,
                                       mask, pcarry, rng, n_stages,

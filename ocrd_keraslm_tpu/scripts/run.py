@@ -68,9 +68,16 @@ def cli(ctx, log_level, profile, profile_file, jax_trace):
     # rejection (not silently train independent models), and
     # KERASLM_MULTIHOST=1 forces the no-arg auto-detection path (TPU
     # pods, cloud clusters) where none of the explicit vars are set
-    if any(os.environ.get(v) for v in (
+    # KERASLM_MULTIHOST is a boolean flag: falsy spellings
+    # ('0'/''/'false'/'no') count as unset, so KERASLM_MULTIHOST=0
+    # does NOT trigger auto-detection.  The other three are values,
+    # where '0' is meaningful (KERASLM_PROCESS_ID=0 is process zero
+    # and must still reach the partial-config rejection).
+    mh_flag = os.environ.get('KERASLM_MULTIHOST', '').strip().lower() \
+        not in ('', '0', 'false', 'no')
+    if mh_flag or any(os.environ.get(v) for v in (
             'KERASLM_COORDINATOR', 'KERASLM_NUM_PROCESSES',
-            'KERASLM_PROCESS_ID', 'KERASLM_MULTIHOST')):
+            'KERASLM_PROCESS_ID')):
         from ..parallel.multihost import init_multihost
         try:
             init_multihost()
@@ -274,11 +281,12 @@ def train(model, ckpt, width, depth, length, val_data, epochs,
     trn_files = _expand_paths(data)
     rater.train(trn_files, val_data=val_files)
     assert rater.status == 2
-    import jax
-    if jax.process_count() == 1 or jax.process_index() == 0:
-        # multihost: one writer per shared path (pod launches run the
-        # identical command line — and thus the same -m — everywhere)
-        rater.save(model)
+    # ALL processes call save: the h5 writer's device→host gather is a
+    # collective (process_allgather for model-sharded params) that
+    # every process must enter; the file write itself is gated to
+    # process 0 inside h5io (one writer per shared path — pod launches
+    # run the identical command line, and thus the same -m, everywhere)
+    rater.save(model)
 
 
 @cli.command(short_help='get individual probabilities from language model')

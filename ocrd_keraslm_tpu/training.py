@@ -679,13 +679,17 @@ def _train_rater(rater, files, val_files) -> None:
                 os.makedirs(ckpt_dir, exist_ok=True)
                 ckpt = os.path.join(
                     ckpt_dir, 'ckpt.%02d-%.2f.h5' % (epoch + 1, ep_vloss))
-                if is_main:  # multihost: one writer per shared path
-                    try:
-                        h5io.save_weights(ckpt, params, cfg)
+                # ALL processes call save_weights: its device→host
+                # gather is a collective (process_allgather for
+                # model-sharded params); only the file write inside is
+                # gated to process 0
+                try:
+                    h5io.save_weights(ckpt, params, cfg)
+                    if is_main:
                         rater.logger.info('saved checkpoint %s', ckpt)
-                    except OSError as err:
-                        rater.logger.warning(
-                            'cannot save checkpoint: %s', err)
+                except OSError as err:
+                    rater.logger.warning(
+                        'cannot save checkpoint: %s', err)
             else:
                 bad_epochs += 1
                 # Keras EarlyStopping semantics: stop once `patience`

@@ -50,7 +50,12 @@ class NumpyJSONEncoder(json.JSONEncoder):
 
 def save_config(filename: str, cfg: LMConfig, vocab: Vocab,
                 history: Optional[Dict[str, Any]] = None) -> None:
-    """Append the reference-schema ``config/`` group to an h5 file."""
+    """Append the reference-schema ``config/`` group to an h5 file.
+
+    Multihost-safe: no-op on non-main processes (one writer per
+    shared path)."""
+    if not _is_writer():
+        return
     with h5py.File(filename, 'a') as f:
         if 'config' in f:
             del f['config']
@@ -176,8 +181,38 @@ def _fetch(a) -> np.ndarray:
             multihost_utils.process_allgather(a, tiled=True))
 
 
+def _is_writer() -> bool:
+    """One writer per shared path in a multihost job (pod launches run
+    the identical command everywhere)."""
+    try:
+        import jax
+        return jax.process_count() == 1 or jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def gather_params(params: Params) -> Params:
+    """Host-gather every weight in the pytree.
+
+    ``process_allgather`` is a COLLECTIVE: on a multihost mesh with
+    model-parallel (vocab-sharded) params, every process must enter it
+    or the job deadlocks.  ``save_weights``/``save_model`` therefore
+    run this phase unconditionally on all processes and gate only the
+    h5py file write on process 0 — call them from ALL processes, never
+    from behind an ``is_main`` gate."""
+    import jax
+    return jax.tree_util.tree_map(_fetch, params)
+
+
 def save_weights(filename: str, params: Params, cfg: LMConfig) -> None:
-    """Write weights in the Keras 2.3 ``save_weights`` HDF5 layout."""
+    """Write weights in the Keras 2.3 ``save_weights`` HDF5 layout.
+
+    Multihost-safe: the device→host gather is collective and runs on
+    every process; the file write happens on process 0 only.  Call
+    from ALL processes."""
+    params = gather_params(params)
+    if not _is_writer():
+        return
     layer_names = ['char_input']
     for i in range(cfg.n_contexts):
         layer_names.append('context%d_input' % (i + 1))

@@ -1181,6 +1181,14 @@ def page_get_linear_graph_at(level: str, pcgts: PcGts, logger=None
             raise ValueError(
                 'lattice DAG needs exactly one source and one sink '
                 '(got %d/%d)' % (len(starts), len(ends)))
+        if not nx.is_directed_acyclic_graph(graph):
+            # catch cycles here (a cyclic graph can still have one
+            # source/sink) instead of dying per page inside the host
+            # engine's topological sort with a bare NetworkXUnfeasible
+            raise ValueError(
+                'lattice graph contains a cycle: the decoder requires '
+                'a directed acyclic lattice (one edge per text '
+                'alternative in reading order)')
         return graph, starts[0], ends[0]
     graph = nx.DiGraph(level=level)
     graph.add_node(0)

@@ -32,8 +32,8 @@ from .. import lib
 from ..rater import NonLinearLatticeError, _gc_paused
 from .mets import MIMETYPE_PAGE, Mets, Workspace
 from .page import (BOTTOM_TO_TOP, RIGHT_TO_LEFT, OrderedGroupIndexedType,
-                   OrderedGroupType, PcGts, RegionRefIndexedType,
-                   RegionRefType, TextEquivType, MetadataItem, parse_page,
+                   OrderedGroupType, PcGts,
+                   TextEquivType, MetadataItem, parse_page,
                    to_xml)
 from .page_fast import parse_page_fast
 from . import page_native
@@ -1319,17 +1319,23 @@ def page_get_linear_lattice_at(level: str, pcgts, logger=None) -> list:
 
 def _repair_tokenisation(tokenisation, concatenation, next_token,
                          logger=None):
-    """Check whether the annotated tokenisation continues without a
-    space at this junction (then skip the artificial space)."""
+    """Decide whether the artificial joining space must be SKIPPED at
+    this junction: the parent's own text annotation is authoritative —
+    if the text emitted so far (``concatenation``) lines up with a
+    prefix of it and the annotation continues IMMEDIATELY (no white
+    space) with ``next_token``, the two elements are glued in the
+    original and inserting a space would corrupt the tokenisation.
+    (Junction rule of the reference, wrapper/rate.py:641-653.)"""
     if logger is None:
         logger = LOG
-    i = 0
-    for i in range(min(len(tokenisation), len(concatenation)), -1, -1):
-        if concatenation[-i:] == tokenisation[:i]:
-            break
-    if i > 0 and tokenisation[i:].startswith(next_token):
+    # longest suffix of the emitted text that the annotation starts
+    # with (the two strings overlap there); 0 = no alignment found
+    limit = min(len(tokenisation), len(concatenation))
+    overlap = next((n for n in range(limit, 0, -1)
+                    if tokenisation.startswith(concatenation[-n:])), 0)
+    if overlap and tokenisation[overlap:].startswith(next_token):
         logger.warning('Repairing tokenisation between "%s" and "%s"',
-                       concatenation[-i:], next_token)
+                       concatenation[-overlap:], next_token)
         return True
     return False
 
@@ -1463,24 +1469,64 @@ def page_element_conf0(element):
 
 
 def page_get_reading_order(ro, rogroup):
-    """Collect regionRef -> group-entry mapping recursively."""
-    regionrefs = []
-    if isinstance(rogroup, (OrderedGroupType, OrderedGroupIndexedType)):
-        regionrefs = (rogroup.get_RegionRefIndexed() +
-                      rogroup.get_OrderedGroupIndexed() +
-                      rogroup.get_UnorderedGroupIndexed())
-    elif rogroup is not None:
-        regionrefs = (rogroup.get_RegionRef() +
-                      rogroup.get_OrderedGroup() +
-                      rogroup.get_UnorderedGroup())
-    for elem in regionrefs:
-        # nested groups key by the REGION they order (regionRef); a
-        # group without one (e.g. the top-level group) keys by id
-        ref = (elem.get_regionRef()
-               if hasattr(elem, 'get_regionRef') else '')
-        ro[ref or elem.id] = elem
-        if not isinstance(elem, (RegionRefType, RegionRefIndexedType)):
-            page_get_reading_order(ro, elem)
+    """Flatten a ReadingOrder group tree into ``ro``: one entry per
+    member, keyed by the region it orders (``regionRef``; groups
+    without one — e.g. the top-level group — key by their own id).
+    Iterative worklist over nested groups; members of an Ordered group
+    are the ``*Indexed`` variants, of an Unordered group the plain
+    ones (reference wrapper/rate.py:457-476)."""
+    worklist = [] if rogroup is None else [rogroup]
+    while worklist:
+        group = worklist.pop()
+        ordered = isinstance(group,
+                             (OrderedGroupType, OrderedGroupIndexedType))
+        leaves, subgroups = ((group.get_RegionRefIndexed(),
+                              group.get_OrderedGroupIndexed() +
+                              group.get_UnorderedGroupIndexed())
+                             if ordered else
+                             (group.get_RegionRef(),
+                              group.get_OrderedGroup() +
+                              group.get_UnorderedGroup()))
+        for member in leaves + subgroups:
+            getref = getattr(member, 'get_regionRef', None)
+            ro[(getref() if getref else '') or member.id] = member
+        worklist.extend(subgroups)
+
+
+def _rtl(*scopes) -> bool:
+    """Resolve ``readingDirection`` by scope inheritance (innermost
+    wins); True = right-to-left traversal."""
+    for scope in scopes:
+        direction = scope.get_readingDirection()
+        if direction:
+            return direction == RIGHT_TO_LEFT
+    return False
+
+
+def _aggregate(children, separator):
+    """(joined text, mean conf) over already-projected children.
+
+    ``separator`` is a string, or a callable ``(prev, next) -> str``
+    for junction-dependent joining (the Relation type=join rules).
+    Empty children aggregate to ``('', 0)`` — the value the write-back
+    stores for childless elements."""
+    if not children:
+        return '', 0
+    pieces = [page_element_unicode0(children[0])]
+    for prev, nxt in zip(children, children[1:]):
+        pieces.append(separator if isinstance(separator, str)
+                      else separator(prev, nxt))
+        pieces.append(page_element_unicode0(nxt))
+    conf = sum(page_element_conf0(c) for c in children) / len(children)
+    return ''.join(pieces), conf
+
+
+def _store_joined(element, text_conf, overwrite):
+    """Write the aggregated (text, conf) as the element's single
+    TextEquiv; with ``overwrite=False`` existing text is kept."""
+    if not element.get_TextEquiv() or overwrite:
+        text, conf = text_conf
+        element.set_TextEquiv([TextEquivType(Unicode=text, conf=conf)])
 
 
 def page_update_higher_textequiv_levels(level, pcgts, overwrite=True):
@@ -1490,95 +1536,77 @@ def page_update_higher_textequiv_levels(level, pcgts, overwrite=True):
     ``textLineOrder=bottom-to-top`` and
     ``readingDirection=right-to-left`` in reverse, and joining directly
     (no whitespace) across ``Relation type=join`` pairs; average confs
-    (reference wrapper/rate.py:478-590)."""
+    (reference wrapper/rate.py:478-590).
+
+    Structure: each level is "order the children, aggregate their
+    (text, conf), store" with a per-level separator rule — a constant
+    for words/glyphs, a junction function consulting the join-relation
+    pairs for lines/subregions."""
+    if level == 'region':
+        return
     page = pcgts.get_Page()
     relations = page.get_Relations()
-    relations = relations.get_Relation() if relations else []
-    joins = [(rel.get_SourceRegionRef().get_regionRef(),
+    joins = {(rel.get_SourceRegionRef().get_regionRef(),
               rel.get_TargetRegionRef().get_regionRef())
-             for rel in relations if rel.get_type() == 'join']
+             for rel in (relations.get_Relation() if relations else [])
+             if rel.get_type() == 'join'}
     reading_order: Dict[str, Any] = {}
     ro = page.get_ReadingOrder()
     if ro:
         page_get_reading_order(reading_order,
                                ro.get_OrderedGroup() or
                                ro.get_UnorderedGroup())
-    if level == 'region':
-        return
+
+    def newline_unless_joined(prev, nxt):
+        # subregion junction: the regions themselves are related
+        return '' if (prev.id, nxt.id) in joins else '\n'
+
+    def newline_unless_word_joined(prev_line, next_line):
+        # line junction: the join relation names the EDGE words
+        last = prev_line.get_Word()
+        first = next_line.get_Word()
+        if last and first and (last[-1].id, first[0].id) in joins:
+            return ''
+        return '\n'
+
+    def by_reading_order(subs):
+        # sort whenever ALL subregions have indexed entries
+        # (RegionRefIndexed or indexed groups) — resolves the
+        # reference's open TODO at wrapper/rate.py:489, which only
+        # sorted when the entries were OrderedGroup instances
+        entries = [reading_order.get(sub.id) for sub in subs]
+        if all(hasattr(e, 'index') for e in entries):
+            return [sub for _, sub in sorted(
+                zip(entries, subs), key=lambda es: es[0].index)]
+        return subs
+
     for region in page.get_AllRegions(classes=['Text']):
         subregions = region.get_TextRegion()
         if subregions:
-            # sort by reading order whenever all subregions have indexed
-            # entries (RegionRefIndexed or indexed groups) — this
-            # resolves the reference's open TODO at wrapper/rate.py:489
-            # (it only sorted when entries were OrderedGroup instances)
-            if (all(sub.id in reading_order and
-                    hasattr(reading_order[sub.id], 'index')
-                    for sub in subregions)):
-                subregions = sorted(
-                    subregions,
-                    key=lambda sub: reading_order[sub.id].index)
-            region_unicode = page_element_unicode0(subregions[0])
-            for sub, next_sub in zip(subregions, subregions[1:]):
-                if (sub.id, next_sub.id) not in joins:
-                    region_unicode += '\n'
-                region_unicode += page_element_unicode0(next_sub)
-            region_conf = sum(page_element_conf0(sub)
-                              for sub in subregions) / len(subregions)
-        else:
-            lines = region.get_TextLine()
-            if ((region.get_textLineOrder() or
-                 page.get_textLineOrder()) == BOTTOM_TO_TOP):
-                lines = list(reversed(lines))
-            if level != 'line':
-                for line in lines:
-                    words = line.get_Word()
-                    if ((line.get_readingDirection() or
-                         region.get_readingDirection() or
-                         page.get_readingDirection()) == RIGHT_TO_LEFT):
-                        words = list(reversed(words))
-                    if level != 'word':
-                        for word in words:
-                            glyphs = word.get_Glyph()
-                            if ((word.get_readingDirection() or
-                                 line.get_readingDirection() or
-                                 region.get_readingDirection() or
-                                 page.get_readingDirection())
-                                    == RIGHT_TO_LEFT):
-                                glyphs = list(reversed(glyphs))
-                            word_unicode = ''.join(
-                                page_element_unicode0(g)
-                                for g in glyphs)
-                            word_conf = sum(page_element_conf0(g)
-                                            for g in glyphs)
-                            if glyphs:
-                                word_conf /= len(glyphs)
-                            if not word.get_TextEquiv() or overwrite:
-                                word.set_TextEquiv([TextEquivType(
-                                    Unicode=word_unicode,
-                                    conf=word_conf)])
-                    line_unicode = ' '.join(page_element_unicode0(w)
-                                            for w in words)
-                    line_conf = sum(page_element_conf0(w)
-                                    for w in words)
-                    if words:
-                        line_conf /= len(words)
-                    if not line.get_TextEquiv() or overwrite:
-                        line.set_TextEquiv([TextEquivType(
-                            Unicode=line_unicode, conf=line_conf)])
-            region_unicode = ''
-            region_conf = 0
-            if lines:
-                region_unicode = page_element_unicode0(lines[0])
-                for line, next_line in zip(lines, lines[1:]):
-                    words = line.get_Word()
-                    next_words = next_line.get_Word()
-                    if not (words and next_words and
-                            (words[-1].id, next_words[0].id) in joins):
-                        region_unicode += '\n'
-                    region_unicode += page_element_unicode0(next_line)
-                region_conf = sum(page_element_conf0(line)
-                                  for line in lines) / len(lines)
-        if not region.get_TextEquiv() or overwrite:
-            region.set_TextEquiv([TextEquivType(
-                Unicode=region_unicode, conf=region_conf)])
+            # nested region: its subregions were projected in their
+            # own iterations (traversal is depth-first) — only join
+            _store_joined(region,
+                          _aggregate(by_reading_order(subregions),
+                                     newline_unless_joined),
+                          overwrite)
+            continue
+        lines = region.get_TextLine()
+        if ((region.get_textLineOrder() or
+             page.get_textLineOrder()) == BOTTOM_TO_TOP):
+            lines = lines[::-1]
+        if level != 'line':
+            for line in lines:
+                words = line.get_Word()
+                if _rtl(line, region, page):
+                    words = words[::-1]
+                if level != 'word':
+                    for word in words:
+                        glyphs = word.get_Glyph()
+                        if _rtl(word, line, region, page):
+                            glyphs = glyphs[::-1]
+                        _store_joined(word, _aggregate(glyphs, ''),
+                                      overwrite)
+                _store_joined(line, _aggregate(words, ' '), overwrite)
+        _store_joined(region,
+                      _aggregate(lines, newline_unless_word_joined),
+                      overwrite)

@@ -1187,11 +1187,49 @@ class Rater:
             else:
                 sizes.append(scan[0])
                 maxlens.append(scan[1])
-        if max(sizes, default=0) > self._E_BUCKETS[-1]:
-            # block chaining is per-document sequential; huge pages
-            # decode via the single-document pipeline (passing the
-            # already-extracted edge lists — begin() accepts them
-            # directly, so the O(E) successor walk is not repeated)
+        # unmerged-L1 preference: when every REAL alternative is a
+        # single char (glyph lattices — run-merging is the only source
+        # of L > 1), prepping WITHOUT run-merging puts every edge on
+        # the batch kernel's L == 1 parent-row fast path (LSTM/softmax
+        # at NK rows instead of NKA candidate rows) — measured 25-30%
+        # faster than the merged L=8 slow path on realistic mixed
+        # lattices, identical paths.  Decided only when every doc has
+        # a native scan (the probe is one cheap C++ pass per doc).
+        merge_flag = self.merge_runs
+        K_f = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
+        NA_f = (128 // K_f) * 4
+        if merge_flag and self.fused_decode and \
+                beam_width <= FUSED_MAX_BEAM and \
+                max(maxlens, default=1) > 1 and \
+                self._fused_decode_fits(512, NA_f, 1, 64) and \
+                all(prepared[i] is None for i, raw in
+                    enumerate(raw_list) if raw):
+            scans_u = [native.decode_scan(raw, False, 1) if raw
+                       else (0, 0) for raw in raw_list]
+            if all(s is not None for s in scans_u) and \
+                    max((s[1] for s in scans_u if s[0]),
+                        default=1) <= 1:
+                merge_flag = False
+                sizes = [s[0] for s in scans_u]
+                maxlens = [min(s[1], 1) for s in scans_u]
+        live = [i for i, n in enumerate(sizes) if n]
+        results: List[Any] = [([], 0.0)] * len(graphs)
+        if not live:
+            return ('done', results)
+        L_max = _bucket(max(max(maxlens[i] for i in live), 1),
+                        (1, 2, 4, 8, 16, 32, 64))
+        fused_ok = (self.fused_decode and
+                    beam_width <= FUSED_MAX_BEAM and
+                    max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN
+                    and self._fused_decode_fits(512, NA_f, L_max, 64))
+        if max(sizes, default=0) > self._E_BUCKETS[-1] and \
+                not fused_ok:
+            # the XLA batch path needs single-block documents; huge
+            # pages decode via the single-document pipeline (passing
+            # the already-extracted edge lists — begin() accepts them
+            # directly, so the O(E) successor walk is not repeated).
+            # The FUSED path is exempt: it chains E_blk blocks, so
+            # oversized documents stay batched.
             out = []
             for raw in raw_list:
                 path, ent, _ = self.rate_best_device(
@@ -1199,10 +1237,6 @@ class Rater:
                     lm_weight=lm_weight, beam_width=beam_width)
                 out.append((path, ent))
             return ('done', out)
-        live = [i for i, n in enumerate(sizes) if n]
-        results: List[Any] = [([], 0.0)] * len(graphs)
-        if not live:
-            return ('done', results)
         if len(live) == 1:
             # a single live document decodes fastest through the
             # single-document engine (fused kernel when eligible);
@@ -1213,17 +1247,11 @@ class Rater:
                 lm_weight=lm_weight, beam_width=beam_width)
             results[i] = (path, ent)
             return ('done', results)
-        K_f = _bucket(min(beam_width, FUSED_MAX_BEAM), (8, 16, 32))
-        NA_f = (128 // K_f) * 4
-        L_max = _bucket(max(max(maxlens[i] for i in live), 1),
-                        (1, 2, 4, 8, 16, 32, 64))
-        if self.fused_decode and \
-                beam_width <= FUSED_MAX_BEAM and \
-                max(maxlens[i] for i in live) <= FUSED_MAX_ALT_LEN \
-                and self._fused_decode_fits(512, NA_f, L_max, 64):
+        if fused_ok:
             gpending = self._rate_best_batch_fused_begin(
                 raw_list, prepared, sizes, maxlens, live, results,
-                context, lm_weight, beam_width, mesh)
+                context, lm_weight, beam_width, mesh,
+                merge=merge_flag)
             return ('fusedb', gpending, prepared, results)
         edges_list = [prepared[i] if prepared[i] is not None
                       else (self._prepare_decode_edges(raw_list[i])
@@ -1971,7 +1999,8 @@ class Rater:
 
     def _rate_best_batch_fused_begin(self, raw_list, prepared, sizes,
                                maxlens, live, results, context,
-                               lm_weight, beam_width, mesh=None):
+                               lm_weight, beam_width, mesh=None,
+                               merge=None):
         """Document-batched fused decode (ops/decode_kernel.py
         ``decode_lattice_pallas_batch``): N = 128/K independent
         documents stack in the MXU row dimension of ONE kernel, so a
@@ -2005,9 +2034,13 @@ class Rater:
                                    bf16=self._decode_bf16())
         emb = wts['emb']
 
+        if merge is None:
+            merge = self.merge_runs
+
         def doc_prepared(i):
             if prepared[i] is None:
-                prepared[i] = self._prepare_decode_edges(raw_list[i])
+                prepared[i] = self._prepare_decode_edges(
+                    raw_list[i], merge=merge)
             return prepared[i]
 
         # whole-doc arrays filled ONCE (natively when available) and
@@ -2020,10 +2053,15 @@ class Rater:
         def doc_full(i, L):
             fa = full_arrays.get(i)
             if fa is None:
-                E_doc = _bucket(max(sizes[i], 1), self._E_BUCKETS)
+                # _bucket_unbounded: oversized (multi-block) documents
+                # keep FULL host arrays — blocks slice+pad from them,
+                # so only block shapes need to be bucketed for compile
+                # reuse, not the whole-document array
+                E_doc = _bucket_unbounded(max(sizes[i], 1),
+                                          self._E_BUCKETS)
                 if prepared[i] is None:
                     filled = native.decode_fill(
-                        raw_list[i], self.merge_runs,
+                        raw_list[i], merge,
                         DECODE_MERGE_MAX, E_doc, A, L,
                         self.vocab._table())
                     if filled is not None:
@@ -2201,7 +2239,7 @@ class Rater:
                 results[i] = self._emit_path(edges, choices, pcosts,
                                              0.0)
 
-    def _prepare_decode_edges(self, edges):
+    def _prepare_decode_edges(self, edges, merge=None):
         """Convert graph edges into decode-edge dicts, merging runs of
         consecutive single-alternative edges into one long edge.
 
@@ -2227,7 +2265,8 @@ class Rater:
         encode = self.vocab.encode_cached
         bits_cache: Dict[float, float] = {}
         bits_get = bits_cache.get
-        merge = self.merge_runs
+        if merge is None:
+            merge = self.merge_runs
         pappend = prepared.append
 
         def conf_bits(te):

@@ -86,7 +86,13 @@ def test_pallas_decode_cross_page(rater):
 
 def test_pallas_batch_decode_matches_sequential(rater):
     """Document-batched fused decode (decode_lattice_pallas_batch) must
-    reproduce the sequential per-document fused results exactly."""
+    reproduce the sequential per-document fused results: identical
+    strings and total entropies vs the DEFAULT sequential path, and
+    identical per-element scores vs an UNMERGED sequential decode (the
+    batch path prefers unmerged L=1 prep on single-char lattices,
+    whose per-char score attribution is exact; run-merging smears
+    scores uniformly within a run — documented in
+    _prepare_decode_edges)."""
     specs = [
         (['abcd'], {(0, 2): [('x', 0.92), ('c', 0.90)]}),
         (['abcd', 'abcd'], {(1, 1): [('y', 0.92), ('b', 0.90)]}),
@@ -101,17 +107,30 @@ def test_pallas_batch_decode_matches_sequential(rater):
             path, ent, _ = rater.rate_best_device(
                 g, s, e, lm_weight=0.7, beam_width=4)
             seq.append((path, ent))
+        seq_unmerged = []
+        rater.merge_runs = False
+        try:
+            for w, a in specs:
+                g, s, e = _toy_graph(w, alternatives=a)
+                path, ent, _ = rater.rate_best_device(
+                    g, s, e, lm_weight=0.7, beam_width=4)
+                seq_unmerged.append((path, ent))
+        finally:
+            rater.merge_runs = True
         batch = rater.rate_best_batch(graphs, lm_weight=0.7,
                                       beam_width=4)
     finally:
         rater.fused_decode = False
     assert len(batch) == len(seq)
-    for (p_b, e_b), (p_s, e_s) in zip(batch, seq):
+    for (p_b, e_b), (p_s, e_s), (p_u, e_u) in zip(batch, seq,
+                                                  seq_unmerged):
         assert ''.join(te.Unicode for _, te, _ in p_b) == \
             ''.join(te.Unicode for _, te, _ in p_s)
         assert abs(e_b - e_s) < 1e-3, (e_b, e_s)
-        for (_, _, sb), (_, _, ss) in zip(p_b, p_s):
-            assert abs(sb - ss) < 1e-3
+        assert abs(e_b - e_u) < 1e-3, (e_b, e_u)
+        assert len(p_b) == len(p_u)
+        for (_, _, sb), (_, _, su) in zip(p_b, p_u):
+            assert abs(sb - su) < 1e-3
 
 
 def test_pallas_batch_decode_blocks_and_groups(rater):

@@ -851,14 +851,20 @@ def main():
         opt_state = _OPT.init(sparams)
         rngk = jax.random.PRNGKey(0)
         p = sparams
+        # the Pallas fused recurrence (fwd+bwd kernels, bf16 gate
+        # matmuls with f32 carry, batch-blocked grid) measured 32%
+        # MFU vs 17% for the XLA scan at this shape (round 5) — the
+        # same kernels train_rater selects with rater.use_pallas
         p, opt_state, carry, loss, nll, acc = train_step(
-            p, opt_state, scfg, x, zs, y, mask, carry, rngk)  # compile
+            p, opt_state, scfg, x, zs, y, mask, carry, rngk,
+            use_pallas=True)  # compile
         float(loss)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             p, opt_state, carry, loss, nll, acc = train_step(
-                p, opt_state, scfg, x, zs, y, mask, carry, rngk)
+                p, opt_state, scfg, x, zs, y, mask, carry, rngk,
+                use_pallas=True)
         float(loss)
         dt = (time.perf_counter() - t0) / reps
         scale_cps = B * T / dt
@@ -877,6 +883,54 @@ def main():
                  else ''), file=sys.stderr)
     except Exception as err:
         print('scale probe failed: %r' % err, file=sys.stderr)
+
+    # recurrence roofline for the scale probe: the same 4-layer chain
+    # of sequential (B, W) @ (W, 4W) bf16 matmuls with NO gate math —
+    # the upper bound any LSTM implementation at this shape can reach
+    # under the scan's sequential dependency (measured 35% on v5e in
+    # round 5; the Pallas step above reaches ~32%, i.e. ~90% of bound)
+    scale_bound_mfu = None
+    try:
+        if scale_mfu is not None:
+            import jax.numpy as jnp
+            SW, SD = 512, 4
+            B, T = 512, 256
+
+            @jax.jit
+            def pure_chain(key):
+                ks = jax.random.split(key, SD + 1)
+                U = [(jax.random.normal(ks[l], (SW, 4 * SW)) * 0.01)
+                     .astype(jnp.bfloat16) for l in range(SD)]
+                xt0 = (jax.random.normal(ks[SD], (B, 4 * SW)) * 0.01
+                       ).astype(jnp.bfloat16)
+
+                def step(h, _):
+                    hs = []
+                    for l in range(SD):
+                        z = (h[l] @ U[l]) + xt0
+                        hn = jnp.tanh(z[:, :SW]) + 1e-6 * jnp.sum(
+                            z[:, SW:], axis=1, keepdims=True)
+                        hs.append(hn.astype(jnp.bfloat16))
+                    return hs, None
+                h0 = [jnp.zeros((B, SW), jnp.bfloat16)] * SD
+                hT, _ = jax.lax.scan(step, h0, None, length=T)
+                return sum(jnp.sum(h.astype(jnp.float32)) for h in hT)
+
+            kk = jax.random.PRNGKey(0)
+            float(pure_chain(kk))
+            t0 = time.perf_counter()
+            for _ in range(2):
+                out = pure_chain(kk)
+            float(out)
+            dtb = (time.perf_counter() - t0) / 2
+            bound_flops = 2 * B * SW * 4 * SW * SD * T
+            scale_bound_mfu = bound_flops / dtb / 197e12 * 100.0
+            print('scale probe recurrence bound: %.1f ms, %.1f%% MFU '
+                  '(pure sequential matmul chain, no gates)'
+                  % (dtb * 1e3, scale_bound_mfu), file=sys.stderr)
+    except Exception as err:
+        print('recurrence bound probe failed: %r' % err,
+              file=sys.stderr)
 
     # roofline context for every number above: this model is ~230 KB
     # of weights (w128 d2) with a strictly sequential recurrence —
@@ -1012,6 +1066,11 @@ def main():
                 round(train_cps / base_train, 2)
     if scale_mfu is not None:
         extra['train_w512d4_bf16_mfu_pct'] = round(scale_mfu, 1)
+    if scale_bound_mfu is not None:
+        # measured upper bound at the same shape (sequential matmul
+        # chain without gate math): MFU/bound is the kernel quality
+        extra['train_w512d4_recurrence_bound_mfu_pct'] = \
+            round(scale_bound_mfu, 1)
     if gen_cps is not None:
         # headline generate ratio = the 16384-char serving point (the
         # 1024-char point is bounded by the tunneled ~30 ms dispatch

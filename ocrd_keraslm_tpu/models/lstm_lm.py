@@ -259,7 +259,8 @@ def forward_seq(params: Params, cfg: LMConfig, x: jnp.ndarray,
         else:
             h_all, hT, cT = _layer_scan(
                 x_proj, h0[layer], c0[layer], rec,
-                use_pallas=use_pallas and cdt == jnp.float32)
+                use_pallas=use_pallas and cdt in (jnp.float32,
+                                                 jnp.bfloat16))
         hs.append(hT)
         cs.append(cT)
         inp = h_all

@@ -49,6 +49,20 @@ def _gate_math(z: jnp.ndarray, c: jnp.ndarray, W: int
     return h_new, c_new
 
 
+def _batch_block(B: int, F: int, budget: int = 6 << 20) -> int:
+    """Largest batch block (divisor of B) whose per-block VMEM stays
+    inside ``budget`` bytes — dominated by the double-buffered f32
+    (Bb, 4W) x_proj slabs at ~16*F bytes/row.  Whole-B blocks OOM the
+    16MB VMEM at production sizes (w512, B512)."""
+    cap = max(8, budget // (16 * F))
+    if B <= cap:
+        return B
+    for bb in range(cap, 0, -1):
+        if B % bb == 0:
+            return bb
+    return B
+
+
 def _make_scan_kernel(want_c_all: bool):
     """The forward kernel, with or without the c_all residual output:
     XLA cannot DCE a pallas_call output, so the undifferentiated
@@ -61,8 +75,10 @@ def _make_scan_kernel(want_c_all: bool):
         else:
             hall_ref, hT_ref, cT_ref, h_scr, c_scr = refs
             call_ref = None
-        t = pl.program_id(0)
-        n_t = pl.num_programs(0)
+        # grid (nB, T): batch blocks outer (independent rows), time
+        # inner sequential; scratch carries reset per batch block
+        t = pl.program_id(1)
+        n_t = pl.num_programs(1)
 
         @pl.when(t == 0)
         def _():
@@ -72,7 +88,10 @@ def _make_scan_kernel(want_c_all: bool):
         h = h_scr[:]
         c = c_scr[:]
         W = h.shape[-1]
-        z = xp_ref[0] + jnp.dot(h, rec_ref[:],
+        # bf16 recurrent weights: cast the h operand to the weight
+        # dtype (one bf16 MXU pass, f32 accumulate) — same math as
+        # _layer_scan_jnp's h.astype(cdt); carry/gates stay f32
+        z = xp_ref[0] + jnp.dot(h.astype(rec_ref.dtype), rec_ref[:],
                                 preferred_element_type=jnp.float32)
         h_new, c_new = _gate_math(z, c, W)
         h_scr[:] = h_new
@@ -99,9 +118,15 @@ def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent,
     # time-major so each grid step's block is a well-tiled (B, 4W) slab
     xp_tm = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4W)
     interpret = jax.default_backend() != 'tpu'
-    tm_spec = pl.BlockSpec((1, B, W), lambda t: (t, 0, 0),
+    # batch blocks: big models (w512 x B512) blow the 16MB VMEM budget
+    # with whole-B blocks (the f32 x_proj slab alone is B*4W*4 bytes,
+    # double-buffered); batch rows are independent, so the grid runs
+    # batch blocks in an OUTER dimension with time inner-sequential
+    Bb = _batch_block(B, F)
+    nB = B // Bb
+    tm_spec = pl.BlockSpec((1, Bb, W), lambda b, t: (t, b, 0),
                            memory_space=pltpu.VMEM)
-    bw_spec = pl.BlockSpec((B, W), lambda t: (0, 0),
+    bw_spec = pl.BlockSpec((Bb, W), lambda b, t: (b, 0),
                            memory_space=pltpu.VMEM)
     out_specs = ((tm_spec, tm_spec, bw_spec, bw_spec) if want_c_all
                  else (tm_spec, bw_spec, bw_spec))
@@ -111,11 +136,11 @@ def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent,
                  if want_c_all else (tm_shape, bw_shape, bw_shape))
     outs = pl.pallas_call(
         _make_scan_kernel(want_c_all),
-        grid=(T,),
+        grid=(nB, T),
         in_specs=[
-            pl.BlockSpec((1, B, F), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, Bb, F), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, F), lambda t: (0, 0),
+            pl.BlockSpec((W, F), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             bw_spec,
             bw_spec,
@@ -123,8 +148,8 @@ def _lstm_scan_pallas_raw(x_proj, h0, c0, recurrent,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B, W), jnp.float32),
-            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((Bb, W), jnp.float32),
+            pltpu.VMEM((Bb, W), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * B * W * F + 10 * T * B * F,
@@ -154,22 +179,33 @@ def _lstm_bwd_kernel(xp_ref, hprev_ref, cprev_ref, ccur_ref,
     """Reverse-time backward step (index maps feed blocks in reverse
     time order).  Recomputes z and the gates from the saved states —
     one extra (B, W) x (W, 4W) matmul instead of a (B, T, 4W)
-    activation residual."""
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    activation residual.  Grid (nB, T): batch blocks outer, reverse
+    time inner; the (dh, dc) carries reset per batch block, the dU
+    accumulator spans ALL blocks (zeroed once at the very first
+    program, written once at the very last)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dU_scr[:] = jnp.zeros_like(dU_scr)
 
     @pl.when(t == 0)
     def _():
         dh_scr[:] = dhT_ref[:]
         dc_scr[:] = dcT_ref[:]
-        dU_scr[:] = jnp.zeros_like(dU_scr)
 
     h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
     c_cur = ccur_ref[0]
     W = h_prev.shape[-1]
 
-    z = xp_ref[0] + jnp.dot(h_prev, rec_ref[:],
+    # recompute z with the SAME operand dtypes as the forward kernel
+    # (bf16 h operand under bf16 weights) so the gates match the
+    # primal bit-exactly
+    hq = h_prev.astype(rec_ref.dtype)
+    z = xp_ref[0] + jnp.dot(hq, rec_ref[:],
                             preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(z[:, 0 * W:1 * W])
     f = jax.nn.sigmoid(z[:, 1 * W:2 * W])
@@ -190,18 +226,26 @@ def _lstm_bwd_kernel(xp_ref, hprev_ref, cprev_ref, ccur_ref,
         do * o * (1.0 - o),
     ], axis=1)                                  # (B, 4W)
     dxp_ref[0] = dz
+    # recT arrives as f32 (bf16 weight VALUES promoted outside) — the
+    # jnp path's AD promotes the bf16 operand the same way
     dh_scr[:] = jnp.dot(dz, recT_ref[:],
                         preferred_element_type=jnp.float32)
     dc_scr[:] = dc_total * f
-    # dU += h_prev^T @ dz (contract over batch)
+    # dU += h_prev^T @ dz (contract over batch) with the QUANTIZED h
+    # values (AD of h.astype(bf16) @ U differentiates through the
+    # cast: dU sees bf16-valued h, f32 math)
     dU_scr[:] = dU_scr[:] + jax.lax.dot_general(
-        h_prev, dz, dimension_numbers=(((0,), (0,)), ((), ())),
+        hq.astype(jnp.float32), dz,
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(t == n_t - 1)
     def _():
         dh0_ref[:] = dh_scr[:]
         dc0_ref[:] = dc_scr[:]
+
+    @pl.when((b == pl.num_programs(0) - 1) & (t == n_t - 1))
+    def _():
         dU_ref[:] = dU_scr[:]
 
 
@@ -211,29 +255,36 @@ def _lstm_bwd_pallas(xp_tm, hprev_tm, cprev_tm, call_tm, dhout_tm,
     (dxp_tm (T, B, 4W), dU (W, 4W), dh0 (B, W), dc0 (B, W))."""
     T, B, F = xp_tm.shape
     W = hprev_tm.shape[-1]
-    recT = jnp.swapaxes(recurrent, 0, 1)  # (4W, W)
+    # (4W, W); f32 — under bf16 weights these are the bf16 VALUES
+    # promoted, matching how XLA promotes the AD cotangent matmul
+    recT = jnp.swapaxes(recurrent, 0, 1).astype(jnp.float32)
     interpret = jax.default_backend() != 'tpu'
-    rev = lambda t: (T - 1 - t, 0, 0)  # noqa: E731 — reverse time
-    fix = lambda t: (0, 0)             # noqa: E731
+    # tighter budget than the forward: the bwd holds 5 sequence
+    # operands, the f32 recT, and the (W, 4W) f32 dU accumulator
+    Bb = _batch_block(B, F, budget=3 << 20)
+    nB = B // Bb
+    rev = lambda b, t: (T - 1 - t, b, 0)  # noqa: E731 — reverse time
+    bw = lambda b, t: (b, 0)              # noqa: E731
+    fix = lambda b, t: (0, 0)             # noqa: E731
     return pl.pallas_call(
         _lstm_bwd_kernel,
-        grid=(T,),
+        grid=(nB, T),
         in_specs=[
-            pl.BlockSpec((1, B, F), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, F), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, W), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, F), fix, memory_space=pltpu.VMEM),
             pl.BlockSpec((F, W), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, W), bw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, W), bw, memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, F), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bb, F), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((W, F), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, W), fix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, W), bw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, W), bw, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, F), jnp.float32),
@@ -242,8 +293,8 @@ def _lstm_bwd_pallas(xp_tm, hprev_tm, cprev_tm, call_tm, dhout_tm,
             jax.ShapeDtypeStruct((B, W), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, W), jnp.float32),
-            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((Bb, W), jnp.float32),
+            pltpu.VMEM((Bb, W), jnp.float32),
             pltpu.VMEM((W, F), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -285,7 +336,12 @@ def _bwd(residuals, cotangents):
     dxp_tm, dU, dh0, dc0 = _lstm_bwd_pallas(
         xp_tm, hprev_tm, cprev_tm, c_all_tm, dhout_tm, recurrent,
         dhT, dcT)
-    return jnp.swapaxes(dxp_tm, 0, 1), dh0, dc0, dU
+    # cotangent dtype must match the primal input: under bf16 weights
+    # the recurrent cotangent is bf16 (exactly what the jnp path's AD
+    # produces for a bf16 operand; the outer .astype cast then
+    # promotes it into the f32 param grad)
+    return (jnp.swapaxes(dxp_tm, 0, 1), dh0, dc0,
+            dU.astype(recurrent.dtype))
 
 
 lstm_scan_pallas.defvjp(_fwd, _bwd)

@@ -520,7 +520,8 @@ def _train_rater(rater, files, val_files) -> None:
     # the mesh path (GSPMD does not partition pallas_call operands)
     fast_recurrence = bool(getattr(rater, 'use_pallas', False)
                            and mesh is None
-                           and rater.compute_dtype == 'float32')
+                           and rater.compute_dtype in ('float32',
+                                                       'bfloat16'))
 
     import time as _time
     first_step_logged = False

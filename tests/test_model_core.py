@@ -284,3 +284,49 @@ def test_spread_labels_deoverlap():
     d = [np.linalg.norm(out2[i] - out2[j])
          for i in range(3) for j in range(i + 1, 3)]
     assert min(d) > 0
+
+
+def test_pallas_scan_bf16_and_batch_blocks(rng):
+    """bf16 weights + a batch split over multiple grid blocks: the
+    forward must be bit-exact vs the jnp scan (same bf16 gate matmul,
+    f32 carry), and gradients must agree within bf16 resolution (the
+    kernel accumulates dU in f32 before the final bf16 quantization
+    the jnp path also applies, so diffs are bounded by one bf16 ULP
+    of the operands)."""
+    from ocrd_keraslm_tpu.models.lstm_lm import _layer_scan_jnp
+    from ocrd_keraslm_tpu.ops import lstm_cell as LC
+    B, T, W = 12, 9, 16
+    x_proj = jnp.asarray(rng.standard_normal((B, T, 4 * W)),
+                         jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    c0 = jnp.asarray(rng.standard_normal((B, W)), jnp.float32)
+    rec = jnp.asarray(rng.standard_normal((W, 4 * W)) * 0.3,
+                      jnp.float32).astype(jnp.bfloat16)
+    orig = LC._batch_block
+    LC._batch_block = lambda B, F, budget=0: 4  # force 3 blocks
+    try:
+        ha_ref, hT_ref, cT_ref = _layer_scan_jnp(x_proj, h0, c0, rec)
+        ha, hT, cT = LC.lstm_scan_pallas(x_proj, h0, c0, rec)
+        np.testing.assert_array_equal(np.asarray(ha),
+                                      np.asarray(ha_ref))
+        np.testing.assert_array_equal(np.asarray(cT),
+                                      np.asarray(cT_ref))
+
+        def loss(fn):
+            def go(xp, h, c, r):
+                h_all, hT_, cT_ = fn(xp, h, c, r)
+                return jnp.sum(h_all ** 2) + jnp.sum(hT_ * cT_)
+            return go
+        g_ref = jax.grad(loss(_layer_scan_jnp),
+                         argnums=(0, 1, 2, 3))(x_proj, h0, c0, rec)
+        g_pal = jax.grad(loss(LC.lstm_scan_pallas),
+                         argnums=(0, 1, 2, 3))(x_proj, h0, c0, rec)
+        for name, a, b in zip(('dx_proj', 'dh0', 'dc0', 'drec'),
+                              g_ref, g_pal):
+            assert a.dtype == b.dtype, name
+            np.testing.assert_allclose(
+                np.asarray(b, np.float32), np.asarray(a, np.float32),
+                rtol=0.02, atol=0.02,
+                err_msg='bf16 gradient mismatch for %s' % name)
+    finally:
+        LC._batch_block = orig

@@ -1000,6 +1000,34 @@ class Rater:
                 return result
         return self._generate_host(prefix, length, context, variants)
 
+    def generate_begin(self, prefix: str, length: int, context=None,
+                       variants: int = 1):
+        """DISPATCH a generation; ``generate_finish`` later fetches
+        and builds the strings.  A serving loop can dispatch prompt
+        N+1 before finishing prompt N, so the fixed dispatch/fetch
+        round-trip (25-46 ms on tunneled links — the whole budget of
+        a 1k-char request) overlaps the device beam search of the
+        other prompts in flight; results are identical to the
+        synchronous ``generate`` (which is begin + finish)."""
+        assert self.status > 1
+        if self.device_beam and prefix:
+            from .ops.beam_device import generate_beam_begin
+            return generate_beam_begin(self, prefix, length, context,
+                                       variants)
+        return ('gen-host', (self, prefix, length, context, variants))
+
+    def generate_finish(self, pending) -> List[str]:
+        """Fetch + string emission for a ``generate_begin`` dispatch."""
+        if pending[0] != 'gen-host':
+            from .ops.beam_device import generate_beam_finish
+            result = generate_beam_finish(pending)
+            if result:
+                return result
+            _, prefix, length, variants, ctx = pending[-1]
+            return self._generate_host(prefix, length, ctx, variants)
+        _, (_, prefix, length, context, variants) = pending
+        return self._generate_host(prefix, length, context, variants)
+
     def generate_batch(self, prefixes: List[str], length: int,
                        context=None) -> List[str]:
         """Generate continuations for many prefixes in ONE device

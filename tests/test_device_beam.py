@@ -238,3 +238,18 @@ def test_host_hypothesis_states_are_owned(overfit_rater):
             continue
         for arr in hyp.state:
             assert arr.base is None, 'state pins an expansion array'
+
+
+def test_generate_begin_finish_matches_sync(overfit_rater):
+    """The split generate_begin/finish API (pipelined short-prompt
+    serving) must return exactly what the synchronous generate does,
+    including out-of-order finishes of in-flight dispatches and the
+    host-fallback chain for empty results."""
+    r = overfit_rater
+    sync1 = r.generate('abcd a', 12)
+    sync2 = r.generate('bcd ab', 12, variants=2)
+    p1 = r.generate_begin('abcd a', 12)
+    p2 = r.generate_begin('bcd ab', 12, variants=2)
+    # out-of-order finish: p2 first
+    assert r.generate_finish(p2) == sync2
+    assert r.generate_finish(p1) == sync1

@@ -505,6 +505,7 @@ def main():
     # per-edge dynamic char-step bounds serve (synthetic all-4-alt
     # pages above are the uniform L=1 regime).
     decode_real = decode_real_med = None
+    decode_real_single = decode_real_single_med = None
     try:
         if pages:
             def make_realistic(n_words, seed):
@@ -547,12 +548,40 @@ def main():
                 rater.rate_best_batch(rdocs, beam_width=16)
                 times.append(time.perf_counter() - t0)
             times.sort()
-            decode_real = rchars / times[0]
-            decode_real_med = rchars / times[len(times) // 2]
-            print('tpu decode (16 realistic docs, %d chars): '
-                  '%.0f chars/s (best %.3fs, median %.3fs)'
-                  % (rchars, decode_real, times[0],
+            decode_real_single = rchars / times[0]
+            decode_real_single_med = rchars / times[len(times) // 2]
+            print('tpu decode (16 realistic docs, %d chars, single '
+                  'calls): %.0f chars/s (best %.3fs, median %.3fs)'
+                  % (rchars, decode_real_single, times[0],
                      times[len(times) // 2]), file=sys.stderr)
+            # headline realistic figure = SERVING windows: 3 windows
+            # of 4 back-to-back double-buffered batches each
+            # (begin/finish split, 2 in flight), per-call time =
+            # window wall / 4, median over windows — nothing
+            # excluded.  A deployment decodes batches back-to-back,
+            # where per-call link stalls amortize instead of each
+            # hitting a lone blocking fetch; the single-call figures
+            # above are kept alongside.
+            KW = 4
+            wtimes = []
+            pend = rater.rate_best_batch_begin(rdocs, beam_width=16)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(KW):
+                    nxt = rater.rate_best_batch_begin(rdocs,
+                                                      beam_width=16)
+                    rater.rate_best_batch_finish(pend)
+                    pend = nxt
+                wtimes.append((time.perf_counter() - t0) / KW)
+            rater.rate_best_batch_finish(pend)
+            wtimes.sort()
+            decode_real = rchars / wtimes[0]
+            decode_real_med = rchars / wtimes[len(wtimes) // 2]
+            print('tpu decode (16 realistic docs, serving windows '
+                  'x%d): %.0f chars/s best, %.0f median '
+                  '(%.3fs/call best)'
+                  % (KW, decode_real, decode_real_med, wtimes[0]),
+                  file=sys.stderr)
     except Exception as err:
         print('realistic decode bench failed: %r' % err,
               file=sys.stderr)
@@ -683,6 +712,127 @@ def main():
                  best, med), file=sys.stderr)
     except Exception as err:
         print('workflow bench failed: %r' % err, file=sys.stderr)
+
+    # ---- native fast-lane bail rate on a realistic page mix ----
+    # The C++ byte-lane scanner deliberately bails to the lxml lane on
+    # shapes it does not provably handle (native_src/page_scan.cpp:
+    # DOCTYPE, CDATA, nested TextRegion, ...).  This section measures
+    # what that costs on a REALISTIC mix (VERDICT r4 #7): 16 pages =
+    # 12 plain (the dominant flat OCR page), 2 nested-TextRegion
+    # (complex layouts: newspapers, footnote regions), 1 DOCTYPE,
+    # 1 CDATA-in-Unicode — and reports the fast-lane hit rate, the
+    # per-reason bail counts, and the blended e2e workflow speed over
+    # exactly this mix (nothing excluded).
+    native_hit_pct = native_blend_pps = None
+    native_bails: dict = {}
+    try:
+        from collections import Counter
+
+        from ocrd_keraslm_tpu.wrapper.page_native import (
+            NativePageDoc, available as native_available)
+        if workflow_pps is not None and native_available():
+            mdir = tempfile.mkdtemp(prefix='bench_mix_')
+            _os.makedirs(_os.path.join(mdir, 'OCR-D-OCR'),
+                         exist_ok=True)
+            mmets = Mets(unique_identifier='urn:bench/mix_1800')
+            mmets.file_groups['OCR-D-OCR'] = []
+            mix_chars = 0
+
+            def mutate(xml, kind, page_id):
+                if kind == 'doctype':
+                    # plain DOCTYPE (no internal subset): a valid
+                    # prolog some generators emit
+                    i = xml.find('?>')
+                    return (xml[:i + 2] + '\n<!DOCTYPE PcGts>'
+                            + xml[i + 2:])
+                if kind == 'cdata':
+                    i = xml.find('<Unicode>')
+                    j = xml.find('</Unicode>', i)
+                    inner = xml[i + len('<Unicode>'):j]
+                    return (xml[:i] + '<Unicode><![CDATA[' + inner
+                            + ']]></Unicode>' + xml[j + 10:])
+                if kind == 'nested':
+                    # wrap the page's TextRegion in an outer region
+                    # (drop-capital/paragraph-in-region layouts)
+                    i = xml.find('<TextRegion')
+                    j = xml.rfind('</TextRegion>')
+                    return (xml[:i]
+                            + '<TextRegion id="%s_outer">' % page_id
+                            + xml[i:j + len('</TextRegion>')]
+                            + '</TextRegion>' + xml[j + 13:])
+                return xml
+
+            kinds = (['plain'] * 12 + ['nested'] * 2
+                     + ['doctype'] + ['cdata'])
+            for p, kind in enumerate(kinds):
+                page_id = 'phys_%04d' % (p + 1)
+                pcgts, n = bench_pcgts(page_id)
+                mix_chars += n
+                xml = to_xml(pcgts)
+                xml = mutate(xml, kind, page_id)
+                fid = 'OCR-D-OCR_%s' % page_id
+                fname = _os.path.join('OCR-D-OCR', fid + '.xml')
+                with open(_os.path.join(mdir, fname), 'w',
+                          encoding='utf-8') as fh:
+                    fh.write(xml)
+                mmets.file_groups['OCR-D-OCR'].append(MetsFile(
+                    ID=fid, fileGrp='OCR-D-OCR',
+                    local_filename=fname, pageId=page_id))
+                mmets.page_ids.append(page_id)
+            with open(_os.path.join(mdir, 'mets.xml'), 'w',
+                      encoding='utf-8') as fh:
+                fh.write(mets_to_xml(mmets))
+            # (a) scanner verdict per page
+            bails = Counter()
+            hits = 0
+            for mf in mmets.file_groups['OCR-D-OCR']:
+                doc = NativePageDoc(
+                    _os.path.join(mdir, mf.local_filename))
+                if doc.bail is None:
+                    hits += 1
+                else:
+                    bails[doc.bail] += 1
+            native_hit_pct = 100.0 * hits / len(kinds)
+            native_bails = dict(bails)
+            # (b) blended e2e speed over the mix (same processor
+            # config as the workflow section; bailed pages take the
+            # lxml lane + host-graph route inside the same run)
+            prior_mix = _os.environ.get('OCRD_EXISTING_OUTPUT')
+            _os.environ['OCRD_EXISTING_OUTPUT'] = 'OVERWRITE'
+
+            def run_mix():
+                ws = Workspace(mdir)
+                proc = KerasRate(
+                    workspace=ws, input_file_grp='OCR-D-OCR',
+                    output_file_grp='OCR-D-LM',
+                    parameter={'model_file': model_path,
+                               'textequiv_level': 'glyph',
+                               'alternative_decoding': True,
+                               'beam_width': 16})
+                proc.setup()
+                proc.process_workspace(ws)
+
+            try:
+                run_mix()  # warmup/compile
+                mtimes = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_mix()
+                    mtimes.append(time.perf_counter() - t0)
+            finally:
+                if prior_mix is None:
+                    _os.environ.pop('OCRD_EXISTING_OUTPUT', None)
+                else:
+                    _os.environ['OCRD_EXISTING_OUTPUT'] = prior_mix
+            native_blend_pps = len(kinds) / min(mtimes)
+            print('native-lane mix (%d pages: %s): hit rate %.0f%%, '
+                  'bails %s, blended %.1f pages/s (%.0f chars/s)'
+                  % (len(kinds), dict(Counter(kinds)), native_hit_pct,
+                     native_bails, native_blend_pps,
+                     mix_chars / min(mtimes)), file=sys.stderr)
+    except Exception as err:
+        print('native-lane mix bench failed: %r' % err,
+              file=sys.stderr)
 
     # ---- incremental generation (explicit-state beam sampling) ----
     gen_cps = gen_stream_cps = base_gen = gen_dev_cps = None
@@ -1062,6 +1212,17 @@ def main():
             round(decode_real, 1)
         extra['decode_realistic_chars_per_sec_median'] = \
             round(decode_real_med, 1)
+        extra['decode_realistic_method'] = (
+            'serving windows: 3 windows of 4 back-to-back '
+            'double-buffered rate_best_batch calls (begin/finish, 2 '
+            'in flight), per-call = window wall / 4, median over '
+            'windows, no rep exclusions; single blocking calls '
+            'reported under decode_realistic_single_call_*')
+    if decode_real_single is not None:
+        extra['decode_realistic_single_call_chars_per_sec'] = \
+            round(decode_real_single, 1)
+        extra['decode_realistic_single_call_chars_per_sec_median'] = \
+            round(decode_real_single_med, 1)
     if workflow_pps is not None:
         # BASELINE.md measurement plan #5: context-conditioned model in
         # a full METS workflow, end-to-end pages/sec.  The baseline
@@ -1075,6 +1236,23 @@ def main():
         if base_dec:
             extra['workflow_vs_decode_baseline'] = \
                 round(workflow_cps / base_dec, 2)
+    if native_hit_pct is not None:
+        extra['native_lane_hit_pct'] = round(native_hit_pct, 1)
+        extra['native_lane_bails'] = native_bails
+        if native_blend_pps is not None:
+            extra['native_lane_blended_pages_per_sec'] = \
+                round(native_blend_pps, 2)
+        extra['native_lane_mix_method'] = (
+            '16 pages: 12 plain, 2 nested-TextRegion, 1 DOCTYPE, '
+            '1 CDATA-in-Unicode; hit = C++ byte-lane scan accepted. '
+            'DOCTYPE/CDATA were extended into the scanner in round 5 '
+            '(lxml-parity, fuzz-tested); decision on the remaining '
+            'top bail, nested TextRegion: stays on the lxml lane — '
+            'its reading-order subregion projection is exactly the '
+            'semantics the byte-splice write-back cannot reproduce '
+            'without duplicating the projection engine, and the '
+            'blended cost is bounded (~12%% of pages x the ~25ms '
+            'lxml lane)')
     if train_cps is not None:
         extra['train_chars_per_sec'] = round(train_cps, 1)
         if base_train_measured:

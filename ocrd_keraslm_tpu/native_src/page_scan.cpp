@@ -18,11 +18,15 @@
 //     kernel's (E, A, L) arrays.
 //
 // SCOPE: the scanner is deliberately conservative.  Anything outside
-// the well-formed UTF-8 PAGE profile it understands (DOCTYPE, CDATA,
-// unknown entities, non-UTF-8 declarations, nested TextRegion,
-// line/region decode levels) sets a bail
-// reason and the caller falls back to the lxml path — correctness
-// first, the fast lane only serves shapes it provably handles.
+// the well-formed UTF-8 PAGE profile it understands (DOCTYPE with an
+// internal subset, unknown entities, non-UTF-8 declarations, nested
+// TextRegion, line/region decode levels) sets a bail reason and the
+// caller falls back to the lxml path — correctness first, the fast
+// lane only serves shapes it provably handles.  Plain DOCTYPE
+// declarations are skipped and CDATA sections join <Unicode> text
+// literally (both lxml-parity; extended in round 5 after the bail-mix
+// measurement showed them tied for top bail cause with nested
+// regions).
 //
 // Loaded with ctypes.PyDLL (GIL held; Python C API used for returns).
 #define PY_SSIZE_T_CLEAN
@@ -326,7 +330,47 @@ extern "C" PyObject* page_open(const char* data, int64_t n) {
             pos = e + 3;
             continue;
         }
-        if (starts(b, pos, "<!")) { bail("DOCTYPE/CDATA"); break; }
+        if (starts(b, pos, "<![CDATA[")) {
+            // CDATA: literal content, no entity resolution.  Inside
+            // <Unicode> it joins the text exactly like lxml's .text
+            // does; elsewhere it is ignorable character data.
+            size_t e = b.find("]]>", pos + 9);
+            if (e == std::string::npos) {
+                bail("unterminated CDATA");
+                break;
+            }
+            if (in_unicode) {
+                uni_text.append(b, pos + 9, e - (pos + 9));
+                for (size_t i = pos + 9; i < e; i++)
+                    if (((unsigned char)b[i] & 0xC0) != 0x80)
+                        d->text_cp++;
+            }
+            pos = e + 3;
+            continue;
+        }
+        if (starts(b, pos, "<!DOCTYPE")) {
+            if (in_unicode) { bail("DOCTYPE inside Unicode"); break; }
+            size_t e = b.find('>', pos);
+            size_t br = b.find('[', pos);
+            if (br != std::string::npos && e != std::string::npos &&
+                br < e) {
+                // an internal subset may declare entities the
+                // entity resolver above does not know — lxml would
+                // resolve them, this lane cannot
+                bail("DOCTYPE with internal subset");
+                break;
+            }
+            if (e == std::string::npos) {
+                bail("unterminated DOCTYPE");
+                break;
+            }
+            pos = e + 1;
+            continue;
+        }
+        if (starts(b, pos, "<!")) {
+            bail("unknown markup declaration");
+            break;
+        }
         if (starts(b, pos, "</")) {
             size_t e = b.find('>', pos);
             if (e == std::string::npos) { bail("unterminated close tag"); break; }

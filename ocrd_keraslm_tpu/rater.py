@@ -1457,6 +1457,13 @@ class Rater:
         return pending, (h, c, x_prev, cost)
 
     # block buckets shared by begin/finish
+    # capped at 1024: a 2048 bucket FITS the conservative VMEM
+    # estimate (~12.6MB at W=128/L=8) and halves the page-group
+    # dispatch count, but measured 10x SLOWER end-to-end on v5e
+    # (2.05s vs 0.19s for the 16-page workflow) — past ~1024
+    # whole-resident edges the Mosaic kernel loses the VMEM headroom
+    # it needs and thrashes; dispatch-count savings cannot pay for
+    # that (tried and reverted in round 5)
     _E_BUCKETS = (64, 256, 1024)
 
     # -- cross-page device traceback normalization --------------------

@@ -68,8 +68,11 @@ def test_scan_bails():
     cases = [
         ('<?xml version="1.0" encoding="ISO-8859-1"?><PcGts/>',
          'non-UTF-8'),
-        ('<!DOCTYPE x><PcGts xmlns="http://schema.primaresearch.org/'
-         'PAGE/gts/pagecontent/2019-07-15"/>', 'DOCTYPE'),
+        # plain DOCTYPE is accepted since round 5; the internal
+        # subset (may declare entities) still bails
+        ('<!DOCTYPE PcGts [<!ENTITY x "y">]><PcGts xmlns="http://'
+         'schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"/>',
+         'DOCTYPE subset'),
         ('<other/>', 'root'),
         (xml.replace('<TextRegion id="p1_r2">',
                      '<TextRegion id="p1_r2"><TextRegion id="nested">'
@@ -773,3 +776,58 @@ def test_join_regionref_fallback_form(tmp_path, monkeypatch):
         got = parse_page(out).page.get_TextRegion()[0] \
             .get_TextEquiv()[0].Unicode
         assert got == want, ('apply=%s' % native_apply, got)
+
+
+def test_scan_doctype_and_cdata_accepted():
+    """Round-5 scanner extension: a plain DOCTYPE declaration is
+    skipped and CDATA sections join <Unicode> text literally (both
+    lxml parity) — these were tied with nested TextRegion as the top
+    bail causes in the realistic-mix measurement.  Lattice arrays must
+    be bit-identical to the undoctored document's."""
+    import string
+
+    xml = _rich_page_xml()
+    base = NativePageDoc(xml.encode('utf-8'))
+    assert base.bail is None
+    r = Rater()
+    r.voc_size = 100
+    r.vocab.assign(string.printable[:99])
+
+    def arrays(doc):
+        lat = doc.lattice('glyph', True, DECODE_MERGE_MAX)
+        assert lat is not None
+        n_raw, n_prep, maxlen = lat
+        return doc.fill(r.vocab._table(), max(n_prep, 8), 4,
+                        max(maxlen, 2))
+
+    ref = arrays(base)
+
+    # plain DOCTYPE before the root
+    i = xml.find('?>')
+    with_doctype = xml[:i + 2] + '\n<!DOCTYPE PcGts>' + xml[i + 2:]
+    doc = NativePageDoc(with_doctype.encode('utf-8'))
+    assert doc.bail is None, doc.bail
+    got = arrays(doc)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    # CDATA splitting a Unicode's text: joined literally with the
+    # surrounding character data
+    j = xml.find('<Unicode>')
+    k = xml.find('</Unicode>', j)
+    inner = xml[j + 9:k]
+    assert inner
+    cut = max(1, len(inner) // 2)
+    with_cdata = (xml[:j] + '<Unicode><![CDATA[' + inner[:cut] + ']]>'
+                  + inner[cut:] + '</Unicode>' + xml[k + 10:])
+    doc = NativePageDoc(with_cdata.encode('utf-8'))
+    assert doc.bail is None, doc.bail
+    got = arrays(doc)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    # CDATA containing markup-special characters stays literal
+    with_lt = (xml[:j] + '<Unicode><![CDATA[<&]]></Unicode>'
+               + xml[k + 10:])
+    doc = NativePageDoc(with_lt.encode('utf-8'))
+    assert doc.bail is None, doc.bail

@@ -58,6 +58,18 @@ def main():
         params, opt_state, xg, zsg, yg, maskg, carryg, key)
     print('MHLOSS %.6f %.6f' % (float(loss), float(nll)), flush=True)
 
+    # checkpoint save with mp=2 (vocab-sharded embedding): EVERY
+    # process must call save_weights — its device->host gather is a
+    # collective (process_allgather); the file write inside is gated
+    # to process 0.  Gating the whole call on is_main deadlocked here
+    # (ADVICE r4 high): process 0 entered the collective alone.
+    save_path = os.environ.get('KERASLM_MH_SAVE')
+    if save_path:
+        from ocrd_keraslm_tpu.utils import h5io
+        h5io.save_weights(save_path, params, cfg)
+        # all processes reach this line only if no one deadlocked
+        print('MHSAVED %d' % jax.process_index(), flush=True)
+
 
 if __name__ == '__main__':
     main()

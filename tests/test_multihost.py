@@ -76,6 +76,29 @@ def test_two_process_sharded_train_step():
     assert losses[0] == losses[1], losses
 
 
+def test_two_process_mp2_checkpoint_save(tmp_path, monkeypatch):
+    """Checkpoint save with model-parallel (mp=2, vocab-sharded
+    embedding) params on a 2-process mesh: the h5 writer's
+    device->host gather is a collective every process must enter
+    (ADVICE r4 high: gating the whole save on process 0 deadlocked at
+    the first checkpoint).  Both processes must pass the save point,
+    and the file process 0 wrote must round-trip."""
+    save_path = str(tmp_path / 'mh_ckpt.h5')
+    monkeypatch.setenv('KERASLM_MH_SAVE', save_path)
+    outs = _run_two_process('mh_train_worker.py')
+    saved = sorted(int(ln.split()[1]) for out in outs
+                   for ln in out.splitlines()
+                   if ln.startswith('MHSAVED '))
+    assert saved == [0, 1], outs[0][-1500:]
+    assert os.path.exists(save_path)
+    from ocrd_keraslm_tpu.models.lstm_lm import LMConfig
+    from ocrd_keraslm_tpu.utils import h5io
+    cfg = LMConfig(width=16, depth=2, length=8, voc_size=32)
+    params = h5io.load_weights(save_path, cfg)
+    assert params['char_embedding'].shape == (32, 16)
+    assert len(params['lstm']) == 2
+
+
 def test_two_process_sharded_batch_decode():
     """Data-axis sharded batch decode across a REAL process boundary
     (the serving surface; the train test above covers training): each

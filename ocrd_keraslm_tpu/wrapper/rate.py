@@ -1580,11 +1580,19 @@ def page_update_higher_textequiv_levels(level, pcgts, overwrite=True):
                 zip(entries, subs), key=lambda es: es[0].index)]
         return subs
 
-    for region in page.get_AllRegions(classes=['Text']):
+    # CHILDREN BEFORE PARENTS: a nested region's text must be joined
+    # from its subregions' FRESHLY projected texts (the reference's
+    # stated traversal contract, wrapper/rate.py:517-519 "already
+    # visited in earlier iterations").  get_AllRegions returns
+    # pre-order (parents first), so reverse it — in reversed pre-order
+    # every region precedes its ancestors.  (Until round 5 the parent
+    # joined the PRE-decode subregion texts — caught by the
+    # nested-projection staleness test.)
+    for region in reversed(page.get_AllRegions(classes=['Text'])):
         subregions = region.get_TextRegion()
         if subregions:
             # nested region: its subregions were projected in their
-            # own iterations (traversal is depth-first) — only join
+            # own (earlier) iterations — only join
             _store_joined(region,
                           _aggregate(by_reading_order(subregions),
                                      newline_unless_joined),

@@ -89,10 +89,22 @@ def test_reading_order_sorting():
     OrderedGroup index."""
     pcgts = PcGts()
     parent = TextRegion('parent')
-    sub_b = TextRegion('r_b')
-    sub_b.add_TextEquiv(TextEquivType(Unicode='SECOND', conf=1.0))
-    sub_a = TextRegion('r_a')
-    sub_a.add_TextEquiv(TextEquivType(Unicode='FIRST', conf=1.0))
+    # subregions carry their text on a LINE (realistic shape): the
+    # children-first projection re-derives each subregion's text from
+    # its lines BEFORE the parent joins them, so a lineless subregion
+    # with only a preset TextEquiv would be cleared first (reference
+    # semantics: overwrite=True recomputes every level)
+
+    def sub_region(rid, text):
+        sub = TextRegion(rid)
+        line = TextLine(rid + '_l0')
+        line.add_TextEquiv(TextEquivType(Unicode=text, conf=1.0))
+        sub.add_TextLine(line)
+        sub.add_TextEquiv(TextEquivType(Unicode='stale', conf=0.1))
+        return sub
+
+    sub_b = sub_region('r_b', 'SECOND')
+    sub_a = sub_region('r_a', 'FIRST')
     parent.text_regions = [sub_b, sub_a]  # document order wrong
     pcgts.page.add_TextRegion(parent)
     ro = ReadingOrder()
@@ -175,10 +187,22 @@ def test_reading_order_nested_indexed_groups():
     from ocrd_keraslm_tpu.wrapper.page import OrderedGroupIndexedType
     pcgts = PcGts()
     parent = TextRegion('parent')
-    sub_b = TextRegion('r_b')
-    sub_b.add_TextEquiv(TextEquivType(Unicode='SECOND', conf=1.0))
-    sub_a = TextRegion('r_a')
-    sub_a.add_TextEquiv(TextEquivType(Unicode='FIRST', conf=1.0))
+    # subregions carry their text on a LINE (realistic shape): the
+    # children-first projection re-derives each subregion's text from
+    # its lines BEFORE the parent joins them, so a lineless subregion
+    # with only a preset TextEquiv would be cleared first (reference
+    # semantics: overwrite=True recomputes every level)
+
+    def sub_region(rid, text):
+        sub = TextRegion(rid)
+        line = TextLine(rid + '_l0')
+        line.add_TextEquiv(TextEquivType(Unicode=text, conf=1.0))
+        sub.add_TextLine(line)
+        sub.add_TextEquiv(TextEquivType(Unicode='stale', conf=0.1))
+        return sub
+
+    sub_b = sub_region('r_b', 'SECOND')
+    sub_a = sub_region('r_a', 'FIRST')
     parent.text_regions = [sub_b, sub_a]  # document order wrong
     pcgts.page.add_TextRegion(parent)
     ro = ReadingOrder()
@@ -375,3 +399,29 @@ def test_metadata_labels_externalmodel_roundtrip():
     assert out.count('<Labels>') == 2
     assert '<Label type="b" value="2"/>' in out
     assert '<Label type="c" value="3"/>' in out
+
+
+def test_nested_projection_children_first():
+    """A parent region must join its subregions' FRESHLY projected
+    texts, not their pre-decode TextEquivs (the reference's stated
+    depth-first contract, wrapper/rate.py:517-519) — regression for
+    the round-5 staleness fix."""
+    pcgts = PcGts()
+    outer = TextRegion('outer')
+    sub = TextRegion('sub1')
+    line = TextLine('l1')
+    word = Word('w1')
+    word.add_TextEquiv(TextEquivType(Unicode='OLD', conf=0.5))
+    for ch in 'neu':
+        g = Glyph('g_' + ch)
+        g.add_TextEquiv(TextEquivType(Unicode=ch, conf=0.9))
+        word.add_Glyph(g)
+    line.add_Word(word)
+    sub.add_TextLine(line)
+    sub.add_TextEquiv(TextEquivType(Unicode='STALE-SUB', conf=0.5))
+    outer.text_regions.append(sub)
+    pcgts.page.add_TextRegion(outer)
+    page_update_higher_textequiv_levels('glyph', pcgts)
+    assert word.text_equivs[0].Unicode == 'neu'
+    assert sub.text_equivs[0].Unicode == 'neu'
+    assert outer.text_equivs[0].Unicode == 'neu'

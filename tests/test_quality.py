@@ -285,3 +285,107 @@ def test_train_to_reference_quality(tmp_path):
     assert r.status == 2
     val_ppl = float(np.exp(min(r.history['val_loss'])))
     assert val_ppl < 5.0, 'val char ppl %.2f after 40 epochs' % val_ppl
+
+
+@needs_model
+def test_line_level_decoding_quality(tmp_path, caplog):
+    """LINE-level alternative decoding end-to-end (VERDICT r4 residual
+    risk: no line/region-level or dehyphenation-heavy shape was ever
+    quality-gated).  Lines carry whole-string alternatives of varying
+    length — including hyphenated line breaks (the dehyphenation
+    shape) and empty-string dropout variants — and ~20% of lines put a
+    corrupted variant FIRST with higher confidence.  The LM must
+    restore a majority of them; char ppl stays inside the reference's
+    scoring bound; exactly one TextEquiv per line afterwards."""
+    from ocrd_keraslm_tpu.wrapper.mets import (Mets, MetsFile,
+                                               mets_to_xml)
+    from ocrd_keraslm_tpu.wrapper.page import (PcGts, TextEquivType,
+                                               TextLine, TextRegion,
+                                               to_xml)
+    rng = np.random.default_rng(11)
+    pages = _corpus_pages(seed=11)
+    ws_dir = tmp_path / 'line_ws'
+    ws_dir.mkdir()
+    os.makedirs(ws_dir / 'OCR-D-OCR', exist_ok=True)
+    mets = Mets(unique_identifier='urn:test/zeilen_1794')
+    mets.file_groups['OCR-D-OCR'] = []
+
+    def corrupt(text):
+        chars = list(text)
+        hits = [i for i, ch in enumerate(chars) if ch in CONFUSIONS]
+        rng.shuffle(hits)
+        for i in hits[:2]:
+            other = CONFUSIONS[chars[i]][0]
+            if other == chars[i]:
+                other = CONFUSIONS[chars[i]][1]
+            chars[i] = other
+        return ''.join(chars)
+
+    truth = {}
+    wrong_lines = []  # (page_id, line_index, true_text)
+    for page_id, words in pages.items():
+        line_texts = [' '.join(line) for line in words]
+        # dehyphenation shape: break a word across ~30% of junctions
+        for i in range(len(line_texts) - 1):
+            head_word = line_texts[i].rsplit(' ', 1)
+            if len(head_word) == 2 and len(head_word[1]) > 4 and \
+                    rng.random() < 0.3:
+                head, word = head_word
+                cut = len(word) // 2
+                line_texts[i] = head + ' ' + word[:cut] + '-'
+                line_texts[i + 1] = (word[cut:] + ' '
+                                     + line_texts[i + 1])
+        truth[page_id] = '\n'.join(line_texts)
+        pcgts = PcGts()
+        pcgts.pcGtsId = page_id
+        region = TextRegion('%s_r1' % page_id)
+        for li, text in enumerate(line_texts):
+            line = TextLine('%s_r1_l%d' % (page_id, li))
+            bad = corrupt(text)
+            if bad != text and rng.random() < 0.2:
+                # OCR got the line wrong: corrupted variant first AND
+                # more confident — only the LM can fix it
+                alts = [(bad, 0.82), (text, 0.80)]
+                wrong_lines.append((page_id, li, text))
+            else:
+                alts = [(text, 0.85)]
+                if bad != text:
+                    alts.append((bad, 0.78))
+            if rng.random() < 0.1:
+                alts.append(('', 0.30))  # dropout variant (empty)
+            for idx, (t, c) in enumerate(alts):
+                line.add_TextEquiv(TextEquivType(Unicode=t, conf=c,
+                                                 index=idx))
+            region.add_TextLine(line)
+        pcgts.page.add_TextRegion(region)
+        fid = 'OCR-D-OCR_%s' % page_id
+        fname = os.path.join('OCR-D-OCR', fid + '.xml')
+        with open(ws_dir / fname, 'w', encoding='utf-8') as fh:
+            fh.write(to_xml(pcgts))
+        mets.file_groups['OCR-D-OCR'].append(MetsFile(
+            ID=fid, fileGrp='OCR-D-OCR', local_filename=fname,
+            pageId=page_id))
+        mets.page_ids.append(page_id)
+    with open(ws_dir / 'mets.xml', 'w', encoding='utf-8') as fh:
+        fh.write(mets_to_xml(mets))
+    assert len(wrong_lines) >= 4
+
+    ws = Workspace(str(ws_dir))
+    _run(ws, {'model_file': MODEL, 'textequiv_level': 'line',
+              'alternative_decoding': True, 'beam_width': 8}, caplog)
+    ppls = _char_ppls(caplog)
+    assert ppls and float(np.mean(ppls)) < 6.0, ppls
+
+    fixed = 0
+    for page_id in pages:
+        out = parse_page(os.path.join(
+            str(ws_dir), 'OCR-D-LM', 'OCR-D-LM_%s.xml' % page_id))
+        lines = [l for r in out.page.regions for l in r.lines]
+        assert all(len(l.text_equivs) == 1 for l in lines)
+        decoded = [l.text_equivs[0].Unicode for l in lines]
+        for pid, li, text in wrong_lines:
+            if pid == page_id and decoded[li] == text:
+                fixed += 1
+    assert fixed > len(wrong_lines) * 0.5, \
+        'LM fixed only %d of %d corrupted lines' % (fixed,
+                                                    len(wrong_lines))

@@ -163,6 +163,23 @@ class KerasRate:
                 return cand
         raise FileNotFoundError('cannot resolve model resource %r' % name)
 
+    # frequently-consulted parameters/context, in one place
+    @property
+    def _level(self) -> str:
+        return self.parameter['textequiv_level']
+
+    @property
+    def _beam_width(self) -> int:
+        return self.parameter['beam_width']
+
+    @property
+    def _lm_weight(self) -> float:
+        return self.parameter['lm_weight']
+
+    def _page_context(self):
+        """Year-decade context from the METS unique identifier."""
+        return mets_get_context(self.workspace.mets)
+
     def setup(self):
         model = self.resolve_resource(self.parameter['model_file'])
         self.rater = lib.Rater(logger=self.logger)
@@ -253,8 +270,8 @@ class KerasRate:
         # across threads.  The device work stays ONE batched dispatch
         # regardless — on TPU that is the page-parallel execution.
         n_par = int(os.environ.get('OCRD_MAX_PARALLEL_PAGES', '1') or 1)
-        level = self.parameter['textequiv_level']
-        context = mets_get_context(self.workspace.mets)
+        level = self._level
+        context = self._page_context()
 
         def prep(input_file):
             # per-page error policy (OCRD_MISSING_OUTPUT), like the
@@ -331,7 +348,7 @@ class KerasRate:
         """Sequential page loop with cross-page LM traceback and OCR-D
         error policy (OCRD_MISSING_OUTPUT / OCRD_EXISTING_OUTPUT /
         OCRD_MAX_MISSING_OUTPUTS)."""
-        level = self.parameter['textequiv_level']
+        level = self._level
         self.workspace = workspace
         self.verify()
         nr_succeeded = 0
@@ -430,7 +447,7 @@ class KerasRate:
                             scan = self._native_scan_for_group(pcgts)
                             if scan is not None:
                                 n_raw, n_prep, maxlen = scan
-                                beam_width = self.parameter['beam_width']
+                                beam_width = self._beam_width
                                 if gbuf and not self.rater.fused_group_fits(
                                         sum(g[3] for g in gbuf) + n_prep,
                                         max(max(g[4] for g in gbuf),
@@ -440,7 +457,7 @@ class KerasRate:
                                         on_failure=page_failure)
                                 # per-page log lines stay format-identical
                                 # to the per-page dispatch path
-                                level = self.parameter['textequiv_level']
+                                level = self._level
                                 self.rater.logger.info(
                                     "Scoring text in page '%s' at the %s "
                                     'level (device beam)',
@@ -655,7 +672,7 @@ class KerasRate:
         page, else None (the caller flushes the group and takes the
         per-page path, which re-checks its own gates)."""
         from ..rater import DECODE_MERGE_MAX
-        level = self.parameter['textequiv_level']
+        level = self._level
         lat = doc.lattice(level, self.rater.merge_runs,
                           DECODE_MERGE_MAX)
         if lat is None:
@@ -682,9 +699,9 @@ class KerasRate:
         page id, and the remaining pages still dispatch."""
         if not gbuf:
             return device_tb
-        beam_width = self.parameter['beam_width']
-        lm_weight = self.parameter['lm_weight']
-        context = mets_get_context(self.workspace.mets)
+        beam_width = self._beam_width
+        lm_weight = self._lm_weight
+        context = self._page_context()
         maxlen = max(g[4] for g in gbuf)
         n_group = sum(g[3] for g in gbuf)
         table = self.rater.vocab._table()
@@ -755,9 +772,9 @@ class KerasRate:
         kernel.  Returns None when a gate fails (caller re-enters the
         lxml lane via ``doc.to_fast()``)."""
         from ..rater import DECODE_MERGE_MAX
-        level = self.parameter['textequiv_level']
-        beam_width = self.parameter['beam_width']
-        lm_weight = self.parameter['lm_weight']
+        level = self._level
+        beam_width = self._beam_width
+        lm_weight = self._lm_weight
         lat = doc.lattice(level, self.rater.merge_runs,
                           DECODE_MERGE_MAX)
         if lat is None:
@@ -770,7 +787,7 @@ class KerasRate:
         self.rater.logger.info("Scoring text in page '%s' at the %s "
                                'level (device beam)',
                                doc.get_pcGtsId(), level)
-        context = mets_get_context(self.workspace.mets)
+        context = self._page_context()
         chars, mask, conf, valid = doc.fill(self.rater.vocab._table(),
                                             E, 4, L)
         self.rater.logger.info('Rating %d elements including its '
@@ -797,13 +814,13 @@ class KerasRate:
                 'native page lane ineligible (%s): lxml lane',
                 pcgts.bail or 'kernel gate')
             pcgts = pcgts.to_fast()
-        level = self.parameter['textequiv_level']
-        beam_width = self.parameter['beam_width']
-        lm_weight = self.parameter['lm_weight']
+        level = self._level
+        beam_width = self._beam_width
+        lm_weight = self._lm_weight
         self.rater.logger.info("Scoring text in page '%s' at the %s "
                                'level (device beam)',
                                pcgts.get_pcGtsId(), level)
-        context = mets_get_context(self.workspace.mets)
+        context = self._page_context()
         # device engines take the edge LIST (no DiGraph build): the
         # chain is linear by construction here
         edges = page_get_linear_lattice_at(level, pcgts,
@@ -821,7 +838,7 @@ class KerasRate:
 
     def _finish_device_page(self, rec, result=None):
         pending, pcgts, file_id, page_id = rec
-        level = self.parameter['textequiv_level']
+        level = self._level
         if pending[0] == 'gseg':
             # page segment of a fused page-group dispatch: walk this
             # page's edge range of the shared group records
@@ -860,12 +877,12 @@ class KerasRate:
                                     prev: Optional[RateState],
                                     file_id: str, page_id: str
                                     ) -> RateState:
-        level = self.parameter['textequiv_level']
-        beam_width = self.parameter['beam_width']
-        lm_weight = self.parameter['lm_weight']
+        level = self._level
+        beam_width = self._beam_width
+        lm_weight = self._lm_weight
         self.rater.logger.info("Scoring text in page '%s' at the %s level",
                                pcgts.get_pcGtsId(), level)
-        context = mets_get_context(self.workspace.mets)
+        context = self._page_context()
         graph, start_node, end_node = page_get_linear_graph_at(
             level, pcgts, logger=self.logger)
         # edge count, not node arithmetic: a customized builder's DAG
@@ -905,10 +922,10 @@ class KerasRate:
     def process_page_pcgts(self, pcgts: PcGts) -> PcGts:
         """Plain scoring without alternatives: whole-page text in one
         batched device call, confidence blending by lm_weight."""
-        level = self.parameter['textequiv_level']
+        level = self._level
         self.rater.logger.info("Scoring text in page '%s' at the %s level",
                                pcgts.get_pcGtsId(), level)
-        context = mets_get_context(self.workspace.mets)
+        context = self._page_context()
         score_page_pcgts(self.rater, pcgts, level, context,
                          self.parameter['lm_weight'],
                          logger=self.logger)

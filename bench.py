@@ -690,7 +690,7 @@ def main():
         try:
             run_workflow()  # warmup/compile
             times = []
-            for _ in range(5):
+            for _ in range(7):
                 t0 = time.perf_counter()
                 run_workflow()
                 times.append(time.perf_counter() - t0)
@@ -1096,11 +1096,14 @@ def main():
 
             kk = jax.random.PRNGKey(0)
             float(pure_chain(kk))
-            t0 = time.perf_counter()
-            for _ in range(2):
+            # the bound is the FASTEST achievable chain (an upper
+            # bound measured slow is meaningless): best of 4 singles
+            dtb = 1e30
+            for _ in range(4):
+                t0 = time.perf_counter()
                 out = pure_chain(kk)
-            float(out)
-            dtb = (time.perf_counter() - t0) / 2
+                float(out)
+                dtb = min(dtb, time.perf_counter() - t0)
             bound_flops = 2 * B * SW * 4 * SW * SD * T
             scale_bound_mfu = bound_flops / dtb / 197e12 * 100.0
             print('scale probe recurrence bound: %.1f ms, %.1f%% MFU '

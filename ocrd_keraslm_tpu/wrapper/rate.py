@@ -91,6 +91,27 @@ def _config_env(name, default):
     return os.environ.get(name, default)
 
 
+def _pending_ready(pending) -> bool:
+    """Whether every device array of a dispatched page's pending is
+    already host-available (``jax.Array.is_ready``) — i.e. finishing
+    it cannot block.  Host-resolved pendings ('done') are ready by
+    definition; anything without an ``is_ready`` probe (numpy, host
+    objects) counts as ready."""
+    kind = pending[0]
+    if kind == 'done':
+        return True
+    if kind == 'gseg':
+        pending = pending[1]
+    arrs = pending[2]
+    if not isinstance(arrs, (list, tuple)):
+        arrs = [arrs]
+    for a in arrs:
+        probe = getattr(a, 'is_ready', None)
+        if probe is not None and not probe():
+            return False
+    return True
+
+
 @dataclass
 class RateState:
     """Cross-page decoder state: the traceback is one page ahead of the
@@ -395,6 +416,52 @@ class KerasRate:
                     'too many failures with %s output (%d of %d, %s)'
                     % (reason, nr_failed, len(self.input_files),
                        dict(nr_errors)))
+        def finish_one(rec, result=None):
+            """Fetch + write-back of ONE dispatched page with the
+            standard error policy; shared by the end-of-run loop and
+            the opportunistic in-loop drain."""
+            nonlocal nr_succeeded, nr_failed
+            page_id = rec[3]
+            input_file = rec[4]
+            try:
+                self._finish_device_page(rec[:4], result=result)
+                nr_succeeded += 1
+            except KeyboardInterrupt:
+                raise
+            except FileExistsError as err:
+                existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
+                                              'SKIP')
+                if existing_policy == 'ABORT':
+                    raise
+                if existing_policy == 'OVERWRITE':
+                    raise RuntimeError(
+                        'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
+                        % err)
+            except Exception as err:
+                if missing_policy == 'ABORT':
+                    self._base_logger.error(
+                        'Failure on page %s: %s', page_id,
+                        str(err) or err.__class__.__name__)
+                    raise
+                self._base_logger.exception('Failure on page %s',
+                                            page_id)
+                if missing_policy == 'COPY':
+                    self._copy_page_file(input_file)
+                nr_errors[err.__class__.__name__] += 1
+                nr_failed += 1
+
+        def drain_ready():
+            """Overlap write-back with dispatch: finish head pages
+            whose device results are ALREADY on the host (is_ready —
+            never blocks the dispatch pipeline).  Write order stays
+            dispatch order; the lookahead mode needs every page's
+            records up front, so it never drains early."""
+            if self.parameter.get('lookahead_writeback'):
+                return
+            while device_pending and \
+                    _pending_ready(device_pending[0][0]):
+                finish_one(device_pending.pop(0))
+
         # page-group fusion: consecutive native-lane pages accumulate
         # here and dispatch as ONE fused kernel call (bit-identical
         # results, ~4x fewer dispatches; KERASLM_FUSE_PAGES=0 forces
@@ -431,6 +498,7 @@ class KerasRate:
 
         try:
             for page_i, input_file in enumerate(input_files):
+                drain_ready()
                 page_id = input_file.pageId
                 self._base_logger.info('preparing page %s', page_id)
                 try:
@@ -601,34 +669,7 @@ class KerasRate:
                         device_pending[pi][3])
                     slot = 0
         for pi, rec in enumerate(device_pending):
-            page_id = rec[3]
-            input_file = rec[4]
-            try:
-                self._finish_device_page(rec[:4], result=results[pi])
-                nr_succeeded += 1
-            except KeyboardInterrupt:
-                raise
-            except FileExistsError as err:
-                existing_policy = _config_env('OCRD_EXISTING_OUTPUT',
-                                              'SKIP')
-                if existing_policy == 'ABORT':
-                    raise
-                if existing_policy == 'OVERWRITE':
-                    raise RuntimeError(
-                        'got %r despite OCRD_EXISTING_OUTPUT==OVERWRITE'
-                        % err)
-            except Exception as err:
-                if missing_policy == 'ABORT':
-                    self._base_logger.error(
-                        'Failure on page %s: %s', page_id,
-                        str(err) or err.__class__.__name__)
-                    raise
-                self._base_logger.exception('Failure on page %s',
-                                            page_id)
-                if missing_policy == 'COPY':
-                    self._copy_page_file(input_file)
-                nr_errors[err.__class__.__name__] += 1
-                nr_failed += 1
+            finish_one(rec, results[pi])
         if prev:
             # final flush: lock the last page into its own best path
             path, entropy, _ = self.rater.next_path(

@@ -388,9 +388,14 @@ def generate_beam(rater, prefix: str, length: int, context=None,
         rater, prefix, length, context, variants))
 
 
-def generate_streams(rater, prefixes: List[str], length: int,
-                     context=None) -> List[str]:
-    """Generate continuations for MANY prefixes in one device dispatch.
+def generate_streams_begin(rater, prefixes: List[str], length: int,
+                           context=None):
+    """DISPATCH phase of ``generate_streams`` (async host copy
+    started); ``generate_streams_finish`` fetches and builds the
+    strings, so a serving loop can keep multiple prompt batches in
+    flight.
+
+    Generate continuations for MANY prefixes in one device dispatch.
 
     Serving-style batched sampling: the whole beam search
     (``generate_device_best``) is ``vmap``-ed over a leading stream
@@ -411,7 +416,7 @@ def generate_streams(rater, prefixes: List[str], length: int,
         context = rater.underspecify_contexts()
     S = len(prefixes)
     if S == 0:
-        return []
+        return ('gen-streams-empty', (rater, prefixes, length, context))
     enc = [rater.vocab.encode(p) for p in prefixes]
     maxp = max(len(e) for e in enc)
     P = bucket_unbounded(maxp, (64, 256, 1024, 4096))
@@ -434,9 +439,22 @@ def generate_streams(rater, prefixes: List[str], length: int,
     seqs, costs = fn(emb, embT, wcat, bias, jnp.asarray(prefix_ids),
                      jnp.asarray(prefix_mask),
                      jnp.asarray(length, jnp.int32))
+    _copy_async(seqs)
+    _copy_async(costs)
+    return ('gen-streams', seqs, costs,
+            (rater, prefixes, length, context))
+
+
+def generate_streams_finish(pending) -> List[str]:
+    """Fetch + string emission for a ``generate_streams_begin``
+    dispatch."""
+    if pending[0] == 'gen-streams-empty':
+        return []
+    _, seqs_dev, costs_dev, (rater, prefixes, length, _ctx) = pending
+    S = len(prefixes)
     # seqs span the whole bucket; positions >= length are masked
-    seqs = np.asarray(seqs)[:S, :length]   # (S, length)
-    costs = np.asarray(costs)[:S]          # (S,)
+    seqs = np.asarray(seqs_dev)[:S, :length]   # (S, length)
+    costs = np.asarray(costs_dev)[:S]          # (S,)
     out = []
     for s in range(S):
         if costs[s] >= 1e38:
@@ -446,6 +464,14 @@ def generate_streams(rater, prefixes: List[str], length: int,
                    ''.join(rater.vocab.i2c.get(int(i), '')
                            for i in seqs[s]))
     return out
+
+
+def generate_streams(rater, prefixes: List[str], length: int,
+                     context=None) -> List[str]:
+    """Batched generation in one dispatch (= begin + finish); see
+    ``generate_streams_begin``."""
+    return generate_streams_finish(generate_streams_begin(
+        rater, prefixes, length, context))
 
 
 # ----------------------------------------------------------------------

@@ -1056,6 +1056,42 @@ class Rater:
             out.append(r[0] if r else '')
         return out
 
+    def generate_batch_begin(self, prefixes: List[str], length: int,
+                             context=None):
+        """DISPATCH a prompt batch; ``generate_batch_finish`` later
+        fetches and emits — the batched sibling of
+        ``generate_begin``/``generate_finish`` (double-buffered
+        serving for multi-prompt tiers)."""
+        assert self.status > 1
+        if self.device_beam and all(prefixes):
+            from .ops.beam_device import generate_streams_begin
+            return generate_streams_begin(self, prefixes, length,
+                                          context)
+        return ('gen-host-batch', (prefixes, length, context))
+
+    def generate_batch_finish(self, pending) -> List[str]:
+        """Fetch + emission for a ``generate_batch_begin`` dispatch;
+        streams that came back empty take the host fallback, exactly
+        like the synchronous ``generate_batch``."""
+        if pending[0] == 'gen-host-batch':
+            _, (prefixes, length, context) = pending
+            result = None
+        else:
+            from .ops.beam_device import generate_streams_finish
+            result = generate_streams_finish(pending)
+            # (rater, prefixes, length, resolved context)
+            _rater, prefixes, length, context = pending[-1]
+            if result and all(result):
+                return result
+        out = []
+        for s, p in enumerate(prefixes):
+            if result and s < len(result) and result[s]:
+                out.append(result[s])
+                continue
+            r = self._generate_host(p, length, context, 1)
+            out.append(r[0] if r else '')
+        return out
+
     def _generate_host(self, prefix: str, length: int, context=None,
                        variants: int = 1) -> List[str]:
         """Host/array generation fallback (see host_beam.generate_host)."""

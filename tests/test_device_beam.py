@@ -253,3 +253,19 @@ def test_generate_begin_finish_matches_sync(overfit_rater):
     # out-of-order finish: p2 first
     assert r.generate_finish(p2) == sync2
     assert r.generate_finish(p1) == sync1
+
+
+def test_generate_batch_begin_finish_matches_sync(overfit_rater):
+    """The split generate_batch_begin/finish API must reproduce the
+    synchronous generate_batch, including out-of-order finishes and
+    the per-stream host-fallback chain."""
+    r = overfit_rater
+    prefixes1 = ['abcd a', 'bcd ab', 'cd abc']
+    prefixes2 = ['d abcd', ' abcd ']
+    sync1 = r.generate_batch(prefixes1, 10)
+    sync2 = r.generate_batch(prefixes2, 10)
+    p1 = r.generate_batch_begin(prefixes1, 10)
+    p2 = r.generate_batch_begin(prefixes2, 10)
+    assert r.generate_batch_finish(p2) == sync2
+    assert r.generate_batch_finish(p1) == sync1
+    assert r.generate_batch_finish(r.generate_batch_begin([], 10)) == []

@@ -1096,14 +1096,18 @@ def main():
 
             kk = jax.random.PRNGKey(0)
             float(pure_chain(kk))
-            # the bound is the FASTEST achievable chain (an upper
-            # bound measured slow is meaningless): best of 4 singles
+            # the chain is only ~16 ms of device time, so a per-call
+            # timing drowns in the 24-47 ms dispatch jitter (observed
+            # "bounds" BELOW the kernel's own MFU).  Amortize: 6
+            # back-to-back calls per window (device queues them,
+            # one final sync), best window of 3.
             dtb = 1e30
-            for _ in range(4):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                out = pure_chain(kk)
+                for _ in range(6):
+                    out = pure_chain(kk)
                 float(out)
-                dtb = min(dtb, time.perf_counter() - t0)
+                dtb = min(dtb, (time.perf_counter() - t0) / 6)
             bound_flops = 2 * B * SW * 4 * SW * SD * T
             scale_bound_mfu = bound_flops / dtb / 197e12 * 100.0
             print('scale probe recurrence bound: %.1f ms, %.1f%% MFU '
@@ -1380,6 +1384,38 @@ def main():
     except Exception as err:
         print('rtt probe failed: %r' % err, file=sys.stderr)
 
+    # compact per-axis summary as the LAST key: capture harnesses
+    # that keep only the output TAIL (the driver records 2000 chars)
+    # would otherwise truncate the early keys of this (long) JSON
+    # line — everything needed to judge the run lands here
+    def _r(v, nd=1):
+        return None if v is None else round(v, nd)
+    try:
+        headline = {
+            'rating_x': _r(tpu / base, 1),
+            'rating_median': _r(tpu_med),
+            'decode_realistic_x_median': _r(
+                decode_real_med / base_dec
+                if decode_real_med and base_dec else None, 1),
+            'workflow_x_median': _r(
+                workflow_cps_med / base_dec
+                if workflow_cps_med and base_dec else None, 1),
+            'workflow_pages_per_sec': _r(workflow_pps, 1),
+            'train_x': _r(train_cps / base_train
+                          if train_cps and base_train else None, 1),
+            'gen_1k_x': extra.get('generate_1k_vs_baseline'),
+            'gen_long_x': extra.get('generate_long_vs_baseline'),
+            'gen_streams_x': extra.get('generate_streams_vs_baseline'),
+            'mfu_pct': extra.get('train_w512d4_bf16_mfu_pct'),
+            'mfu_bound_pct': extra.get(
+                'train_w512d4_recurrence_bound_mfu_pct'),
+            'native_hit_pct': extra.get('native_lane_hit_pct'),
+            'baseline_decode_cps': _r(base_dec) if base_dec else None,
+        }
+        extra['headline'] = {k: v for k, v in headline.items()
+                             if v is not None}
+    except Exception as err:  # the summary must never kill the line
+        print('headline summary failed: %r' % err, file=sys.stderr)
     print(json.dumps({
         'metric': 'rating_chars_per_sec',
         'value': round(tpu, 1),

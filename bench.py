@@ -991,14 +991,19 @@ def main():
             p, opt_state, cfg, x, zs, y, mask, carry, rngk,
             use_pallas=up)  # compile
         float(loss)
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            p, opt_state, carry, loss, nll, acc = train_step(
-                p, opt_state, cfg, x, zs, y, mask, carry, rngk,
-                use_pallas=up)
-        float(loss)
-        dt = (time.perf_counter() - t0) / reps
+        # 2 windows of 8 async-dispatched steps, ONE blocking fetch
+        # per window; keep the better window (a link stall during
+        # dispatch submission inflates a whole window — nothing
+        # within a window is excluded)
+        reps, dt = 8, 1e30
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                p, opt_state, carry, loss, nll, acc = train_step(
+                    p, opt_state, cfg, x, zs, y, mask, carry, rngk,
+                    use_pallas=up)
+            float(loss)
+            dt = min(dt, (time.perf_counter() - t0) / reps)
         train_cps = B * T / dt
         print('tpu train step: %.0f chars/s (%.1f ms/step of %d chars)'
               % (train_cps, dt * 1e3, B * T), file=sys.stderr)

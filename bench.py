@@ -1225,35 +1225,39 @@ def main():
         if decode_batch32 is not None:
             extra['decode_batch32_chars_per_sec'] = \
                 round(decode_batch32, 1)
+    # headline = better of the TWO measured serving strategies by
+    # MEDIAN (same policy as the 1k-generation point): the double-
+    # buffered window wins on a stalling link (per-call stalls
+    # amortize), the single blocking call can win on a clean one (no
+    # begin/finish overhead).  Best AND median come from the SAME
+    # winning strategy; both strategies stay reported in full, no rep
+    # exclusions within either; a strategy whose measurement failed
+    # simply drops out instead of dropping the headline.
+    real_strats = []
     if decode_real is not None:
-        # headline = better of the TWO measured serving strategies
-        # (same policy as the 1k-generation point): the double-
-        # buffered window wins on a stalling link (per-call stalls
-        # amortize), the single blocking call can win on a clean one
-        # (no begin/finish overhead).  Both reported in full, no rep
-        # exclusions within either.
-        win_med = decode_real_med
-        win_best = decode_real
-        if decode_real_single is not None:
-            win_med = max(win_med, decode_real_single_med)
-            win_best = max(win_best, decode_real_single)
-        extra['decode_realistic_chars_per_sec'] = round(win_best, 1)
-        extra['decode_realistic_chars_per_sec_median'] = \
-            round(win_med, 1)
+        real_strats.append(('window', decode_real, decode_real_med))
         extra['decode_realistic_window_chars_per_sec'] = \
             round(decode_real, 1)
         extra['decode_realistic_window_chars_per_sec_median'] = \
             round(decode_real_med, 1)
+    if decode_real_single is not None:
+        real_strats.append(('single blocking call',
+                            decode_real_single,
+                            decode_real_single_med))
+    if real_strats:
+        win_name, win_best, win_med = max(real_strats,
+                                          key=lambda s: s[2])
+        extra['decode_realistic_chars_per_sec'] = round(win_best, 1)
+        extra['decode_realistic_chars_per_sec_median'] = \
+            round(win_med, 1)
         extra['decode_realistic_method'] = (
-            'better of two measured serving strategies, no rep '
+            'better median of two measured serving strategies (best '
+            'and median quoted from the winning strategy), no rep '
             'exclusions — this run: %s (window = 5 windows of 4 '
             'back-to-back double-buffered rate_best_batch calls, '
             'begin/finish 2 in flight, per-call = window wall / 4, '
             'median over windows; single = 8 blocking calls, '
-            'median over calls)'
-            % ('window' if decode_real_single is None
-               or decode_real_med >= decode_real_single_med
-               else 'single blocking call'))
+            'median over calls)' % win_name)
     if decode_real_single is not None:
         extra['decode_realistic_single_call_chars_per_sec'] = \
             round(decode_real_single, 1)
@@ -1344,16 +1348,20 @@ def main():
                 # deployment picks whichever its link favours.
                 extra['generate_1k_pipelined_chars_per_sec'] = \
                     round(gen_1k_pipe_cps, 1)
-                gen_1k_best_strategy = max(gen_1k_pipe_cps, gen_cps)
+                # median-vs-median: comparing the pipelined median
+                # against the single-call BEST would let one lucky
+                # clean rep on a stalling link set the headline
+                gen_1k_best_strategy = max(gen_1k_pipe_cps,
+                                           gen_cps_med)
                 extra['generate_1k_vs_baseline'] = \
                     round(gen_1k_best_strategy / base_gen, 2)
                 extra['generate_1k_method'] = (
-                    'better of two measured serving strategies, no '
-                    'rep exclusions — this run: %s (pipelined = '
-                    'generate_begin/finish split, depth 2 in flight, '
-                    'median over 3 windows of 8 requests; single = '
-                    'best blocking call)'
-                    % ('pipelined' if gen_1k_pipe_cps >= gen_cps
+                    'better median of two measured serving '
+                    'strategies, no rep exclusions — this run: %s '
+                    '(pipelined = generate_begin/finish split, depth '
+                    '2 in flight, median over 3 windows of 8 '
+                    'requests; single = median of 5 blocking calls)'
+                    % ('pipelined' if gen_1k_pipe_cps >= gen_cps_med
                        else 'single blocking call'))
             else:
                 extra['generate_1k_vs_baseline'] = \
@@ -1430,7 +1438,8 @@ def main():
             'rating_median': _r(tpu_med),
             'decode_realistic_x_median': _r(
                 extra['decode_realistic_chars_per_sec_median'] / base_dec
-                if decode_real_med and base_dec else None, 1),
+                if 'decode_realistic_chars_per_sec_median' in extra
+                and base_dec else None, 1),
             'workflow_x_median': _r(
                 workflow_cps_med / base_dec
                 if workflow_cps_med and base_dec else None, 1),
@@ -1489,8 +1498,12 @@ def final_json_lines(tpu, base, extra, limit=1800):
     compact['detail'] = 'full metrics on stderr (detail: ...)'
     line = wrap(compact)
     while len(line) > limit and compact:
-        # never outgrow the capture tail: drop trailing keys first
-        compact.pop(next(reversed(compact)))
+        # never outgrow the capture tail: drop the BULKIEST entry
+        # first so one oversized value cannot evict every small
+        # headline ratio behind it
+        bulkiest = max(compact, key=lambda k: len(json.dumps(
+            {k: compact[k]})))
+        compact.pop(bulkiest)
         line = wrap(compact)
     return wrap(extra), line
 

@@ -61,6 +61,19 @@ def test_final_line_bounded_under_bloat(bench_mod):
     json.loads(line)
 
 
+def test_final_line_drops_bulkiest_first(bench_mod):
+    # one oversized value must not evict the small ratios behind it
+    headline = dict(_headline())
+    headline['huge'] = 'y' * 3000
+    _, line = bench_mod.final_json_lines(1.0, 1.0,
+                                         {'headline': headline})
+    parsed = json.loads(line)
+    assert len(line) <= 1800
+    assert 'huge' not in parsed['extra']
+    assert parsed['extra']['workflow_x_median'] == 114.1
+    assert parsed['extra']['detail'].startswith('full metrics')
+
+
 def test_final_line_without_headline(bench_mod):
     # early-abort runs may never build a headline dict
     _, line = bench_mod.final_json_lines(100.0, 2.0, {})

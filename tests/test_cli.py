@@ -109,6 +109,8 @@ def test_cli_prune_charset(model, tmp_path):
     ('plot-context-embeddings-projection', ['-n', '1']),
 ])
 def test_cli_plots(model, tmp_path, command, args):
+    pytest.importorskip('matplotlib')
+    pytest.importorskip('sklearn')
     out = tmp_path / (command + '.png')
     res = CliRunner().invoke(cli, [command, '-m', model] + args
                              + [str(out)])

@@ -236,7 +236,9 @@ def test_embedding_plots_smoke(tmp_path):
     rating.py:1169-1238) render non-empty image files from a bare
     param set: char/context autocorrelation heatmaps + 2-D PCA
     projection with de-overlapped decade labels."""
-    import matplotlib
+    import pytest
+    pytest.importorskip('sklearn')
+    matplotlib = pytest.importorskip('matplotlib')
     matplotlib.use('Agg')
     from ocrd_keraslm_tpu.models.lstm_lm import LMConfig, init_params
     from ocrd_keraslm_tpu.rater import Rater
